@@ -1,0 +1,163 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  The query set is broadcast (it is small by construction); the corpus
+  streams through one narrow stage, so it scales linearly with corpus
+  size and never shuffles the corpus.
+- ``lsh_buckets`` / ``lsh_topk``: random-hyperplane LSH — the scale
+  path.  Bucketing is a narrow projection; search touches only
+  matching buckets, cutting the scanned corpus by ~2^n_planes.
+
+Dot products fold left-to-right in doubles (F.aggregate over
+zip_with) so the DuckDB oracle reproduces values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pgloader_spark.operators.dedup import md5_hash64
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold double dot product (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm2(a: Column) -> Column:
+    return dot(a, a)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.sqrt(norm2(a) * norm2(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector (self-matches excluded).
+
+    queries is broadcast; ranking uses cosine rounded to 6 decimals
+    with the neighbor id as tiebreak, so results are stable across
+    engines and runs.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos_sim", "rank")
+    )
+
+
+def plane_weights(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplane weights from md5 — no stored model.
+
+    w[p][i] = +1 if bit0 of md5("{1000+p}:{i}") else -1.  Computed on
+    the driver and inlined as literals, so both the Spark plan and the
+    DuckDB oracle see identical constants.
+    """
+    import hashlib
+
+    out = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = int(hashlib.md5(f"{1000 + p}:{i}".encode()).hexdigest()[:15], 16)
+            row.append(1.0 if h & 1 else -1.0)
+        out.append(row)
+    return out
+
+
+def lsh_bucket(vec_col: Column, dim: int, n_planes: int = 8) -> Column:
+    """Random-hyperplane bucket id — a narrow per-row projection."""
+    weights = plane_weights(dim, n_planes)
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(w) for w in weights[p]]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket) — narrow projection; bucket histogram shows recall/cost."""
+    return df.select(
+        F.col(id_col), lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's bucket."""
+    cb = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos_sim", "rank")
+    )

@@ -1,0 +1,150 @@
+"""Text-analysis operators for training-data pipelines.
+
+All operators are pure Column-expression builders (JVM-side,
+codegen-friendly, no Python in the row path) so they hold up on a
+100 TB documents table: tokenization, token counting, quality
+scoring, n-gram language ID, and document fingerprinting.
+
+Every function here has a DuckDB-SQL mirror in
+``pgloader_spark.queries`` so results are oracle-checked value-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic.  Deterministic and mirrored verbatim in the DuckDB oracle.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "du", "que"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "de", "que"),
+    "zh": ("de", "shi", "le", "zai", "he", "you", "wo", "ta", "men", "bu"),
+}
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokens(col: Column | str) -> Column:
+    """Lowercased alnum tokens (empty strings dropped)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace/punct token count — the cheap tokenizer."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """A BPE-like proxy: ceil(chars/4) per word, summed.
+
+    Approximates subword-tokenizer counts without a vocab file; stays
+    in codegen (no UDF).
+    """
+    return F.aggregate(
+        tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("long"),
+    )
+
+
+def quality_metrics(text_col: Column | str) -> dict[str, Column]:
+    """Length / punctuation-ratio / stopword-ratio / mean-word-length.
+
+    The standard cheap quality filters a pretraining pipeline applies
+    before expensive dedup (cf. C4/Gopher-style rules — public
+    heuristics, re-derived here).
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_stop = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS["en"]])))
+    mean_wlen = F.when(
+        n_tok > 0,
+        F.round(
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t).cast("long")
+            )
+            / n_tok.cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "punct_ratio": F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6),
+        "stopword_ratio": F.round(
+            n_stop.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double"), 6
+        ),
+        "mean_word_len": mean_wlen,
+    }
+
+
+def lang_scores(text_col: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit ratio over the distinct token set."""
+    toks = F.array_distinct(tokens(text_col))
+    out = {}
+    for lang, words in STOPWORDS.items():
+        hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        out[lang] = F.round(
+            hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double"), 6
+        )
+    return out
+
+
+def lang_id(text_col: Column | str) -> Column:
+    """argmax over lang_scores; ties broken by language-code order."""
+    scores = lang_scores(text_col)
+    pairs = F.array(
+        *[F.struct(scores[lang].alias("s"), F.lit(lang).alias("l")) for lang in sorted(STOPWORDS)]
+    )
+    # max score; tie -> lexicographically-smallest code wins because we
+    # pick the first element reaching the max in sorted order.
+    best = F.array_max(F.transform(pairs, lambda p: p["s"]))
+    return F.filter(pairs, lambda p: p["s"] == best)[0]["l"]
+
+
+def fingerprint(text_col: Column | str) -> Column:
+    """Normalization fingerprint: md5 over the sorted distinct token set.
+
+    Catches reordered/duplicated-whitespace copies of a document;
+    O(tokens log tokens) per row, no shuffle.
+    """
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(text_col))), " "))
+
+
+def rolling_hash(text_col: Column | str, mod: int = (1 << 61) - 1, base: int = 257) -> Column:
+    """Polynomial rolling hash over tokens: h = sum(tok_hash * base^i) mod p.
+
+    Folded left-to-right with F.aggregate (deterministic order).
+    """
+    toks = tokens(text_col)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, t: (
+            acc * F.lit(base)
+            + F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("decimal(38,0)")
+        )
+        % F.lit(mod),
+    ).cast("long")
+
+
+def document_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One-pass per-document stat projection (narrow, no shuffle)."""
+    q = quality_metrics(text_col)
+    return df.select(
+        F.col(id_col),
+        q["n_chars"].alias("n_chars"),
+        q["n_tokens"].alias("n_tokens"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        q["mean_word_len"].alias("mean_word_len"),
+        lang_id(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,946 @@
+"""Query registry: every operator exposed as (Spark callable, DuckDB oracle).
+
+Each entry pairs an idiomatic-Spark implementation (DataFrame API,
+broadcast-hinted joins, decimal-exact money arithmetic) with the ANSI
+SQL DuckDB runs on the same parquet tables.  Column names and value
+representations are engineered to hash-match exactly:
+
+- money math is done in DECIMAL (exact) and cast to DOUBLE at the end,
+  so sum-order differences between engines cannot show up;
+- ratios are rounded to 6 decimals (exact for denominators <= 128);
+- md5-based hashing (not xxhash) so DuckDB reproduces every signature;
+- timestamps never leave a query raw: they are cast to DATE or
+  formatted to strings (identical text both sides).
+
+Reference parity notes cite dimitri/pgloader files (see SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from pgloader_spark.functions import transforms as tr
+from pgloader_spark.operators import dedup, similarity
+from pgloader_spark.operators import text as txt
+from pgloader_spark.operators.projection import ColumnSpec, FieldSpec, Projection
+from pgloader_spark.session import read_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+DEC = "decimal(18,2)"
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _dec(col: str):
+    return F.col(col).cast(DEC)
+
+
+# --------------------------------------------------------------------------
+# Core analytical query surface (SURVEY §2.5/2.6 "absent -> Spark primitive")
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate with map-side partial agg."""
+    li = read_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast(DEC)
+    disc_price = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    charge = disc_price.cast("decimal(18,4)") * (one + _dec("l_tax"))
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
+            (F.sum(_dec("l_discount")).cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND l_shipdate > TIMESTAMP '1996-07-01'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + top-k; customer dim is broadcast."""
+    cust = read_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-07-01").cast("timestamp")
+    )
+    one = F.lit(1).cast(DEC)
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_supplier_nation_revenue",
+    oracle="""
+SELECT r_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(DISTINCT s_suppkey) AS n_suppliers,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY r_name, n_name
+""",
+)
+def q5_supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join: all dims broadcast, one shuffle for the agg."""
+    li = read_table(spark, sf_dir, "lineitem")
+    sup = read_table(spark, sf_dir, "supplier")
+    nat = read_table(spark, sf_dir, "nation")
+    reg = read_table(spark, sf_dir, "region")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    one = F.lit(1).cast(DEC)
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .join(orders.hint("broadcast"), li.l_orderkey == orders.o_orderkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "join_semi_customers_with_orders",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_anti_customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "window_top3_orders_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+  FROM orders) t
+WHERE rn <= 3
+""",
+)
+def window_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "window_running_revenue_per_user",
+    oracle="""
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+FROM events
+""",
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(_dec("value")).over(w).cast("double").alias("running_value"),
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+WITH g AS (
+  SELECT user_id, event_id,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(1 + SUM(new_session) AS BIGINT) AS n_sessions
+FROM g GROUP BY user_id
+""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min inactivity boundary)."""
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+    return (
+        ev.withColumn("new_session", F.when(gap > 1800, F.lit(1)).otherwise(F.lit(0)))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.lit(1) + F.sum("new_session")).cast("long").alias("n_sessions"),
+        )
+    )
+
+
+@query(
+    "agg_rollup_lineitem",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "agg_cube_events",
+    oracle="""
+SELECT event_type, CAST(ts AS DATE) AS day,
+       CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+       CAST(GROUPING(CAST(ts AS DATE)) AS INTEGER) AS g_day,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       COUNT(*) AS n
+FROM events
+GROUP BY CUBE(event_type, CAST(ts AS DATE))
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    return ev.cube("event_type", "day").agg(
+        F.grouping("event_type").cast("int").alias("g_type"),
+        F.grouping("day").cast("int").alias("g_day"),
+        F.sum(_dec("value")).cast("double").alias("sum_value"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("event_type", "day", "g_type", "g_day", "sum_value", "n")
+
+
+@query(
+    "agg_distinct_by_segment",
+    oracle="""
+SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("sum_acctbal"),
+    )
+
+
+@query(
+    "pivot_daily_event_values",
+    oracle="""
+SELECT CAST(ts AS DATE) AS day,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'click') AS DOUBLE) AS click,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'error') AS DOUBLE) AS error,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'signup') AS DOUBLE) AS signup,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'view') AS DOUBLE) AS view
+FROM events GROUP BY CAST(ts AS DATE)
+""",
+)
+def pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").withColumn("day", F.col("ts").cast("date"))
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.sum(_dec("value")).cast("double"))
+    )
+
+
+@query(
+    "set_union_nation_keys",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey FROM supplier
+""",
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    sup = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.union(sup).distinct()
+
+
+@query(
+    "set_except_customers_no_orders",
+    oracle="""
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey FROM orders
+""",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    orders = read_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return cust.subtract(orders)
+
+
+# --------------------------------------------------------------------------
+# ETL operator surface (pgloader parity: projection, null-if, trim,
+# transform functions — SURVEY §2.3/§2.7)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "etl_projection_constants",
+    oracle="""
+SELECT c_custkey AS b, 'constant value' AS c, c_name AS d,
+       CASE WHEN RTRIM(c_mktsegment) = 'FURNITURE' THEN NULL
+            ELSE RTRIM(c_mktsegment) END AS seg
+FROM customer
+""",
+)
+def etl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """project-fields engine: reorder/drop/constants/null-if/trim.
+
+    Parity: pgloader src/sources/common/project-fields.lisp:35-183
+    (constant columns, null-if sentinel, trim) and test/udc.load.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    proj = Projection(
+        fields=[FieldSpec("c_mktsegment", null_if=("FURNITURE",), trim="right")],
+        columns=[
+            ColumnSpec("b", source="c_custkey"),
+            ColumnSpec("c", constant="constant value"),
+            ColumnSpec("d", source="c_name"),
+            ColumnSpec("seg", source="c_mktsegment"),
+        ],
+    )
+    return proj.apply(cust)
+
+
+@query(
+    "etl_transforms_datetime",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_orderkey % 97 = 0 THEN NULL
+            ELSE strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') END AS parsed_compact,
+       CASE WHEN l_orderkey % 7 = 0 THEN NULL
+            ELSE strftime(l_shipdate, '%Y-%m-%d') END AS zd,
+       strftime(strptime(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'),
+                         '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS pg_fmt_roundtrip,
+       strftime(make_timestamp(CAST(FLOOR(epoch(l_shipdate)) AS BIGINT) * 1000000),
+                '%Y-%m-%d %H:%M:%S') AS unix_roundtrip
+FROM lineitem
+""",
+)
+def etl_transforms_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date-with-no-separator / zero-dates-to-null / date-format /
+    unix-timestamp-to-timestamptz round-trips.
+
+    Parity: pgloader src/utils/transforms.lisp:118-175,433 and
+    src/parsers/date-format.lisp:13-145.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    compact = F.when(
+        F.col("l_orderkey") % 97 == 0, F.lit("00000000000000")
+    ).otherwise(F.date_format("l_shipdate", "yyyyMMddHHmmss"))
+    parsed = tr.date_with_no_separator(compact)
+    zd_in = F.when(F.col("l_orderkey") % 7 == 0, F.lit("0000-00-00")).otherwise(
+        F.date_format("l_shipdate", "yyyy-MM-dd")
+    )
+    from pgloader_spark.parsers.dateformat import pg_to_spark_datetime_format
+
+    pg_fmt = pg_to_spark_datetime_format("YYYY-MM-DD HH24:MI:SS")
+    pg_rt = F.date_format(
+        F.to_timestamp(F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss"), pg_fmt),
+        "yyyy-MM-dd HH:mm:ss",
+    )
+    unix_rt = F.date_format(
+        tr.unix_timestamp_to_timestamptz(
+            F.col("l_shipdate").cast("timestamp").cast("long")
+        ),
+        "yyyy-MM-dd HH:mm:ss",
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.date_format(parsed, "yyyy-MM-dd HH:mm:ss").alias("parsed_compact"),
+        tr.zero_dates_to_null(zd_in).alias("zd"),
+        pg_rt.alias("pg_fmt_roundtrip"),
+        unix_rt.alias("unix_roundtrip"),
+    )
+
+
+@query(
+    "etl_transforms_net_hex",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, (o_orderkey * 2654435761) % 4294967296 AS ip_int FROM orders
+)
+SELECT o_orderkey,
+       CAST(ip_int >> 24 AS VARCHAR) || '.' ||
+       CAST((ip_int >> 16) & 255 AS VARCHAR) || '.' ||
+       CAST((ip_int >> 8) & 255 AS VARCHAR) || '.' ||
+       CAST(ip_int & 255 AS VARCHAR) AS ip,
+       lower(to_hex(o_orderkey)) AS hexs,
+       CAST(CAST(('0x' || lower(to_hex(o_orderkey))) AS BIGINT) AS VARCHAR) AS dec_back,
+       '\\x' || lower(to_hex(o_orderkey)) AS bytea_lit
+FROM base
+""",
+)
+def etl_transforms_net_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int-to-ip / hex-to-dec / hex-to-bytea.
+
+    Parity: pgloader src/utils/transforms.lisp:218-246,564-586.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    ip_int = (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296)
+    hexs = F.lower(F.hex(F.col("o_orderkey")))
+    return orders.select(
+        "o_orderkey",
+        tr.int_to_ip(ip_int).alias("ip"),
+        hexs.alias("hexs"),
+        tr.hex_to_dec(hexs).alias("dec_back"),
+        tr.hex_to_bytea(hexs).alias("bytea_lit"),
+    )
+
+
+@query(
+    "etl_transforms_bool_str",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       (l_linenumber % 2) <> 0 AS tb,
+       CASE l_orderkey % 3 WHEN 0 THEN true WHEN 1 THEN false ELSE true END AS ssb,
+       CASE l_partkey % 4 WHEN 0 THEN true WHEN 1 THEN false WHEN 2 THEN false ELSE NULL END AS lb,
+       CASE WHEN l_suppkey % 5 = 0 THEN NULL ELSE l_returnflag END AS esn,
+       '{' || l_returnflag || ',' || l_linestatus || '}' AS sea,
+       RTRIM(l_returnflag || '   ') AS rt
+FROM lineitem
+""",
+)
+def etl_transforms_bool_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tinyint/bit/logical->boolean, empty-string->NULL, SET->enum array,
+    right-trim.
+
+    Parity: pgloader src/utils/transforms.lisp:176-200,313-330,450-460,588.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    ssb_in = (
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit("((1))"))
+        .when(F.col("l_orderkey") % 3 == 1, F.lit("0"))
+        .otherwise(F.lit("1"))
+    )
+    lb_in = (
+        F.when(F.col("l_partkey") % 4 == 0, F.lit("T"))
+        .when(F.col("l_partkey") % 4 == 1, F.lit("f"))
+        .when(F.col("l_partkey") % 4 == 2, F.lit("n"))
+        .otherwise(F.lit("?"))
+    )
+    esn_in = F.when(F.col("l_suppkey") % 5 == 0, F.lit("")).otherwise(F.col("l_returnflag"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        tr.tinyint_to_boolean((F.col("l_linenumber") % 2).cast("string")).alias("tb"),
+        tr.sql_server_bit_to_boolean(ssb_in).alias("ssb"),
+        tr.logical_to_boolean(lb_in).alias("lb"),
+        tr.empty_string_to_null(esn_in).alias("esn"),
+        tr.set_to_enum_array(F.concat_ws(",", "l_returnflag", "l_linestatus")).alias("sea"),
+        tr.right_trim(F.concat(F.col("l_returnflag"), F.lit("   "))).alias("rt"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline: deduplication
+# --------------------------------------------------------------------------
+
+_DUCK_TOKENS = (
+    "list_filter(regexp_split_to_array(lower({c}), '[^a-z0-9]+'), t -> t <> '')"
+)
+
+
+def _duck_hash64(expr: str, seed: int) -> str:
+    return f"CAST(('0x' || substr(md5('{seed}:' || {expr}), 1, 15)) AS BIGINT)"
+
+
+def _duck_shingles_cte(table: str = "documents", k: int = 3) -> str:
+    toks = _DUCK_TOKENS.format(c="text")
+    return f"""
+toks AS (SELECT doc_id, {toks} AS tk FROM {table}),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) < {k} THEN [array_to_string(tk, ' ')]
+              ELSE [array_to_string(tk[i:i+{k - 1}], ' ')
+                    for i in range(1, len(tk) - {k - 2})] END AS shingles
+  FROM toks)
+"""
+
+
+def _duck_minhash_bands_sql() -> str:
+    n_hashes, n_bands = dedup.N_MINHASH, dedup.N_BANDS
+    rows = n_hashes // n_bands
+    sig_exprs = ",\n       ".join(
+        f"list_min(list_transform(shingles, s -> {_duck_hash64('s', i)})) AS s{i}"
+        for i in range(n_hashes)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band_ix, md5(concat_ws(',', {cols})) AS bucket FROM sig".format(
+            b=b,
+            cols=", ".join(f"CAST(s{b * rows + r} AS VARCHAR)" for r in range(rows)),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH {_duck_shingles_cte()},
+sig AS (SELECT doc_id, {sig_exprs} FROM sh)
+SELECT doc_id, band_ix, bucket FROM ({band_selects})
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS content_md5, MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest — one hash shuffle at any scale."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs)
+
+
+@query("dedup_minhash_bands", oracle=_duck_minhash_bands_sql())
+def dedup_minhash_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH band buckets (shingle->minhash->band) — narrow map."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.minhash_bands(docs)
+
+
+@query(
+    "dedup_minhash_pairs",
+    oracle=f"""
+WITH {_duck_shingles_cte()},
+sig AS (SELECT doc_id, {", ".join(
+    f"list_min(list_transform(shingles, s -> {_duck_hash64('s', i)})) AS s{i}"
+    for i in range(dedup.N_MINHASH))} FROM sh),
+bands AS (
+  {" UNION ALL ".join(
+    "SELECT doc_id, {b} AS band_ix, md5(concat_ws(',', {cols})) AS bucket FROM sig".format(
+        b=b,
+        cols=", ".join(f"CAST(s{b * 3 + r} AS VARCHAR)" for r in range(3)),
+    ) for b in range(dedup.N_BANDS))})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_ix = b.band_ix AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+""",
+)
+def dedup_minhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-duplicate pairs from LSH buckets (bucket self-join)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.minhash_candidate_pairs(docs)
+
+
+def _duck_simhash_sql() -> str:
+    toks = _DUCK_TOKENS.format(c="text")
+    bit_terms = " + ".join(
+        f"CASE WHEN list_sum(list_transform(hs, x -> ((x >> {j}) & 1) * 2 - 1)) > 0 "
+        f"THEN {1 << j} ELSE 0 END"
+        for j in range(32)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, list_distinct({toks}) AS tk FROM documents),
+h AS (SELECT doc_id, list_transform(tk, t -> {_duck_hash64("t", 99)}) AS hs FROM toks),
+sig AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM h)
+SELECT simhash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
+FROM sig GROUP BY simhash
+"""
+
+
+@query("dedup_simhash", oracle=_duck_simhash_sql())
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup grouping — narrow signature + exact group-by."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.simhash_duplicates(docs)
+
+
+def _duck_jaccard_sql(k: int, threshold: float) -> str:
+    if k == 1:
+        sets = f"toks AS (SELECT doc_id, {_DUCK_TOKENS.format(c='text')} AS items FROM documents)"
+    else:
+        sets = (
+            _duck_shingles_cte(k=k).strip().rstrip(")")
+            + ") , renamed AS (SELECT doc_id, shingles AS items FROM sh)"
+        )
+        sets = sets.replace("sh AS (", "sh AS (", 1)
+    src = "toks" if k == 1 else "renamed"
+    return f"""
+WITH {sets},
+items AS (SELECT DISTINCT doc_id, unnest(list_distinct(items)) AS item FROM {src}),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM items GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM items a JOIN items b ON a.item = b.item AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 6) AS jaccard
+FROM pairs
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE round(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 6) >= {threshold}
+"""
+
+
+@query("dedup_token_jaccard", oracle=_duck_jaccard_sql(k=1, threshold=0.8))
+def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard >= 0.8 via sparse token self-join."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.shingle_jaccard_pairs(docs, threshold=0.8, k=1)
+
+
+@query("dedup_shingle_jaccard", oracle=_duck_jaccard_sql(k=3, threshold=0.5))
+def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-word-shingle Jaccard >= 0.5 — the scale path (selective keys)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.shingle_jaccard_pairs(docs, threshold=0.5, k=3)
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+
+_DUCK_COS = (
+    "round(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+    "sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]) * "
+    "list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])), 6)"
+)
+
+
+@query(
+    "similarity_cosine_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 50 = 0),
+s AS (
+  SELECT q_id, e.vec_id AS n_id,
+         {_DUCK_COS.format(a="q.q_vec", b="e.embedding")} AS cos_sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS INTEGER) AS rank FROM s)
+SELECT q_id, n_id, cos_sim, rank FROM r WHERE rank <= 10
+""",
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-10 cosine neighbors (query set broadcast)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.cosine_topk(emb, queries_df, k=10)
+
+
+def _duck_lsh_bucket(vec: str, n_planes: int, dim: int = 64) -> str:
+    weights = similarity.plane_weights(dim, n_planes)
+    terms = []
+    for p in range(n_planes):
+        arr = "[" + ", ".join(str(w) for w in weights[p]) + "]::DOUBLE[]"
+        terms.append(
+            f"CASE WHEN list_dot_product({vec}::DOUBLE[], {arr}) > 0 "
+            f"THEN {1 << p} ELSE 0 END"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@query(
+    "similarity_lsh_buckets",
+    oracle=f"""
+SELECT vec_id, {_duck_lsh_bucket("embedding", 8)} AS bucket FROM embeddings
+""",
+)
+def similarity_lsh_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment — narrow, shuffle-free."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_buckets(emb, dim=64, n_planes=8)
+
+
+@query(
+    "similarity_lsh_topk",
+    oracle=f"""
+WITH c AS (SELECT vec_id AS n_id, embedding AS n_vec,
+                  {_duck_lsh_bucket("embedding", 4)} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec,
+             {_duck_lsh_bucket("embedding", 4)} AS bucket FROM embeddings
+      WHERE vec_id % 50 = 0),
+s AS (
+  SELECT q_id, n_id, {_DUCK_COS.format(a="q.q_vec", b="c.n_vec")} AS cos_sim
+  FROM c JOIN q USING (bucket) WHERE n_id <> q_id),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS INTEGER) AS rank FROM s)
+SELECT q_id, n_id, cos_sim, rank FROM r WHERE rank <= 10
+""",
+)
+def similarity_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.lsh_topk(emb, queries_df, dim=64, k=10, n_planes=4)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+_EN_STOP = "[" + ", ".join(f"'{w}'" for w in txt.STOPWORDS["en"]) + "]"
+
+
+@query(
+    "text_quality_stats",
+    oracle=f"""
+WITH t AS (SELECT doc_id, text, {_DUCK_TOKENS.format(c="text")} AS tk FROM documents)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+             / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio,
+       round(len(list_intersect(tk, {_EN_STOP}))
+             / CAST(greatest(len(tk), 1) AS DOUBLE), 6) AS stopword_ratio,
+       CASE WHEN len(tk) > 0
+            THEN round(CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+                       / len(tk), 6)
+            ELSE 0.0 END AS mean_word_len
+FROM t
+""",
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap quality metrics, one narrow pass (C4/Gopher-style filters)."""
+    docs = read_table(spark, sf_dir, "documents")
+    q = txt.quality_metrics("text")
+    return docs.select(
+        "doc_id",
+        q["n_chars"].alias("n_chars"),
+        q["n_tokens"].alias("n_tokens"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        q["mean_word_len"].alias("mean_word_len"),
+    )
+
+
+def _duck_langid_sql() -> str:
+    toks = _DUCK_TOKENS.format(c="text")
+    score_exprs = []
+    for lang in sorted(txt.STOPWORDS):
+        lst = "[" + ", ".join(f"'{w}'" for w in txt.STOPWORDS[lang]) + "]"
+        score_exprs.append(
+            f"round(len(list_intersect(dtk, {lst})) / "
+            f"CAST(greatest(len(dtk), 1) AS DOUBLE), 6) AS s_{lang}"
+        )
+    langs = sorted(txt.STOPWORDS)
+    m = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN s_{lang} = {m} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+WITH t AS (SELECT doc_id, list_distinct({toks}) AS dtk FROM documents),
+s AS (SELECT doc_id, {", ".join(score_exprs)} FROM t)
+SELECT doc_id, {pred} AS lang_pred,
+       {", ".join(f"s_{lang}" for lang in langs)}
+FROM s
+"""
+
+
+@query("text_langid", oracle=_duck_langid_sql())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID (argmax, code-order tiebreak)."""
+    docs = read_table(spark, sf_dir, "documents")
+    scores = txt.lang_scores("text")
+    return docs.select(
+        "doc_id",
+        txt.lang_id("text").alias("lang_pred"),
+        *[scores[lang].alias(f"s_{lang}") for lang in sorted(txt.STOPWORDS)],
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS.format(c="text")} AS tk FROM documents)
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS fingerprint
+FROM t
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-distinct-token md5 fingerprint (reorder-proof dedup key)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", txt.fingerprint("text").alias("fingerprint"))
+
+
+@query(
+    "text_token_counts",
+    oracle=f"""
+WITH t AS (SELECT doc_id, text, {_DUCK_TOKENS.format(c="text")} AS tk FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(tk) AS BIGINT) AS n_alnum_tokens,
+       CAST(list_sum(list_transform(tk, x -> CAST(ceil(length(x) / 4.0) AS BIGINT)))
+            AS BIGINT) AS n_bpe_ish
+FROM t
+""",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace, alnum and BPE-ish token counting."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_ws_tokens"),
+        txt.token_count("text").cast("long").alias("n_alnum_tokens"),
+        txt.bpe_ish_token_count("text").alias("n_bpe_ish"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal column plumbing (opaque binary + typed metadata)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_binary_meta",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       lower(hex(encode(substr(text, 1, 8)))) AS head_hex
+FROM documents
+""",
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column handling: byte length + head bytes hex.
+
+    The testdata has no real image/audio bytes, so the binary payload
+    is the utf-8 encoding of the text column; the plumbing (binary
+    type, octet counting, hex slicing) is what is exercised.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    b = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+        F.lower(F.hex(F.encode(F.substring(F.col("text"), 1, 8), "UTF-8"))).alias("head_hex"),
+    )

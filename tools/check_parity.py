@@ -1,0 +1,122 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query through Spark AND its DuckDB oracle on the
+same parquet tables, then compares row count, column names/order-
+insensitive sorted values, exactly (no tolerance) — stricter than any
+hash the driver can apply.
+
+Usage: python tools/check_parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from pgloader_spark.session import TABLES, get_spark  # noqa: E402
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def canon(rows: list[tuple], cols: list[str]) -> list[tuple]:
+    """Sort columns by name, then rows — mirrors an order-insensitive hash."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def key(v):
+        if v is None:
+            return (0, "")
+        if isinstance(v, float) and math.isnan(v):
+            return (1, "nan")
+        return (2, str(v))
+
+    out = [tuple(r[i] for i in order) for r in rows]
+    return sorted(out, key=lambda r: tuple(key(v) for v in r))
+
+
+def values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from pgloader_spark.queries import ORACLES, QUERIES
+
+    spark = get_spark("parity")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duck_connect(sf_dir)
+
+    n_pass = n_fail = 0
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in ORACLES:
+            print(f"SKIP {name}: no oracle ({len(s_rows)} rows) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            rel = con.sql(ORACLES[name])
+            d_cols = [c.lower() for c in rel.columns]
+            d_rows = rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0]}")
+            n_fail += 1
+            continue
+        sc = [c.lower() for c in s_cols]
+        problems = []
+        if sorted(sc) != sorted(d_cols):
+            problems.append(f"columns differ: spark={sorted(sc)} duck={sorted(d_cols)}")
+        elif len(s_rows) != len(d_rows):
+            problems.append(f"row count: spark={len(s_rows)} duck={len(d_rows)}")
+        else:
+            a = canon(s_rows, sc)
+            b = canon(d_rows, d_cols)
+            bad = 0
+            first = None
+            for ra, rb in zip(a, b):
+                if not all(values_equal(x, y) for x, y in zip(ra, rb)):
+                    bad += 1
+                    if first is None:
+                        first = (ra, rb)
+            if bad:
+                problems.append(f"{bad}/{len(a)} rows differ; first: {first}")
+        if problems:
+            print(f"FAIL {name}: {problems[0]} [{time.time()-t0:.1f}s]")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(s_rows)} rows) [{time.time()-t0:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
