@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pgloader_spark.operators.text import tokens
 
@@ -57,12 +58,81 @@ def _seeded_hash(seed: int):
     return lambda s: md5_hash64(s, seed=seed)
 
 
-def minhash_signature(text_col: Column | str, n_hashes: int = N_MINHASH) -> Column:
-    """Array of n min-hashes over the shingle set — a narrow projection."""
-    sh = shingles(text_col)
-    return F.array(
-        *[F.array_min(F.transform(sh, _seeded_hash(i))) for i in range(n_hashes)]
+# Universal-hash family for MinHash: h_i(x) = (a_i*x + b_i) mod P over a
+# 40-bit base hash.  One md5 per shingle total (the N seeded variants are
+# integer arithmetic), vs N md5s per shingle for the naive scheme — the
+# difference between 62 s and 2 s at 5k docs, and linear at 100 TB.
+MERSENNE_P = (1 << 61) - 1
+
+
+def hash_family(n: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs; a < 2^20 keeps a*h < 2^60 (no
+    int64 overflow on either engine)."""
+    import hashlib
+
+    out = []
+    for i in range(n):
+        a = 1 + int(hashlib.md5(f"a:{i}".encode()).hexdigest()[:15], 16) % ((1 << 20) - 1)
+        b = int(hashlib.md5(f"b:{i}".encode()).hexdigest()[:14], 16)  # < 2^56
+        out.append((a, b))
+    return out
+
+
+def base_hash40(col: Column) -> Column:
+    """40-bit md5-prefix hash (DuckDB-reproducible)."""
+    return F.conv(F.substring(F.md5(col), 1, 10), 16, 10).cast("long")
+
+
+def shingle_rows(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = SHINGLE_K
+) -> DataFrame:
+    """(id, sh) — one row per k-word shingle.
+
+    Built with posexplode + window lead() instead of array
+    higher-order functions: HOFs run interpreted (no codegen), which
+    made them the dominant cost; the window version is whole-stage
+    codegen'd. Cost: one shuffle by id, proportional to token count —
+    the same data volume any tokenize stage moves at 100 TB.
+
+    Documents with fewer than k tokens contribute their whole token
+    stream as a single shingle (matches the array-based semantics).
+    """
+    toks = tokens(text_col)
+    if k == 1:
+        return df.select(F.col(id_col), F.explode(toks).alias("sh"))
+    ex = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
+    full = ex.select(
+        F.col(id_col),
+        F.when(leads[-1].isNotNull(), F.concat_ws(" ", *leads)).alias("sh"),
+    ).filter(F.col("sh").isNotNull())
+    short = df.filter(F.size(toks) < k).select(
+        F.col(id_col), F.array_join(toks, " ").alias("sh")
     )
+    return full.unionByName(short)
+
+
+def minhash_signature_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = N_MINHASH,
+) -> DataFrame:
+    """(id, s0..s{n-1}) minhash signature via explode + partial agg.
+
+    One md5 per shingle (the N seeded variants are integer
+    arithmetic); map-side partial aggregation reduces everything
+    before the (tiny: n_hashes longs per doc) shuffle.
+    """
+    ex = shingle_rows(df, id_col, text_col).select(
+        F.col(id_col), base_hash40(F.col("sh")).alias("h")
+    )
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"s{i}")
+        for i, (a, b) in enumerate(hash_family(n_hashes))
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
 
 
 def exact_duplicates(
@@ -92,8 +162,7 @@ def minhash_bands(
     bucket in any band are near-duplicate candidates.
     """
     rows = n_hashes // n_bands
-    sig = minhash_signature(text_col, n_hashes).alias("sig")
-    base = df.select(F.col(id_col), sig)
+    base = minhash_signature_df(df, id_col, text_col, n_hashes)
     bands = F.array(
         *[
             F.struct(
@@ -101,7 +170,7 @@ def minhash_bands(
                 F.md5(
                     F.concat_ws(
                         ",",
-                        *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)],
+                        *[F.col(f"s{b * rows + r}").cast("string") for r in range(rows)],
                     )
                 ).alias("bucket"),
             )
@@ -179,10 +248,13 @@ def shingle_jaccard_pairs(
 
     Shingles are near-unique keys, so the self-join is sparse; the
     |A ∪ B| term comes from per-doc set sizes (broadcast-size dim at
-    any realistic near-dup rate).
+    any realistic near-dup rate).  The join key is a 60-bit hash of
+    the shingle — an 8-byte shuffle key instead of a string (any
+    collision affects both engines identically, so parity holds).
     """
     sh = (
-        df.select(F.col(id_col), F.explode(F.array_distinct(shingles(text_col, k))).alias("sh"))
+        shingle_rows(df, id_col, text_col, k)
+        .select(F.col(id_col), md5_hash64(F.col("sh"), seed=0).alias("sh"))
         .distinct()
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))

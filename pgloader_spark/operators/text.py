@@ -51,15 +51,21 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     )
 
 
-def quality_metrics(text_col: Column | str) -> dict[str, Column]:
+def quality_metrics(
+    text_col: Column | str, toks: Column | None = None
+) -> dict[str, Column]:
     """Length / punctuation-ratio / stopword-ratio / mean-word-length.
 
     The standard cheap quality filters a pretraining pipeline applies
     before expensive dedup (cf. C4/Gopher-style rules — public
     heuristics, re-derived here).
+
+    Pass ``toks`` (a materialized token-array column) to avoid
+    re-tokenizing once per metric — higher-order array expressions are
+    interpreted, so recomputation is the dominant cost at scale.
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = tokens(c)
+    toks = tokens(c) if toks is None else toks
     n_tok = F.size(toks)
     n_chars = F.length(c)
     n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
@@ -85,9 +91,14 @@ def quality_metrics(text_col: Column | str) -> dict[str, Column]:
     }
 
 
-def lang_scores(text_col: Column | str) -> dict[str, Column]:
-    """Per-language stopword-hit ratio over the distinct token set."""
-    toks = F.array_distinct(tokens(text_col))
+def lang_scores(
+    text_col: Column | str, dtk: Column | None = None
+) -> dict[str, Column]:
+    """Per-language stopword-hit ratio over the distinct token set.
+
+    ``dtk``: optional pre-materialized distinct-token array column.
+    """
+    toks = F.array_distinct(tokens(text_col)) if dtk is None else dtk
     out = {}
     for lang, words in STOPWORDS.items():
         hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
@@ -97,9 +108,9 @@ def lang_scores(text_col: Column | str) -> dict[str, Column]:
     return out
 
 
-def lang_id(text_col: Column | str) -> Column:
+def lang_id(text_col: Column | str, dtk: Column | None = None) -> Column:
     """argmax over lang_scores; ties broken by language-code order."""
-    scores = lang_scores(text_col)
+    scores = lang_scores(text_col, dtk=dtk)
     pairs = F.array(
         *[F.struct(scores[lang].alias("s"), F.lit(lang).alias("l")) for lang in sorted(STOPWORDS)]
     )
@@ -136,15 +147,22 @@ def rolling_hash(text_col: Column | str, mod: int = (1 << 61) - 1, base: int = 2
 
 
 def document_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """One-pass per-document stat projection (narrow, no shuffle)."""
-    q = quality_metrics(text_col)
-    return df.select(
+    """One-pass per-document stat projection (narrow, no shuffle).
+
+    Tokens are materialized in a first projection so each metric reuses
+    them (CollapseProject keeps non-cheap expressions un-inlined).
+    """
+    staged = df.select(
+        F.col(id_col), F.col(text_col), tokens(text_col).alias("__tk")
+    ).withColumn("__dtk", F.array_distinct(F.col("__tk")))
+    q = quality_metrics(text_col, toks=F.col("__tk"))
+    return staged.select(
         F.col(id_col),
         q["n_chars"].alias("n_chars"),
         q["n_tokens"].alias("n_tokens"),
         q["punct_ratio"].alias("punct_ratio"),
         q["stopword_ratio"].alias("stopword_ratio"),
         q["mean_word_len"].alias("mean_word_len"),
-        lang_id(text_col).alias("lang_pred"),
-        fingerprint(text_col).alias("fingerprint"),
+        lang_id(text_col, dtk=F.col("__dtk")).alias("lang_pred"),
+        F.md5(F.array_join(F.array_sort(F.col("__dtk")), " ")).alias("fingerprint"),
     )

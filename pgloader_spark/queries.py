@@ -596,24 +596,35 @@ sh AS (
 """
 
 
-def _duck_minhash_bands_sql() -> str:
-    n_hashes, n_bands = dedup.N_MINHASH, dedup.N_BANDS
-    rows = n_hashes // n_bands
+def _duck_minhash_sig_cte() -> str:
+    """Shingle-explode + universal-hash signature CTEs (mirrors
+    dedup.minhash_signature_df)."""
+    fam = dedup.hash_family(dedup.N_MINHASH)
     sig_exprs = ",\n       ".join(
-        f"list_min(list_transform(shingles, s -> {_duck_hash64('s', i)})) AS s{i}"
-        for i in range(n_hashes)
+        f"MIN((h * {a} + {b}) % {dedup.MERSENNE_P}) AS s{i}"
+        for i, (a, b) in enumerate(fam)
     )
-    band_selects = "\nUNION ALL\n".join(
+    return f"""{_duck_shingles_cte()},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hs AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 10)) AS BIGINT) AS h FROM ex),
+sig AS (SELECT doc_id, {sig_exprs} FROM hs GROUP BY doc_id)"""
+
+
+def _duck_bands_select() -> str:
+    rows = dedup.N_MINHASH // dedup.N_BANDS
+    return "\nUNION ALL\n".join(
         "SELECT doc_id, {b} AS band_ix, md5(concat_ws(',', {cols})) AS bucket FROM sig".format(
             b=b,
             cols=", ".join(f"CAST(s{b * rows + r} AS VARCHAR)" for r in range(rows)),
         )
-        for b in range(n_bands)
+        for b in range(dedup.N_BANDS)
     )
+
+
+def _duck_minhash_bands_sql() -> str:
     return f"""
-WITH {_duck_shingles_cte()},
-sig AS (SELECT doc_id, {sig_exprs} FROM sh)
-SELECT doc_id, band_ix, bucket FROM ({band_selects})
+WITH {_duck_minhash_sig_cte()}
+SELECT doc_id, band_ix, bucket FROM ({_duck_bands_select()})
 """
 
 
@@ -641,16 +652,8 @@ def dedup_minhash_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_minhash_pairs",
     oracle=f"""
-WITH {_duck_shingles_cte()},
-sig AS (SELECT doc_id, {", ".join(
-    f"list_min(list_transform(shingles, s -> {_duck_hash64('s', i)})) AS s{i}"
-    for i in range(dedup.N_MINHASH))} FROM sh),
-bands AS (
-  {" UNION ALL ".join(
-    "SELECT doc_id, {b} AS band_ix, md5(concat_ws(',', {cols})) AS bucket FROM sig".format(
-        b=b,
-        cols=", ".join(f"CAST(s{b * 3 + r} AS VARCHAR)" for r in range(3)),
-    ) for b in range(dedup.N_BANDS))})
+WITH {_duck_minhash_sig_cte()},
+bands AS ({_duck_bands_select()})
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b
   ON a.band_ix = b.band_ix AND a.bucket = b.bucket AND a.doc_id < b.doc_id
@@ -697,7 +700,8 @@ def _duck_jaccard_sql(k: int, threshold: float) -> str:
     src = "toks" if k == 1 else "renamed"
     return f"""
 WITH {sets},
-items AS (SELECT DISTINCT doc_id, unnest(list_distinct(items)) AS item FROM {src}),
+raw_items AS (SELECT doc_id, unnest(list_distinct(items)) AS item0 FROM {src}),
+items AS (SELECT DISTINCT doc_id, {_duck_hash64("item0", 0)} AS item FROM raw_items),
 sz AS (SELECT doc_id, COUNT(*) AS n FROM items GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
@@ -754,7 +758,7 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact top-10 cosine neighbors (query set broadcast)."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
-    return similarity.cosine_topk(emb, queries_df, k=10)
+    return similarity.cosine_topk(emb, queries_df, k=10, dim=64)
 
 
 def _duck_lsh_bucket(vec: str, n_planes: int, dim: int = 64) -> str:
@@ -831,8 +835,10 @@ FROM t
 )
 def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cheap quality metrics, one narrow pass (C4/Gopher-style filters)."""
-    docs = read_table(spark, sf_dir, "documents")
-    q = txt.quality_metrics("text")
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", txt.tokens("text").alias("__tk")
+    )
+    q = txt.quality_metrics("text", toks=F.col("__tk"))
     return docs.select(
         "doc_id",
         q["n_chars"].alias("n_chars"),
@@ -869,11 +875,13 @@ FROM s
 @query("text_langid", oracle=_duck_langid_sql())
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-ratio language ID (argmax, code-order tiebreak)."""
-    docs = read_table(spark, sf_dir, "documents")
-    scores = txt.lang_scores("text")
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(txt.tokens("text")).alias("__dtk")
+    )
+    scores = txt.lang_scores("text", dtk=F.col("__dtk"))
     return docs.select(
         "doc_id",
-        txt.lang_id("text").alias("lang_pred"),
+        txt.lang_id("text", dtk=F.col("__dtk")).alias("lang_pred"),
         *[scores[lang].alias(f"s_{lang}") for lang in sorted(txt.STOPWORDS)],
     )
 
@@ -907,12 +915,18 @@ FROM t
 )
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace, alnum and BPE-ish token counting."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", txt.tokens("text").alias("__tk")
+    )
     return docs.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_ws_tokens"),
-        txt.token_count("text").cast("long").alias("n_alnum_tokens"),
-        txt.bpe_ish_token_count("text").alias("n_bpe_ish"),
+        F.size(F.col("__tk")).cast("long").alias("n_alnum_tokens"),
+        F.aggregate(
+            F.col("__tk"),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("long"),
+        ).alias("n_bpe_ish"),
     )
 
 

@@ -38,6 +38,12 @@ def get_spark(app_name: str = "pgloader_spark", master: str | None = None) -> Sp
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # testdata ships one parquet file per table; without this a
+        # 25 MB file becomes a single scan task. On a real cluster
+        # (many files) the default 128 MB is fine — this only lowers
+        # the split size so local[32] actually fans out.
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # testdata events.parquet carries TIMESTAMP(NANOS) which the
