@@ -1,0 +1,97 @@
+"""Operator semantics tests on tiny in-memory frames (fast, exact)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pgloader_spark.operators import dedup, similarity
+from pgloader_spark.operators import text as txt
+
+
+def docs_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # exact dup
+            (3, "the quick brown fox leaps over the lazy dog"),  # near dup
+            (4, "completely different content about spark engines"),
+            (5, "ab"),  # shorter than shingle width
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_duplicates(spark):
+    out = dedup.exact_duplicates(docs_df(spark)).collect()
+    by_canon = {r["canonical_id"]: r["n_copies"] for r in out}
+    assert by_canon[1] == 2  # docs 1+2 collapse
+    assert by_canon[3] == 1
+
+
+def test_shingle_rows_short_doc(spark):
+    sh = dedup.shingle_rows(docs_df(spark), k=3)
+    got = {r["sh"] for r in sh.filter(F.col("doc_id") == 5).collect()}
+    assert got == {"ab"}  # whole token stream as one shingle
+
+
+def test_minhash_signature_deterministic(spark):
+    sig1 = dedup.minhash_signature_df(docs_df(spark)).collect()
+    sig2 = dedup.minhash_signature_df(docs_df(spark)).collect()
+    assert sorted(map(tuple, sig1)) == sorted(map(tuple, sig2))
+    # identical docs -> identical signatures
+    by_id = {r["doc_id"]: tuple(r)[1:] for r in sig1}
+    assert by_id[1] == by_id[2]
+
+
+def test_minhash_pairs_find_near_dup(spark):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_candidate_pairs(docs_df(spark)).collect()
+    }
+    assert (1, 2) in pairs  # exact dup always a candidate
+    assert all(a < b for a, b in pairs)
+
+
+def test_jaccard_threshold(spark):
+    out = dedup.shingle_jaccard_pairs(docs_df(spark), threshold=0.5, k=1)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 4) not in got
+
+
+def test_simhash_identical_docs_same_bucket(spark):
+    out = dedup.simhash_duplicates(docs_df(spark)).collect()
+    assert any(r["n_docs"] == 2 for r in out)
+
+
+def test_cosine_topk_self_excluded_and_ranked(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.01]),
+            (2, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    out = similarity.cosine_topk(emb, q, k=2).collect()
+    assert [r["n_id"] for r in out] == [1, 2]
+    assert out[0]["rank"] == 1 and out[0]["cos_sim"] > 0.99
+
+
+def test_lang_id_english(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog are in the house with a mouse")],
+        "doc_id long, text string",
+    )
+    out = df.select(txt.lang_id("text").alias("lang")).collect()
+    assert out[0]["lang"] == "en"
+
+
+def test_fingerprint_order_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta")],
+        "doc_id long, text string",
+    )
+    fps = [r["fp"] for r in df.select(txt.fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]
