@@ -1,0 +1,110 @@
+"""Writer paths: PostgreSQL COPY (fast path), JDBC, and file sinks.
+
+The reference writes through the COPY wire protocol in explicit
+per-batch transactions (``src/pg-copy/copy-rows-in-batch.lisp:31-117``,
+``copy-db-write.lisp:24-35``), batching 25k rows / 20 MB
+(``src/params.lisp:133-136``). Spark equivalents:
+
+- ``write_jdbc``: the baseline ``df.write.jdbc`` — one executor task
+  per partition, ``batchsize`` plays the 25k-row role.
+- ``write_copy``: the fast path — ``foreachPartition`` opening a
+  psycopg COPY per partition, so every executor streams its partition
+  straight into PostgreSQL concurrently (the reference is limited to
+  one writer per table by default; we get one per partition).
+- ``write_copy_files``: COPY-format text files (for air-gapped bulk
+  load via ``psql \\copy``), fully distributed.
+
+psycopg (or psycopg2) is not in this container: the COPY path is
+import-gated and unit tests cover the file variants; the partition
+callback is factored so its logic is testable without a server.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+DEFAULT_BATCH_ROWS = 25_000  # *copy-batch-rows*, src/params.lisp:133
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batch_rows: int = DEFAULT_BATCH_ROWS,
+    num_partitions: int | None = None,
+    **options: str,
+) -> None:
+    """Baseline JDBC writer. ``numPartitions`` caps concurrent
+    connections (the reference's `workers` knob)."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    writer = writer.option("batchsize", str(batch_rows))
+    if num_partitions:
+        writer = writer.option("numPartitions", str(num_partitions))
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()
+
+
+def _copy_partition(rows: Iterator, dsn: str, table: str, columns: list[str]) -> None:
+    """Executor-side: stream one partition through COPY. Import is
+    deferred so the module loads without psycopg installed."""
+    try:
+        import psycopg  # noqa: PLC0415
+
+        conn = psycopg.connect(dsn)
+        copy_stmt = f"COPY {table} ({', '.join(columns)}) FROM STDIN"
+        with conn, conn.cursor() as cur, cur.copy(copy_stmt) as copy:
+            for row in rows:
+                copy.write_row(tuple(row))
+        return
+    except ImportError:
+        pass
+    import psycopg2  # noqa: PLC0415
+
+    from pgloader_spark.sinks.copy_encode import encode_rows_to_copy  # noqa: PLC0415
+
+    conn = psycopg2.connect(dsn)
+    try:
+        cur = conn.cursor()
+        buf = encode_rows_to_copy(rows)
+        cur.copy_expert(
+            f"COPY {table} ({', '.join(columns)}) FROM STDIN", buf
+        )
+        conn.commit()
+    finally:
+        conn.close()
+
+
+def write_copy(df: DataFrame, dsn: str, table: str) -> None:
+    """COPY fast path: one COPY stream per partition, all executors
+    concurrent. Repartition upstream to control connection count."""
+    columns = list(df.columns)
+    df.foreachPartition(lambda it: _copy_partition(it, dsn, table, columns))
+
+
+def write_copy_files(df: DataFrame, path: str, num_files: int | None = None) -> None:
+    """COPY-format text files: `psql \\copy table from 'part-*'` loads
+    them; also the reject-file format (reject.lisp)."""
+    from pgloader_spark.sources.copytext import to_copy_lines
+
+    lines = to_copy_lines(df)
+    if num_files:
+        lines = lines.repartition(num_files)
+    lines.write.mode("overwrite").text(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """The lake-native sink (not in the reference; the 100 TB path).
+    Partition columns turn downstream filters into partition pruning."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,99 @@
+"""PostgreSQL COPY text-format source and encoder.
+
+Read side re-expresses pgloader's COPY source
+(``src/sources/copy.lisp:35-70``): tab-separated, ``\\N`` is NULL, and
+data carries COPY backslash escapes which must be decoded
+(``\\t \\n \\r \\b \\f \\v \\\\``). The scan is ``spark.read.csv``
+with quoting disabled, so splitting stays JVM-side; escape decoding is
+a chain of ``regexp_replace`` / ``translate`` Column expressions in
+the same codegen stage.
+
+Encode side mirrors ``src/pg-copy/copy-format.lisp:43-98`` (single
+pass escape, NULL -> ``\\N``) for the COPY sink and for writing reject
+files in COPY format.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+COPY_NULL = r"\N"
+
+
+@dataclass
+class CopyOptions:
+    delimiter: str = "\t"
+    null_as: str = COPY_NULL
+    fields: list[str] = field(default_factory=list)
+    skip_lines: int = 0
+
+
+def _decode_copy_escapes(c: Column) -> Column:
+    """COPY text escapes -> raw chars, backslash last (one pass each,
+    all JVM-side)."""
+    # \\ must be protected first: swap to a sentinel, decode the rest,
+    # then restore. \x01 cannot appear in COPY text data.
+    c = F.regexp_replace(c, r"\\\\", "\x01")
+    c = F.regexp_replace(c, r"\\t", "\t")
+    c = F.regexp_replace(c, r"\\n", "\n")
+    c = F.regexp_replace(c, r"\\r", "\r")
+    c = F.regexp_replace(c, r"\\b", "\b")
+    c = F.regexp_replace(c, r"\\f", "\f")
+    c = F.regexp_replace(c, r"\\v", "\x0b")
+    c = F.regexp_replace(c, "\x01", r"\\")
+    return c
+
+
+def read_copy_text(spark: SparkSession, path: str, opts: CopyOptions) -> DataFrame:
+    """Split on the delimiter with quoting off, map ``\\N`` -> NULL,
+    decode escapes."""
+    reader = (
+        spark.read.option("sep", opts.delimiter)
+        .option("quote", "\u0000")  # COPY text has no quoting
+        .option("escape", "\u0000")
+        .option("nullValue", opts.null_as)
+        .option("header", False)
+    )
+    df = reader.csv(path)
+    if opts.skip_lines:
+        df = (
+            df.rdd.zipWithIndex()
+            .filter(lambda t: t[1] >= opts.skip_lines)
+            .map(lambda t: t[0])
+            .toDF(df.schema)
+        )
+    if opts.fields:
+        df = df.toDF(*opts.fields)
+    return df.select(
+        *[_decode_copy_escapes(F.col(c)).alias(c) for c in df.columns]
+    )
+
+
+def encode_copy_escapes(c: Column) -> Column:
+    """Raw text -> COPY-escaped (copy-format.lisp:123-193): backslash
+    first, then control characters."""
+    c = F.regexp_replace(c, r"\\", r"\\\\")
+    c = F.regexp_replace(c, "\t", r"\\t")
+    c = F.regexp_replace(c, "\n", r"\\n")
+    c = F.regexp_replace(c, "\r", r"\\r")
+    c = F.regexp_replace(c, "\x08", r"\\b")
+    c = F.regexp_replace(c, "\x0c", r"\\f")
+    c = F.regexp_replace(c, "\x0b", r"\\v")
+    return c
+
+
+def to_copy_lines(df: DataFrame, delimiter: str = "\t") -> DataFrame:
+    """Encode every column to COPY text and concat into one ``line``
+    column — the exact bytes a PostgreSQL COPY sink (or a reject
+    ``.dat`` file, src/utils/reject.lisp:12-34) wants. All Column
+    expressions; distributed end to end."""
+    parts = [
+        F.when(F.col(c).isNull(), F.lit(COPY_NULL)).otherwise(
+            encode_copy_escapes(F.col(c).cast("string"))
+        )
+        for c in df.columns
+    ]
+    return df.select(F.concat_ws(delimiter, *parts).alias("line"))
