@@ -1,0 +1,180 @@
+"""USING-clause s-expression mini-language -> Spark Column tree.
+
+The reference lets ``USING`` clauses call any transform function with
+field symbols, string/int/char literals, and nested calls — e.g.
+``(ip-range startIpNum endIpNum)``
+(grammar ``src/parsers/command-sexp.lisp:17-59``; the v4 rewrite
+evaluates it with a restricted interpreter,
+``clojure/src/pgloader/transforms.clj:336-350``).
+
+We do the same: parse the sexp into a tiny AST, then *compile* it to a
+``pyspark.sql.Column`` expression — function names resolve ONLY
+through the transform registry (no eval of arbitrary code), symbols
+resolve to field columns, literals become ``lit()``. The result is a
+JVM-side expression; no Python runs per row.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from pgloader_spark.functions.transforms import TRANSFORMS
+
+
+@dataclass
+class Sym:
+    name: str
+
+
+Atom = Sym | str | int | float
+Node = Atom | list
+
+
+class SexpError(ValueError):
+    pass
+
+
+def tokenize(text: str) -> list[str]:
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch.isspace():
+            i += 1
+        elif ch in "()":
+            out.append(ch)
+            i += 1
+        elif ch == '"':
+            j = i + 1
+            buf = []
+            while j < n and text[j] != '"':
+                if text[j] == "\\" and j + 1 < n:
+                    buf.append(text[j + 1])
+                    j += 2
+                else:
+                    buf.append(text[j])
+                    j += 1
+            if j >= n:
+                raise SexpError("unterminated string literal")
+            out.append('"' + "".join(buf))
+            i = j + 1
+        elif text.startswith("#\\", i):  # CL char literal: #\Space, #\a
+            j = i + 2
+            while j < n and not text[j].isspace() and text[j] not in "()":
+                j += 1
+            out.append(text[i:j])
+            i = j
+        else:
+            j = i
+            while j < n and not text[j].isspace() and text[j] not in "()\"":
+                j += 1
+            out.append(text[i:j])
+            i = j
+    return out
+
+
+_CHAR_NAMES = {"Space": " ", "Tab": "\t", "Newline": "\n"}
+
+
+def _atom(tok: str) -> Atom:
+    if tok.startswith('"'):
+        return tok[1:]
+    if tok.startswith("#\\"):
+        name = tok[2:]
+        return _CHAR_NAMES.get(name, name[:1])
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        return float(tok)
+    except ValueError:
+        pass
+    return Sym(tok)
+
+
+def parse_sexp(text: str) -> Node:
+    toks = tokenize(text)
+    pos = 0
+
+    def read() -> Node:
+        nonlocal pos
+        if pos >= len(toks):
+            raise SexpError("unexpected end of expression")
+        tok = toks[pos]
+        pos += 1
+        if tok == "(":
+            items: list[Node] = []
+            while pos < len(toks) and toks[pos] != ")":
+                items.append(read())
+            if pos >= len(toks):
+                raise SexpError("missing closing paren")
+            pos += 1
+            return items
+        if tok == ")":
+            raise SexpError("unexpected )")
+        return _atom(tok)
+
+    node = read()
+    if pos != len(toks):
+        raise SexpError(f"trailing tokens: {toks[pos:]}")
+    return node
+
+
+# a few general-purpose builtins beyond the transform registry,
+# mirrored from what reference USING clauses actually use
+def _concat(*args: Column) -> Column:
+    return F.concat(*args)
+
+
+_BUILTINS = {
+    "concat": _concat,
+    "upper": F.upper,
+    "lower": F.lower,
+    "trim": F.trim,
+    "nullif": F.nullif,
+    "coalesce": F.coalesce,
+    "substring": lambda c, start, ln: F.substring(c, start, ln),
+}
+
+
+def compile_sexp(node: Node, fields: dict[str, Column] | None = None) -> Column:
+    """AST -> Column. ``fields`` maps field names to their (already
+    option-processed) Column expressions; bare symbols default to
+    ``F.col(name)``."""
+    fields = fields or {}
+    if isinstance(node, Sym):
+        return fields.get(node.name, F.col(node.name))
+    if isinstance(node, (str, int, float)):
+        return F.lit(node)
+    if isinstance(node, list):
+        if not node or not isinstance(node[0], Sym):
+            raise SexpError(f"cannot call non-symbol: {node!r}")
+        fname = node[0].name
+        fn = TRANSFORMS.get(fname) or _BUILTINS.get(fname.lower())
+        if fn is None:
+            raise SexpError(
+                f"unknown transform {fname!r} (restricted interpreter: only "
+                "registered transforms are callable)"
+            )
+        # literal args pass through as python values where the
+        # transform wants them (e.g. encodings); Columns otherwise
+        args = []
+        for a in node[1:]:
+            if isinstance(a, (str, int, float)) and fname in _LITERAL_ARG_FNS:
+                args.append(a)
+            else:
+                args.append(compile_sexp(a, fields))
+        return fn(*args)
+    raise SexpError(f"cannot compile {node!r}")
+
+
+# transforms whose trailing args are python-level options, not columns
+_LITERAL_ARG_FNS = {"varbinary-to-string"}
+
+
+def compile_using(text: str, fields: dict[str, Column] | None = None) -> Column:
+    return compile_sexp(parse_sexp(text), fields)

@@ -1,0 +1,237 @@
+"""LoadCommand execution engine.
+
+The Spark re-expression of pgloader's lifecycle (SURVEY §3.4): parsed
+``LoadCommand`` -> source read (one distributed scan) -> projection
+(one ``select`` of Column expressions) -> validation split (good /
+rejects) -> sink. The reference's reader/writer thread kernels
+(``src/load/copy-data.lisp:61-156``) map onto Spark's own task
+scheduling; its per-batch retry maps onto the validation-first design
+in ``pgloader_spark.sinks.validate``.
+
+The sink is pluggable: a ``postgresql://`` target goes through JDBC /
+COPY (needs a live server); tests and lake pipelines use the parquet
+sink or just take the returned DataFrame.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgloader_spark.parsers.loadcmd import LoadCommand
+from pgloader_spark.parsers.sexp import compile_using
+from pgloader_spark.sinks.validate import ColumnRule, load_with_isolation
+from pgloader_spark.sources.copytext import CopyOptions, read_copy_text
+from pgloader_spark.sources.csv import CsvOptions, read_csv, read_inline
+from pgloader_spark.sources.db3 import read_dbf
+from pgloader_spark.sources.files import PathSpec, expand_spec
+from pgloader_spark.sources.fixed import FixedOptions, read_fixed
+from pgloader_spark.sources.ixf import read_ixf
+
+
+@dataclass
+class LoadReport:
+    """Per-table accounting, mirroring the reference's summary rows
+    (src/utils/state.lisp:11-40): read / loaded / rejected counts."""
+
+    table: str
+    read: int = 0
+    loaded: int = 0
+    errors: int = 0
+    result: DataFrame | None = None
+
+
+@dataclass
+class ExecutionContext:
+    spark: SparkSession
+    root_dir: str = "/tmp/pgloader_spark"
+    on_error_stop: bool = False
+    sql_runner: object | None = None  # callable(sql) for BEFORE/AFTER LOAD DO
+
+
+def _csv_options(cmd: LoadCommand) -> CsvOptions:
+    o = cmd.options
+    return CsvOptions(
+        separator=o.get("separator", ","),
+        quote=o.get("quote", '"'),
+        escape=o.get("escape"),
+        header=bool(o.get("header", False)),
+        skip_lines=int(o.get("skip_lines", 0)),
+        null_as=o.get("null_as", ""),
+        trim_both=bool(o.get("trim_both", False)),
+        encoding=o.get("encoding", "UTF-8"),
+        fields=[f.name for f in cmd.fields],
+    )
+
+
+def _source_paths(cmd: LoadCommand) -> list[str]:
+    if cmd.source_regex:
+        kind = "first" if cmd.first_match_only else "matching"
+        return expand_spec(PathSpec(kind, cmd.source_dir or ".", cmd.source_regex))
+    src = cmd.source
+    if src.startswith(("http://", "https://")):
+        return expand_spec(PathSpec("http", src))
+    return [src]
+
+
+def read_source(spark: SparkSession, cmd: LoadCommand) -> DataFrame:
+    kind = cmd.source_kind
+    if kind == "csv":
+        opts = _csv_options(cmd)
+        if cmd.source == "inline":
+            if cmd.inline_data is None:
+                raise ValueError("inline source with no inline data")
+            return read_inline(spark, cmd.inline_data, opts)
+        paths = _source_paths(cmd)
+        return read_csv(spark, ",".join(paths) if len(paths) == 1 else paths, opts)  # type: ignore[arg-type]
+    if kind == "fixed":
+        fopts = FixedOptions(
+            fields=cmd.fixed_fields,
+            skip_lines=int(cmd.options.get("skip_lines", 0)),
+        )
+        if cmd.source == "inline":
+            if cmd.inline_data is None:
+                raise ValueError("inline source with no inline data")
+            lines = [
+                (ln,) for ln in cmd.inline_data.split("\n") if ln.strip("\r")
+            ]
+            text = spark.createDataFrame(lines, "value string")
+            # reuse the substring projection by writing through a view
+            from pgloader_spark.sources.fixed import FixedField  # noqa: F401
+
+            exprs = []
+            for f_ in fopts.fields:
+                c = F.substring(F.col("value"), f_.start + 1, f_.length)
+                if f_.trim in ("left", "both"):
+                    c = F.ltrim(c)
+                if f_.trim in ("right", "both"):
+                    c = F.rtrim(c)
+                if f_.null_if_blanks:
+                    c = F.when(c == "", F.lit(None)).otherwise(c)
+                exprs.append(c.alias(f_.name))
+            return text.select(*exprs)
+        return read_fixed(spark, _source_paths(cmd)[0], fopts)
+    if kind == "copy":
+        copts = CopyOptions(
+            delimiter=cmd.options.get("separator", "\t"),
+            null_as=cmd.options.get("null_as", "\\N"),
+            fields=[f.name for f in cmd.fields],
+            skip_lines=int(cmd.options.get("skip_lines", 0)),
+        )
+        return read_copy_text(spark, _source_paths(cmd)[0], copts)
+    if kind == "dbf":
+        return read_dbf(spark, _source_paths(cmd)[0], encoding=cmd.options.get("encoding", "latin-1"))
+    if kind == "ixf":
+        return read_ixf(spark, _source_paths(cmd)[0])
+    raise ValueError(f"database sources need a JDBC url + live server: {kind}")
+
+
+# PG type name -> (spark cast type or None to keep string)
+_PG_TO_SPARK_CAST = {
+    "smallint": "smallint", "int": "int", "integer": "int",
+    "bigint": "bigint", "serial": "bigint", "bigserial": "bigint",
+    "real": "float", "float": "double", "double": "double",
+    "double precision": "double", "boolean": "boolean",
+    "date": "date", "timestamptz": "timestamp", "timestamp": "timestamp",
+    "numeric": "decimal(38,9)", "decimal": "decimal(38,9)",
+}
+
+
+def project(df: DataFrame, cmd: LoadCommand) -> DataFrame:
+    """Field options + column list -> one select (project-fields)."""
+    from pgloader_spark.operators.projection import Projection
+
+    proj = Projection(fields=cmd.fields, columns=[])
+    field_cols = {f.name: f.expr() for f in cmd.fields}
+    if not cmd.columns:
+        if cmd.fields and cmd.source_kind == "csv" and cmd.source != "inline":
+            return proj.apply(df)
+        if cmd.fields and cmd.source == "inline":
+            # inline read already produced raw columns; apply options
+            return df.select(
+                *[field_cols[f.name].alias(f.name) for f in cmd.fields]
+            )
+        return df
+    exprs = []
+    for col in cmd.columns:
+        if col.transform:
+            e = compile_using(col.transform, field_cols)
+        elif col.constant is not None:
+            e = F.lit(col.constant)
+        else:
+            name = col.source or col.name
+            e = field_cols.get(name, F.col(name))
+        cast = _PG_TO_SPARK_CAST.get((col.cast_to or "").split("(")[0].strip().lower())
+        if cast:
+            e = e.try_cast(cast)
+        exprs.append(e.alias(col.name))
+    return df.select(*exprs)
+
+
+def validation_rules(cmd: LoadCommand) -> list[ColumnRule]:
+    """Target column types -> try-cast validity rules (§7 step 7)."""
+    rules = []
+    for col in cmd.columns:
+        base = (col.cast_to or "").split("(")[0].strip().lower()
+        cast = _PG_TO_SPARK_CAST.get(base)
+        if cast:
+            # projection already cast; validation is on the projected col
+            rules.append(ColumnRule(col.name))
+    return rules
+
+
+def execute(ctx: ExecutionContext, cmd: LoadCommand) -> LoadReport:
+    """parse result -> report. BEFORE/AFTER LOAD DO statements run
+    through ctx.sql_runner when provided (JDBC in production; DuckDB
+    or a recorder in tests)."""
+    spark = ctx.spark
+    table = cmd.target_table or (cmd.target or "result").rsplit("?", 1)[-1]
+    report = LoadReport(table=table)
+
+    for stmt in cmd.before_load:
+        if ctx.sql_runner:
+            ctx.sql_runner(stmt)
+
+    df = read_source(spark, cmd)
+    projected = project(df, cmd)
+
+    rules = validation_rules(cmd)
+    if rules:
+        res = load_with_isolation(
+            projected,
+            [ColumnRule(r.name, not_null=False) for r in rules],
+            ctx.root_dir,
+            "pgloader",
+            table,
+            on_error_stop=ctx.on_error_stop or bool(cmd.options.get("on_error_stop")),
+        )
+        good = res.good
+        report.errors = res.error_count or 0
+    else:
+        good = projected
+
+    good = good.cache()
+    report.loaded = good.count()
+    report.read = report.loaded + report.errors
+    report.result = good
+
+    for stmt in cmd.after_load:
+        if ctx.sql_runner:
+            ctx.sql_runner(stmt)
+    return report
+
+
+def run_command_text(
+    spark: SparkSession, text: str, root_dir: str | None = None, sql_runner=None
+) -> LoadReport:
+    from pgloader_spark.parsers.loadcmd import parse_load
+
+    ctx = ExecutionContext(
+        spark=spark,
+        root_dir=root_dir or os.path.join("/tmp", "pgloader_spark"),
+        sql_runner=sql_runner,
+    )
+    return execute(ctx, parse_load(text))

@@ -1,0 +1,117 @@
+"""End-to-end LOAD execution tests — parse -> read -> project ->
+validate -> report, modeled on the reference's regression scenarios
+(test/csv.load, test/fixed.load shapes)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pgloader_spark.plans.executor import run_command_text
+
+
+def test_csv_inline_end_to_end(spark, tmp_path):
+    cmd = """
+LOAD CSV
+  FROM inline (a, b, c)
+  INTO postgresql:///pgloader?people (a bigint, c)
+  WITH fields terminated by ',', null if '';
+
+1,alice,x
+2,bob,y
+oops,carol,z
+"""
+    report = run_command_text(spark, cmd, root_dir=str(tmp_path))
+    # column list projects (a, c) and casts a -> bigint; bad row "oops"
+    # becomes NULL via try-cast (no not-null rule), so 3 rows load
+    assert report.loaded == 3
+    rows = sorted(report.result.collect(), key=lambda r: (r["a"] is None, r["a"]))
+    assert rows[0]["a"] == 1 and rows[0]["c"] == "x"
+    assert rows[2]["a"] is None
+    assert report.result.columns == ["a", "c"]
+
+
+def test_csv_file_with_skip_and_fields(spark, tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text("HEADER JUNK\n1;x\n2;y\n")
+    cmd = f"""
+LOAD CSV
+  FROM '{p}' (id, val)
+  INTO postgresql:///db?t (id int, val)
+  WITH skip header = 1, fields terminated by ';';
+"""
+    report = run_command_text(spark, cmd, root_dir=str(tmp_path))
+    assert report.loaded == 2
+    got = {r["id"]: r["val"] for r in report.result.collect()}
+    assert got == {1: "x", 2: "y"}
+
+
+def test_fixed_inline_with_using_transform(spark, tmp_path):
+    cmd = """
+LOAD FIXED
+  FROM inline
+       ( a from 0 for 10, b from 10 for 8,
+         c from 18 for 8, d from 26 for 17 [null if blanks, trim right whitespace] )
+  INTO postgresql:///pgloader
+TARGET TABLE fixed
+       ( a bigint, b, c time using (time-with-no-separator c), d );
+
+01234567892008052011431250firstline
+   01234562008052115182300left blank-padded
+"""
+    report = run_command_text(spark, cmd, root_dir=str(tmp_path))
+    assert report.loaded == 2
+    rows = sorted(report.result.collect(), key=lambda r: r["a"])
+    assert rows[0]["a"] == 123456
+    assert rows[0]["c"] == "15:18:23.00"
+    assert rows[0]["d"] == "left blank-padded"
+    assert rows[1]["a"] == 123456789
+    assert rows[1]["c"] == "11:43:12.50"
+    assert rows[1]["d"] == "firstline"
+
+
+def test_before_after_load_hooks(spark, tmp_path):
+    ran = []
+    cmd = """
+LOAD CSV
+  FROM inline (x)
+  INTO postgresql:///db?t (x)
+  WITH fields terminated by ','
+  BEFORE LOAD DO $$ create table t (x text); $$
+  AFTER LOAD DO $$ analyze t; $$;
+
+hello
+"""
+    report = run_command_text(spark, cmd, root_dir=str(tmp_path), sql_runner=ran.append)
+    assert report.loaded == 1
+    assert ran == ["create table t (x text);", "analyze t;"]
+
+
+def test_filenames_matching(spark, tmp_path):
+    (tmp_path / "d1.csv").write_text("1,a\n")
+    (tmp_path / "d2.csv").write_text("2,b\n")
+    (tmp_path / "skip.txt").write_text("3,c\n")
+    cmd = f"""
+LOAD CSV
+  FROM ALL FILENAMES MATCHING ~/\\.csv$/ IN DIRECTORY '{tmp_path}' (id, v)
+  INTO postgresql:///db?t (id int, v)
+  WITH fields terminated by ',';
+"""
+    report = run_command_text(spark, cmd, root_dir=str(tmp_path))
+    assert report.loaded == 2
+    assert sorted(r["id"] for r in report.result.collect()) == [1, 2]
+
+
+def test_dbf_end_to_end(spark, tmp_path):
+    from tests.test_file_sources import make_dbf
+
+    p = str(tmp_path / "people.dbf")
+    make_dbf(
+        p,
+        [("ID", "N", 4), ("NAME", "C", 10)],
+        [("1", "alice"), ("2", "bob")],
+    )
+    report = run_command_text(
+        spark, f"LOAD DBF FROM '{p}' INTO postgresql:///db?people;", root_dir=str(tmp_path)
+    )
+    assert report.loaded == 2
+    assert {r["NAME"] for r in report.result.collect()} == {"alice", "bob"}
