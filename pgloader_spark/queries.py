@@ -958,3 +958,317 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
         F.lower(F.hex(F.encode(F.substring(F.col("text"), 1, 8), "UTF-8"))).alias("head_hex"),
     )
+
+
+# --------------------------------------------------------------------------
+# Migration-shaped relational operators (SURVEY §2.4/2.5/2.6): the
+# joins/aggregations the reference computes for orchestration, plus
+# the general query surface it lacks, re-expressed as first-class
+# distributed operators.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_citus_backfill",
+    oracle="""
+SELECT l_orderkey, l_linenumber, o_custkey AS dist_key
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+""",
+)
+def join_citus_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Citus FK-walk backfill (citus.lisp:307-375): when distributing
+    a table that lacks the distribution key, join the FK chain's
+    parent to carry it. Same-key equi-join; AQE broadcasts the parent
+    when it fits, shuffles on the FK otherwise."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_linenumber", F.col("o_custkey").alias("dist_key")
+    )
+
+
+@query(
+    "join_asof_last_event",
+    oracle="""
+WITH anchor AS (SELECT event_id AS a_id, user_id, ts AS a_ts FROM events
+                WHERE event_type = 'purchase' AND event_id % 10 = 0),
+j AS (SELECT a.a_id, e.ts, e.event_id,
+             ROW_NUMBER() OVER (PARTITION BY a.a_id
+                                ORDER BY e.ts DESC, e.event_id DESC) AS rn
+      FROM anchor a JOIN events e
+        ON e.user_id = a.user_id AND e.event_type = 'click' AND e.ts <= a.a_ts)
+SELECT a_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS asof_ts, event_id
+FROM j WHERE rn = 1
+""",
+)
+def join_asof_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (absent in the reference; SURVEY §2.4): for each
+    sampled purchase event, the user's latest click at-or-before it.
+    Expressed as a key-equi + range-condition join pruned to rn=1 by a
+    window — the join shuffles on the user key only, the per-key time
+    scan stays inside one partition."""
+    ev = read_table(spark, sf_dir, "events")
+    anchor = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("event_id") % 10 == 0)
+    ).select(
+        F.col("event_id").alias("a_id"),
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    j = clicks.join(
+        F.broadcast(anchor),
+        (clicks.user_id == anchor.a_user) & (clicks.ts <= anchor.a_ts),
+    )
+    w = W.partitionBy("a_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "a_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("asof_ts"),
+            "event_id",
+        )
+    )
+
+
+@query(
+    "join_range_bucket",
+    oracle="""
+WITH ranges AS (
+  SELECT * FROM (VALUES
+    ('neg',   CAST(-1e18 AS DOUBLE), CAST(0    AS DOUBLE)),
+    ('small', CAST(0     AS DOUBLE), CAST(10   AS DOUBLE)),
+    ('mid',   CAST(10    AS DOUBLE), CAST(100  AS DOUBLE)),
+    ('big',   CAST(100   AS DOUBLE), CAST(1e18 AS DOUBLE))) t(label, lo, hi))
+SELECT label, COUNT(*) AS n,
+       round(MIN(value), 6) AS min_v, round(MAX(value), 6) AS max_v
+FROM events JOIN ranges ON value >= lo AND value < hi
+GROUP BY label
+""",
+)
+def join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (absent in reference): classify a fact column into
+    interval buckets via a broadcast theta-join — the canonical scale
+    pattern for small interval dims (no shuffle of the fact side)."""
+    ev = read_table(spark, sf_dir, "events")
+    ranges = spark.createDataFrame(
+        [
+            ("neg", -1e18, 0.0),
+            ("small", 0.0, 10.0),
+            ("mid", 10.0, 100.0),
+            ("big", 100.0, 1e18),
+        ],
+        "label string, lo double, hi double",
+    )
+    return (
+        ev.join(
+            F.broadcast(ranges),
+            (ev.value >= ranges.lo) & (ev.value < ranges.hi),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("min_v"),
+            F.round(F.max("value"), 6).alias("max_v"),
+        )
+    )
+
+
+@query(
+    "agg_minmax_probe",
+    oracle="""
+SELECT MIN(o_orderkey) AS min_pk, MAX(o_orderkey) + 1 AS max_pk,
+       COUNT(*) AS n_rows
+FROM orders
+""",
+)
+def agg_minmax_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's parallel-read range probe
+    (src/sources/mysql/mysql.lisp:35-44): min(pk), max(pk)+1 — here a
+    single partial-aggregated scan; on a cluster this is the input to
+    JDBC partitionColumn/lowerBound/upperBound planning."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.min("o_orderkey").alias("min_pk"),
+        (F.max("o_orderkey") + 1).alias("max_pk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "agg_sequence_reset",
+    oracle="""
+SELECT 'events_event_id_seq' AS seq, GREATEST(MAX(event_id), 1) AS setval FROM events
+UNION ALL
+SELECT 'orders_o_orderkey_seq' AS seq, GREATEST(MAX(o_orderkey), 1) AS setval FROM orders
+ORDER BY seq
+""",
+)
+def agg_sequence_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-reset values after a load
+    (src/pgsql/pgsql-create-schema.lisp:539-594): setval(seq,
+    greatest(max(col), 1)) per serial column, computed in one pass
+    per table and unioned into the DO-block input."""
+    ev = read_table(spark, sf_dir, "events").agg(
+        F.lit("events_event_id_seq").alias("seq"),
+        F.greatest(F.max("event_id"), F.lit(1)).alias("setval"),
+    )
+    orders = read_table(spark, sf_dir, "orders").agg(
+        F.lit("orders_o_orderkey_seq").alias("seq"),
+        F.greatest(F.max("o_orderkey"), F.lit(1)).alias("setval"),
+    )
+    return ev.unionByName(orders).orderBy("seq")
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (absent in reference; §2.5) — one shuffle, three
+    grouping combinations expanded by Catalyst's Expand operator."""
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "window_moving_avg_daily",
+    oracle="""
+WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders GROUP BY 1)
+SELECT day, CAST(rev AS DOUBLE) AS rev,
+       round(CAST(SUM(rev) OVER w AS DOUBLE)
+             / CAST(COUNT(*) OVER w AS DOUBLE), 6) AS rev_ma7
+FROM d
+WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+)
+def window_moving_avg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS-frame window (absent in reference; §2.6): 7-day moving
+    average of daily revenue. Decimal-exact inner sums; the division
+    happens in double on both engines (IEEE-identical)."""
+    orders = read_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    w = W.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.col("rev").cast("double").alias("rev"),
+        F.round(
+            F.sum("rev").over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double"),
+            6,
+        ).alias("rev_ma7"),
+    )
+
+
+@query(
+    "regress_except_diff",
+    oracle="""
+SELECT COUNT(*) AS diff_count FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+  EXCEPT ALL
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+  WHERE o_orderkey % 97 <> 0
+) t
+""",
+)
+def regress_except_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's regression oracle re-expressed
+    (src/regress/regress.lisp:81-112): expected EXCEPT actual must
+    count the injected difference exactly — here rows where
+    o_orderkey % 97 = 0 are withheld from the 'actual' side."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    actual = orders.filter(F.col("o_orderkey") % 97 != 0)
+    return orders.exceptAll(actual).agg(F.count(F.lit(1)).alias("diff_count"))
+
+
+@query(
+    "etl_dateformat_roundtrip",
+    oracle="""
+SELECT o_orderkey,
+       strftime(o_orderdate, '%m-%d-%Y %H-%M-%S') AS formatted,
+       CAST(strptime(strftime(o_orderdate, '%m-%d-%Y %H-%M-%S'),
+                     '%m-%d-%Y %H-%M-%S') AS DATE) AS reparsed
+FROM orders WHERE o_orderkey % 500 = 0
+""",
+)
+def etl_dateformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-field `date format` option (src/parsers/date-format.lisp:
+    13-145): format with a PG to_char pattern, re-parse through the
+    translated Spark pattern — exercises the token-table translation
+    end to end."""
+    from pgloader_spark.parsers.dateformat import pg_to_spark_datetime_format
+
+    fmt = pg_to_spark_datetime_format("MM-DD-YYYY HH24-MI-SS")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 500 == 0
+    )
+    formatted = F.date_format("o_orderdate", fmt)
+    return orders.select(
+        "o_orderkey",
+        formatted.alias("formatted"),
+        F.to_timestamp(formatted, fmt).cast("date").alias("reparsed"),
+    )
+
+
+@query(
+    "dedup_embedding_near",
+    oracle=f"""
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_DUCK_COS.format(a="a.embedding", b="b.embedding")}, 4) AS cos_sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.35
+""",
+)
+def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by label (the
+    cluster id plays the LSH-bucket role): the self-join shuffles on
+    the block key only, never the full cross product."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("label").alias("blk"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+    )
+    b = emb.select(
+        F.col("label").alias("blk"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+    )
+    pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    cos = F.round(
+        F.round(
+            similarity.dot_fixed(F.col("va"), F.col("vb"), 64)
+            / F.sqrt(
+                similarity.dot_fixed(F.col("va"), F.col("va"), 64)
+                * similarity.dot_fixed(F.col("vb"), F.col("vb"), 64)
+            ),
+            6,
+        ),
+        4,
+    )
+    return (
+        pairs.withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= 0.35)
+        .select("id_a", "id_b", "cos_sim")
+    )
