@@ -41,9 +41,6 @@ HEADLINE = [
     "text_langid",
 ]
 
-# Results small enough to collect; everything else is counted (forces
-# full execution without driver-side materialization of big outputs).
-COLLECT_LIMIT = 100_000
 
 
 def main() -> None:
@@ -59,20 +56,24 @@ def main() -> None:
         fn = QUERIES[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()
-        if n <= COLLECT_LIMIT:
-            df.collect()
+        # noop sink: exactly one full distributed execution, no
+        # driver-side materialization (the standard Spark bench shape)
+        df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
     # Warm-up pass (codegen compilation, parquet footers, broadcast
-    # threads), then the measured steady-state pass — mirrors the
+    # threads), then three measured passes, per-query median — the
     # reference bench's RUNS=3-take-median methodology
-    # (clojure/tests/bench/Makefile).
-    timings: dict[str, float] = {}
+    # (clojure/tests/bench/Makefile, report.py).
     for name in HEADLINE:
         run(name)
-    for name in HEADLINE:
-        timings[name] = round(run(name), 4)
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(3):
+        for name in HEADLINE:
+            samples[name].append(run(name))
+    timings = {
+        name: round(sorted(ts)[1], 4) for name, ts in samples.items()
+    }
 
     total = round(sum(timings.values()), 4)
     print(

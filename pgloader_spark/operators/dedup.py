@@ -88,29 +88,20 @@ def shingle_rows(
 ) -> DataFrame:
     """(id, sh) — one row per k-word shingle.
 
-    Built with posexplode + window lead() instead of array
-    higher-order functions: HOFs run interpreted (no codegen), which
-    made them the dominant cost; the window version is whole-stage
-    codegen'd. Cost: one shuffle by id, proportional to token count —
-    the same data volume any tokenize stage moves at 100 TB.
+    Uses the array higher-order ``shingles()`` expression + explode:
+    zero shuffles, embarrassingly parallel — the per-row HOF cost is
+    interpreted, but it scales linearly with cores while the
+    window-lead alternative pays a shuffle + per-key sort that
+    dominates at any scale (measured 2x slower at sf0.1 with equal
+    parallelism). Callers must hand in a well-partitioned ``df``.
 
     Documents with fewer than k tokens contribute their whole token
-    stream as a single shingle (matches the array-based semantics).
+    stream as a single shingle.
     """
     toks = tokens(text_col)
     if k == 1:
         return df.select(F.col(id_col), F.explode(toks).alias("sh"))
-    ex = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
-    w = Window.partitionBy(id_col).orderBy("pos")
-    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
-    full = ex.select(
-        F.col(id_col),
-        F.when(leads[-1].isNotNull(), F.concat_ws(" ", *leads)).alias("sh"),
-    ).filter(F.col("sh").isNotNull())
-    short = df.filter(F.size(toks) < k).select(
-        F.col(id_col), F.array_join(toks, " ").alias("sh")
-    )
-    return full.unionByName(short)
+    return df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("sh"))
 
 
 def minhash_signature_df(
@@ -276,6 +267,80 @@ def shingle_jaccard_pairs(
                 F.col("n_common")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
                 6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact token-set Jaccard via prefix filtering (PPJoin-style).
+
+    A naive token self-join is quadratic in document frequency: a
+    stopword shared by every document emits |corpus|^2/2 pairs. The
+    prefix-filter theorem keeps the join EXACT while pruning it: order
+    every document's tokens by ascending global document frequency
+    (one consistent total order), keep only the first
+    n - ceil(t*n) + 1 tokens ("the prefix"), and join on prefix
+    tokens only — any pair with Jaccard >= t MUST collide inside both
+    prefixes. Candidates are then verified on the full token sets
+    with array_intersect. Join volume drops from DF^2 on common
+    tokens to near-linear in real near-duplicates; the verification
+    carries each doc's token array once per candidate (cheap at any
+    realistic near-dup rate).
+    """
+    toks = F.array_distinct(tokens(text_col))
+    docs = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    ex = docs.select("id", F.explode("toks").alias("tok"))
+    dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # per-doc tokens ordered rarest-first under the global (df, tok)
+    # total order; struct sort gives exactly that ordering
+    ordered = (
+        ex.join(dfreq, "tok")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("arr"))
+        .select(
+            "id",
+            F.transform("arr", lambda s: s["tok"]).alias("toks"),
+            F.size("arr").alias("n"),
+        )
+    )
+    prefix_len = (F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1).cast("int")
+    pre = ordered.select(
+        "id",
+        "toks",
+        "n",
+        F.explode(F.slice("toks", 1, prefix_len)).alias("tok"),
+    )
+    a = pre.select(
+        F.col("tok"),
+        F.col("id").alias("id_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = pre.select(
+        F.col("tok"),
+        F.col("id").alias("id_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("n").alias("n_b"),
+    )
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "toks_a", "toks_b", "n_a", "n_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.round(
+                inter / (F.col("n_a") + F.col("n_b") - inter).cast("double"), 6
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)

@@ -1,0 +1,69 @@
+"""ALTER TABLE / ALTER SCHEMA rules applied to the catalog.
+
+Re-expresses ``src/utils/alter-table.lisp:10-158``: rules match table
+or schema names (exact string or regex) and mutate the *catalog*
+before any DDL or data movement — renames, schema moves, tablespace
+and storage-parameter settings. Applied driver-side; the data plan
+only ever sees the post-rule names.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pgloader_spark.catalog import Catalog, Schema, Table
+
+
+@dataclass
+class AlterRule:
+    """kind: 'rename' | 'set_schema' | 'set_tablespace' | 'set_storage'
+    match: exact name or regex (wrapped in ~// by the DSL).
+    """
+
+    kind: str
+    match: str
+    is_regex: bool = False
+    value: str | None = None
+
+    def matches(self, name: str) -> bool:
+        if self.is_regex:
+            return re.search(self.match, name) is not None
+        return name == self.match
+
+
+def apply_table_rules(catalog: Catalog, rules: list[AlterRule]) -> Catalog:
+    for rule in rules:
+        for schema in catalog.schemas:
+            for table in schema.tables:
+                if not rule.matches(table.name):
+                    continue
+                if rule.kind == "rename":
+                    table.source_name = table.source_name or table.name
+                    table.name = rule.value or table.name
+                elif rule.kind == "set_schema":
+                    target = catalog.find_schema(rule.value)
+                    if target is None:
+                        target = Schema(rule.value, [])
+                        catalog.schemas.append(target)
+                    if table in schema.tables:
+                        schema.tables.remove(table)
+                        target.tables.append(table)
+                elif rule.kind in ("set_tablespace", "set_storage"):
+                    # carried as metadata; emitted in DDL options
+                    meta = getattr(table, "comment", None)
+                    table.comment = meta  # no-op keep; stored below
+                    for c in []:
+                        pass
+                    if not hasattr(table, "storage"):
+                        table.storage = {}  # type: ignore[attr-defined]
+                    table.storage[rule.kind] = rule.value  # type: ignore[attr-defined]
+    return catalog
+
+
+def apply_schema_rules(catalog: Catalog, rules: list[AlterRule]) -> Catalog:
+    for rule in rules:
+        for schema in catalog.schemas:
+            if rule.matches(schema.name) and rule.kind == "rename":
+                schema.name = rule.value or schema.name
+    return catalog

@@ -1,0 +1,178 @@
+"""Migration orchestration: table scheduling, concurrency, summary.
+
+Re-expresses ``copy-database`` (``src/load/migrate-database.lisp:
+326-594``) on Spark's execution model:
+
+- **Largest-first scheduling** (``optimize-table-copy-ordering``,
+  ``migrate-database.lisp:304-320``): big tables submit first so the
+  pool drains evenly.
+- **Concurrent table loads**: the reference runs ``worker-count`` (4)
+  lparallel workers; here a thread pool submits Spark jobs — Spark
+  schedules their tasks concurrently across executors (FAIR pools so
+  a huge table cannot starve small ones).
+- **Phases**: prepare (DDL) -> data (per-table pipeline §3.3c) ->
+  complete (indexes, PKs, FKs, sequences) — DDL phases run through a
+  pluggable ``sql_runner`` (JDBC in production).
+- **Summary report** (``src/utils/report.lisp:28-38``, state structs
+  ``src/utils/state.lisp:11-40``): per-table read/loaded/errors/secs
+  rendered as text table, csv, or json.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections.abc import Callable
+from concurrent.futures import ThreadPoolExecutor, as_completed
+from dataclasses import dataclass, field
+
+from pgloader_spark.catalog import Catalog, Table, copy_ordering
+
+DEFAULT_WORKERS = 4  # migrate-database.lisp:329-330
+
+
+@dataclass
+class TableResult:
+    table: str
+    read: int = 0
+    loaded: int = 0
+    errors: int = 0
+    seconds: float = 0.0
+    failed: str | None = None
+
+
+@dataclass
+class MigrationSummary:
+    results: list[TableResult] = field(default_factory=list)
+    prepare_seconds: float = 0.0
+    complete_seconds: float = 0.0
+
+    @property
+    def total_seconds(self) -> float:
+        return self.prepare_seconds + self.complete_seconds + sum(
+            r.seconds for r in self.results
+        )
+
+    def to_text(self) -> str:
+        """The reference's summary table shape (report.lisp:28-38)."""
+        name_w = max([len(r.table) for r in self.results] + [10])
+        lines = [
+            f"{'table name':<{name_w}}  {'read':>10} {'imported':>10} {'errors':>8} {'total time':>11}",
+            f"{'-' * name_w}  {'-' * 10} {'-' * 10} {'-' * 8} {'-' * 11}",
+        ]
+        for r in self.results:
+            lines.append(
+                f"{r.table:<{name_w}}  {r.read:>10} {r.loaded:>10} "
+                f"{r.errors:>8} {r.seconds:>10.3f}s"
+            )
+        lines.append(f"{'-' * name_w}  {'-' * 10} {'-' * 10} {'-' * 8} {'-' * 11}")
+        total_read = sum(r.read for r in self.results)
+        total_loaded = sum(r.loaded for r in self.results)
+        total_err = sum(r.errors for r in self.results)
+        lines.append(
+            f"{'Total import time':<{name_w}}  {total_read:>10} "
+            f"{total_loaded:>10} {total_err:>8} {self.total_seconds:>10.3f}s"
+        )
+        return "\n".join(lines)
+
+    def to_csv(self) -> str:
+        rows = ["table;read;imported;errors;seconds"]
+        rows += [
+            f"{r.table};{r.read};{r.loaded};{r.errors};{r.seconds:.3f}"
+            for r in self.results
+        ]
+        return "\n".join(rows)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "tables": [vars(r) for r in self.results],
+                "prepare_seconds": round(self.prepare_seconds, 3),
+                "complete_seconds": round(self.complete_seconds, 3),
+                "total_seconds": round(self.total_seconds, 3),
+            }
+        )
+
+
+def migrate(
+    tables: list[Table],
+    load_fn: Callable[[Table], tuple[int, int, int]],
+    workers: int = DEFAULT_WORKERS,
+    prepare: Callable[[], None] | None = None,
+    complete: Callable[[], None] | None = None,
+    on_error_stop: bool = False,
+) -> MigrationSummary:
+    """Run ``prepare`` -> concurrent per-table ``load_fn`` (largest
+    first) -> ``complete``. ``load_fn`` returns (read, loaded, errors);
+    exceptions mark the table failed and — matching the reference's
+    default — do not abort the rest unless ``on_error_stop``."""
+    summary = MigrationSummary()
+
+    if prepare is not None:
+        t0 = time.perf_counter()
+        prepare()
+        summary.prepare_seconds = time.perf_counter() - t0
+
+    ordered = copy_ordering(tables)
+
+    def job(t: Table) -> TableResult:
+        r = TableResult(table=t.name)
+        t0 = time.perf_counter()
+        try:
+            r.read, r.loaded, r.errors = load_fn(t)
+        except Exception as exc:  # noqa: BLE001 — reported per table
+            r.failed = str(exc)
+        r.seconds = time.perf_counter() - t0
+        return r
+
+    with ThreadPoolExecutor(max_workers=max(workers, 1)) as pool:
+        futures = {pool.submit(job, t): t for t in ordered}
+        for fut in as_completed(futures):
+            res = fut.result()
+            summary.results.append(res)
+            if res.failed and on_error_stop:
+                for f in futures:
+                    f.cancel()
+                raise RuntimeError(f"table {res.table} failed: {res.failed}")
+
+    # keep the report in scheduling order
+    order = {t.name: i for i, t in enumerate(ordered)}
+    summary.results.sort(key=lambda r: order.get(r.table, 1 << 30))
+
+    if complete is not None:
+        t0 = time.perf_counter()
+        complete()
+        summary.complete_seconds = time.perf_counter() - t0
+    return summary
+
+
+def post_load_statements(catalog: Catalog) -> list[str]:
+    """The complete-phase DDL in dependency order
+    (``migrate-database.lisp:153-250`` / ``pgsql-create-schema``):
+    indexes, unique-index -> PRIMARY KEY promotion, FKs, sequence
+    resets — emitted as SQL for the JDBC runner."""
+    stmts: list[str] = []
+    for schema in catalog.schemas:
+        for t in schema.tables:
+            for idx in t.indexes:
+                if idx.primary:
+                    cols = ", ".join(idx.columns)
+                    stmts.append(
+                        f"ALTER TABLE {t.name} ADD PRIMARY KEY ({cols});"
+                    )
+                else:
+                    stmts.append(idx.to_ddl(schema.name if schema.name != "public" else None))
+    for schema in catalog.schemas:
+        for t in schema.tables:
+            for fk in t.fkeys:
+                stmts.append(fk.to_ddl(schema.name if schema.name != "public" else None))
+    for schema in catalog.schemas:
+        for t in schema.tables:
+            for c in t.columns:
+                if c.extra.get("serial"):
+                    seq = f"{t.name}_{c.name}_seq"
+                    stmts.append(
+                        f"SELECT setval('{seq}', "
+                        f"(SELECT GREATEST(MAX({c.name}), 1) FROM {t.name}));"
+                    )
+    return stmts

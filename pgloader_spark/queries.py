@@ -461,7 +461,7 @@ def etl_transforms_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     Parity: pgloader src/utils/transforms.lisp:118-175,433 and
     src/parsers/date-format.lisp:13-145.
     """
-    li = read_table(spark, sf_dir, "lineitem")
+    li = read_table(spark, sf_dir, "lineitem", widen=True)
     compact = F.when(
         F.col("l_orderkey") % 97 == 0, F.lit("00000000000000")
     ).otherwise(F.date_format("l_shipdate", "yyyyMMddHHmmss"))
@@ -645,7 +645,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_minhash_bands", oracle=_duck_minhash_bands_sql())
 def dedup_minhash_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH band buckets (shingle->minhash->band) — narrow map."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", widen=True)
     return dedup.minhash_bands(docs)
 
 
@@ -661,7 +661,7 @@ FROM bands a JOIN bands b
 )
 def dedup_minhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate near-duplicate pairs from LSH buckets (bucket self-join)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", widen=True)
     return dedup.minhash_candidate_pairs(docs)
 
 
@@ -684,7 +684,7 @@ FROM sig GROUP BY simhash
 @query("dedup_simhash", oracle=_duck_simhash_sql())
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup grouping — narrow signature + exact group-by."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", widen=True)
     return dedup.simhash_duplicates(docs)
 
 
@@ -718,15 +718,15 @@ WHERE round(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 6) >= {threshold}
 
 @query("dedup_token_jaccard", oracle=_duck_jaccard_sql(k=1, threshold=0.8))
 def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard >= 0.8 via sparse token self-join."""
-    docs = read_table(spark, sf_dir, "documents")
-    return dedup.shingle_jaccard_pairs(docs, threshold=0.8, k=1)
+    """Exact token-set Jaccard >= 0.8, prefix-filtered (PPJoin)."""
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    return dedup.token_jaccard_pairs(docs, threshold=0.8)
 
 
 @query("dedup_shingle_jaccard", oracle=_duck_jaccard_sql(k=3, threshold=0.5))
 def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-word-shingle Jaccard >= 0.5 — the scale path (selective keys)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", widen=True)
     return dedup.shingle_jaccard_pairs(docs, threshold=0.5, k=3)
 
 
@@ -756,7 +756,7 @@ SELECT q_id, n_id, cos_sim, rank FROM r WHERE rank <= 10
 )
 def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact top-10 cosine neighbors (query set broadcast)."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings", widen=True)
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
     return similarity.cosine_topk(emb, queries_df, k=10, dim=64)
 
@@ -835,7 +835,7 @@ FROM t
 )
 def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cheap quality metrics, one narrow pass (C4/Gopher-style filters)."""
-    docs = read_table(spark, sf_dir, "documents").select(
+    docs = read_table(spark, sf_dir, "documents", widen=True).select(
         "doc_id", "text", txt.tokens("text").alias("__tk")
     )
     q = txt.quality_metrics("text", toks=F.col("__tk"))
@@ -875,7 +875,7 @@ FROM s
 @query("text_langid", oracle=_duck_langid_sql())
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-ratio language ID (argmax, code-order tiebreak)."""
-    docs = read_table(spark, sf_dir, "documents").select(
+    docs = read_table(spark, sf_dir, "documents", widen=True).select(
         "doc_id", F.array_distinct(txt.tokens("text")).alias("__dtk")
     )
     scores = txt.lang_scores("text", dtk=F.col("__dtk"))
@@ -897,7 +897,7 @@ FROM t
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-distinct-token md5 fingerprint (reorder-proof dedup key)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", widen=True)
     return docs.select("doc_id", txt.fingerprint("text").alias("fingerprint"))
 
 
@@ -915,7 +915,7 @@ FROM t
 )
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace, alnum and BPE-ish token counting."""
-    docs = read_table(spark, sf_dir, "documents").select(
+    docs = read_table(spark, sf_dir, "documents", widen=True).select(
         "doc_id", "text", txt.tokens("text").alias("__tk")
     )
     return docs.select(
@@ -1244,7 +1244,7 @@ def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by label (the
     cluster id plays the LSH-bucket role): the self-join shuffles on
     the block key only, never the full cross product."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings", widen=True)
     a = emb.select(
         F.col("label").alias("blk"),
         F.col("vec_id").alias("id_a"),

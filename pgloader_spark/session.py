@@ -56,24 +56,44 @@ def get_spark(app_name: str = "pgloader_spark", master: str | None = None) -> Sp
     return builder.getOrCreate()
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, widen: bool = False
+) -> DataFrame:
     """Read one testdata table, tolerant of TIMESTAMP(NANOS) parquet.
 
     Works on any session (the driver's included): sets the legacy
     nanos-as-long conf at runtime, then floor-truncates ns to micros —
     the same truncation DuckDB applies, so oracles agree.
+
+    ``widen=True`` repartitions a single-file table to the session's
+    parallelism. The testdata ships ONE parquet file with ONE row
+    group per table, so the scan cannot split — downstream stages of a
+    compute-heavy query would run on one core. Callers whose per-row
+    work dominates (datetime transforms, language ID, embedding math)
+    opt in; scan-then-shuffle queries (joins, aggs, windows) must not:
+    their own exchange already redistributes, and measured at sf0.1
+    the extra round-robin shuffle slows them 1.5-3x. On a real
+    dataset (many files / row groups) the condition never fires.
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     for f in df.schema.fields:
         if f.name == "ts" and f.dataType.simpleString() == "bigint":
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
             )
+    if widen:
+        try:
+            single_file = os.path.isfile(path) and os.path.getsize(path) > (64 << 10)
+        except OSError:
+            single_file = False
+        if single_file:
+            df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 
