@@ -35,7 +35,8 @@ class AlterRule:
 def apply_table_rules(catalog: Catalog, rules: list[AlterRule]) -> Catalog:
     for rule in rules:
         for schema in catalog.schemas:
-            for table in schema.tables:
+            # iterate a snapshot: set_schema moves tables out of the list
+            for table in list(schema.tables):
                 if not rule.matches(table.name):
                     continue
                 if rule.kind == "rename":
@@ -51,10 +52,6 @@ def apply_table_rules(catalog: Catalog, rules: list[AlterRule]) -> Catalog:
                         target.tables.append(table)
                 elif rule.kind in ("set_tablespace", "set_storage"):
                     # carried as metadata; emitted in DDL options
-                    meta = getattr(table, "comment", None)
-                    table.comment = meta  # no-op keep; stored below
-                    for c in []:
-                        pass
                     if not hasattr(table, "storage"):
                         table.storage = {}  # type: ignore[attr-defined]
                     table.storage[rule.kind] = rule.value  # type: ignore[attr-defined]
