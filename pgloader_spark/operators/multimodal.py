@@ -1,0 +1,183 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Design (no reference equivalent — pgloader moves bytea blobs
+untouched; this is the training-data-pipeline extension):
+
+- an image/audio/video column is an opaque ``binary`` column plus a
+  metadata struct (mime, width/height/duration, codec...);
+- decode / feature-extract / resize / frame-sample run as
+  ``mapInPandas`` stages: Arrow-batched, schema declared up front, so
+  the shape is exactly what a real decoder (PIL / torchaudio /
+  pyav) would use — the byte-level decode itself is stubbed here
+  because those libraries are not in this container;
+- the *plumbing* is real and tested: batch iteration, binary columns
+  through Arrow, output schemas, partition-preserving behavior.
+
+Stub policy: ``decode_image_meta`` parses only deterministic
+container headers (PNG and GIF dimensions — pure byte math, public
+format layout); anything else raises ``UnsupportedMediaError``
+inside the batch and lands in the ``error`` column rather than
+killing the job (the validation-first philosophy of the sink layer).
+``fake_embedding`` derives a deterministic float vector from content
+bytes — the stand-in for a real encoder forward pass.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+class UnsupportedMediaError(ValueError):
+    pass
+
+
+def sniff_mime(data: bytes) -> str:
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "image/png"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "image/gif"
+    if data[:3] == b"\xff\xd8\xff":
+        return "image/jpeg"
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "audio/wav"
+    return "application/octet-stream"
+
+
+def decode_image_meta(data: bytes) -> tuple[str, int, int]:
+    """(mime, width, height) from container headers — deterministic
+    byte math for PNG/GIF (public layouts); everything else raises
+    (a real build would call PIL here)."""
+    mime = sniff_mime(data)
+    if mime == "image/png":
+        # IHDR is always the first chunk: width/height big-endian at 16
+        w, h = struct.unpack_from(">II", data, 16)
+        return mime, w, h
+    if mime == "image/gif":
+        w, h = struct.unpack_from("<HH", data, 6)
+        return mime, w, h
+    raise UnsupportedMediaError(f"no stub decoder for {mime}")
+
+
+def image_metadata(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
+    """mapInPandas decode stage: one Arrow batch in, one out. Narrow
+    (no shuffle); scales with input partitions."""
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd  # noqa: PLC0415 — executor-side import
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                data = bytes(payload) if payload is not None else b""
+                try:
+                    mime, w, h = decode_image_meta(data)
+                    rows.append((doc_id, mime, w, h, len(data), None))
+                except (UnsupportedMediaError, struct.error) as exc:
+                    rows.append(
+                        (doc_id, sniff_mime(data), None, None, len(data), str(exc))
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_META_SCHEMA.fields]
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(decode, MEDIA_META_SCHEMA)
+
+
+EMBED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def fake_embedding(data: bytes, dim: int = 16) -> list[float]:
+    """Deterministic stand-in for an encoder forward pass: md5-seeded
+    floats in [-1, 1). Same bytes -> same vector on every executor."""
+    out: list[float] = []
+    counter = 0
+    while len(out) < dim:
+        h = hashlib.md5(data + counter.to_bytes(4, "big")).digest()
+        for i in range(0, 16, 4):
+            v = int.from_bytes(h[i : i + 4], "big")
+            out.append((v / 2**31) - 1.0)
+            if len(out) == dim:
+                break
+        counter += 1
+    return out
+
+
+def embed_media(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload", dim: int = 16
+) -> DataFrame:
+    """Feature-extraction stage shape: binary in, float vector out.
+    Swap ``fake_embedding`` for a model call; batching, schema, and
+    partitioning stay identical."""
+
+    def embed(batches: Iterator) -> Iterator:
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "embedding": [
+                        fake_embedding(bytes(p) if p is not None else b"", dim)
+                        for p in pdf[bin_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(embed, EMBED_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_frames_col: str = "n_frames",
+    every: int = 30,
+) -> DataFrame:
+    """Frame-sampling as pure plan math (no decode needed): one output
+    row per sampled frame index — ``sequence`` + ``explode`` stays
+    JVM-side; the downstream decode stage receives (doc, frame_ix)
+    work units, which is exactly how a distributed video pipeline
+    shards decoding."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col(n_frames_col).cast("long") - 1, F.lit(0)),
+                F.lit(every),
+            )
+        ).alias("frame_ix"),
+    )
+
+
+def make_png(width: int, height: int) -> bytes:
+    """Minimal valid-enough PNG header for tests (signature + IHDR)."""
+    ihdr = struct.pack(">II", width, height) + b"\x08\x02\x00\x00\x00"
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr
+        + b"\x00\x00\x00\x00"
+    )

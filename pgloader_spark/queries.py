@@ -1272,3 +1272,23 @@ def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.35)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+SELECT doc_id,
+       unnest(generate_series(0, greatest(n_chars - 1, 0), 100)) AS frame_ix
+FROM documents
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling work-unit planning (operators/multimodal.py):
+    one (doc, frame_ix) row per sampled frame — sequence + explode,
+    all JVM-side; the decode stage consumes these shards."""
+    from pgloader_spark.operators.multimodal import frame_sample_plan
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("n_frames")
+    )
+    return frame_sample_plan(docs, every=100)

@@ -1,0 +1,74 @@
+"""Multimodal plumbing tests: binary columns through Arrow batches,
+stubbed decode with per-row error isolation, deterministic embedding,
+frame-sample planning."""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import functions as F
+
+from pgloader_spark.operators.multimodal import (
+    decode_image_meta,
+    embed_media,
+    fake_embedding,
+    frame_sample_plan,
+    image_metadata,
+    make_png,
+    sniff_mime,
+)
+
+
+def test_sniff_and_decode_png_gif():
+    png = make_png(640, 480)
+    assert sniff_mime(png) == "image/png"
+    assert decode_image_meta(png) == ("image/png", 640, 480)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 10
+    assert decode_image_meta(gif) == ("image/gif", 320, 200)
+
+
+def test_image_metadata_stage(spark):
+    rows = [
+        (1, make_png(100, 50)),
+        (2, b"GIF87a" + struct.pack("<HH", 8, 8) + b"\x00" * 4),
+        (3, b"\xff\xd8\xff\xe0 jpeg-ish"),  # stub has no jpeg decoder
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in image_metadata(df).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (100, 50)
+    assert out[2]["mime"] == "image/gif"
+    # unsupported media isolates to the error column, job survives
+    assert out[3]["error"] is not None
+    assert out[3]["mime"] == "image/jpeg"
+    assert out[4]["n_bytes"] == 0
+
+
+def test_embed_media_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, b"same bytes"), (2, b"same bytes"), (3, b"other")],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r["embedding"] for r in embed_media(df, dim=8).collect()}
+    assert out[1] == out[2] != out[3]
+    assert len(out[1]) == 8
+    assert all(-1.0 <= v < 1.0 for v in out[1])
+    # matches the driver-side function up to float32 storage precision
+    expected = fake_embedding(b"same bytes", 8)
+    assert all(abs(a - b) < 1e-6 for a, b in zip(out[1], expected))
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(
+        [(1, 100), (2, 10), (3, 0)], "doc_id long, n_frames int"
+    )
+    out = (
+        frame_sample_plan(df, every=30)
+        .groupBy("doc_id")
+        .agg(F.collect_list("frame_ix").alias("fx"))
+        .collect()
+    )
+    got = {r["doc_id"]: sorted(r["fx"]) for r in out}
+    assert got[1] == [0, 30, 60, 90]
+    assert got[2] == [0]
+    assert got[3] == [0]
