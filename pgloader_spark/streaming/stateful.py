@@ -1,0 +1,98 @@
+"""Stateful streaming operators.
+
+The reference's only stream is stateless regex routing
+(``src/sources/syslog.lisp``). These are the stateful extensions the
+Spark substrate provides (SURVEY §2.11 "watermark/window support
+comes free"):
+
+- ``session_window_agg``: gap-based session windows — the idiomatic
+  path (event-time state managed by Spark's state store, late data
+  bounded by the watermark).
+- ``running_counts_with_state``: a custom stateful operator via
+  ``applyInPandasWithState`` — per-key running aggregates that
+  survive across micro-batches; the template for any
+  reference-lacking stateful semantics (dedup-within-stream,
+  rate-limiting, CDC collapse).
+
+Both run identically on bounded input (batch DataFrames) for the
+session_window case; the state template is streaming-only by nature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def session_window_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sessions close after ``gap`` of silence per key; a watermark
+    bounds state (events later than it are dropped, state older than
+    it is evicted — the unbounded-state hazard of naive streaming
+    sessionization does not exist here)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.session_window(F.col(ts_col), gap).alias("session"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+        .select(
+            key_col,
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+            "first_ts",
+            "last_ts",
+        )
+    )
+
+
+STATE_SCHEMA = T.StructType([T.StructField("total", T.LongType())])
+COUNT_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("batch_events", T.LongType()),
+        T.StructField("total_events", T.LongType()),
+    ]
+)
+
+
+def _count_update(key, pdf_iter, state):
+    """Executor-side: fold this micro-batch's rows for one key into
+    the persisted running total."""
+    import pandas as pd  # noqa: PLC0415
+
+    n = 0
+    for pdf in pdf_iter:
+        n += len(pdf)
+    (total,) = state.get if state.exists else (0,)
+    total += n
+    state.update((total,))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "batch_events": [n], "total_events": [total]}
+    )
+
+
+def running_counts_with_state(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Per-key event totals that persist across micro-batches —
+    the custom-stateful-operator template (applyInPandasWithState:
+    Arrow-batched per group, state in the checkpointed store)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        _count_update,
+        outputStructType=COUNT_OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,87 @@
+"""Stateful streaming tests: session windows (batch + stream) and
+cross-micro-batch state with applyInPandasWithState."""
+
+from __future__ import annotations
+
+import pytest
+
+from pgloader_spark.streaming.stateful import (
+    running_counts_with_state,
+    session_window_agg,
+)
+
+
+def test_session_window_batch(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 10:10:00"),
+        (1, "2024-01-01 11:30:00"),  # > 30 min gap -> new session
+        (2, "2024-01-01 10:05:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").selectExpr(
+        "user_id", "CAST(ts AS TIMESTAMP) AS ts"
+    )
+    out = session_window_agg(df, gap="30 minutes")
+    per_user = {}
+    for r in out.collect():
+        per_user.setdefault(r["user_id"], []).append(r["n_events"])
+    assert sorted(per_user[1]) == [1, 2]
+    assert per_user[2] == [1]
+
+
+def test_session_window_streaming(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b1.csv").write_text(
+        "1,2024-01-01 10:00:00\n1,2024-01-01 10:10:00\n1,2024-01-01 14:00:00\n"
+    )
+    stream = (
+        spark.readStream.format("csv")
+        .schema("user_id long, ts timestamp")
+        .load(str(src))
+    )
+    out = session_window_agg(stream, gap="30 minutes", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_mem")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM sess_mem ORDER BY session_start").collect()
+        assert [r["n_events"] for r in rows] == [2, 1]
+    finally:
+        q.stop()
+
+
+def test_running_counts_state_across_batches(spark, tmp_path):
+    src = tmp_path / "in2"
+    src.mkdir()
+    (src / "b1.csv").write_text("1\n1\n2\n")
+    stream = spark.readStream.format("csv").schema("user_id long").load(str(src))
+    out = running_counts_with_state(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("state_mem")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second micro-batch: totals must accumulate on top of batch 1
+        (src / "b2.csv").write_text("1\n2\n2\n")
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM state_mem ORDER BY total_events"
+        ).collect()
+        latest = {}
+        for r in rows:
+            latest[r["user_id"]] = max(
+                latest.get(r["user_id"], 0), r["total_events"]
+            )
+        assert latest == {1: 3, 2: 3}
+    finally:
+        q.stop()
