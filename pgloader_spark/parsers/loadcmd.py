@@ -80,6 +80,16 @@ class LoadCommand:
     before_load: list[str] = dfield(default_factory=list)
     after_load: list[str] = dfield(default_factory=list)
     inline_data: str | None = None
+    # archive commands: nested LOADs + FINALLY DO (command-archive.lisp)
+    nested: list["LoadCommand"] = dfield(default_factory=list)
+    finally_do: list[str] = dfield(default_factory=list)
+    execute_files: list[str] = dfield(default_factory=list)  # BEFORE LOAD EXECUTE
+    # DECODING TABLE NAMES MATCHING ~/re/ AS enc (per-table encoding override)
+    decoding_rules: list[tuple[list[str], str]] = dfield(default_factory=list)
+    # ALTER TABLE/SCHEMA clauses -> plans.alter_rules.AlterRule inputs
+    alter_rules: list[dict] = dfield(default_factory=list)
+    # LOAD MESSAGES scanners: WHEN MATCHES <rule> IN <name> REGISTERING ...
+    scanners: list[dict] = dfield(default_factory=list)
 
 
 class ParseError(ValueError):
@@ -143,11 +153,14 @@ _SOURCE_KINDS = {
     "dbf": "dbf",
     "ixf": "ixf",
     "database": "database",
+    "archive": "archive",
+    "messages": "messages",
 }
 
 _SECTION_WORDS = {
     "into", "with", "set", "cast", "before", "after", "including",
-    "excluding", "target",
+    "excluding", "target", "having", "decoding", "alter", "when",
+    "finally", "load", "and", "materialize",
 }
 
 
@@ -188,6 +201,16 @@ def parse_load(text: str) -> LoadCommand:
     # split inline data: everything after the final ';' of the command
     toks = tokenize(text)
     p = _P(toks)
+    cmd = _parse_one_command(p)
+    # inline data = raw text after the terminating semicolon
+    semi = text.rfind(";")
+    if cmd.source == "inline" and semi != -1:
+        data = text[semi + 1 :]
+        cmd.inline_data = data.lstrip("\n")
+    return cmd
+
+
+def _parse_one_command(p: _P) -> LoadCommand:
     p.eat_word("load")
     kind_word = p.next().value.lower()
     if kind_word not in _SOURCE_KINDS:
@@ -205,6 +228,16 @@ def parse_load(text: str) -> LoadCommand:
         if t.kind != "word":
             raise ParseError(f"unexpected token {t.value!r}")
         w = t.value.lower()
+        if w == "and" and cmd.source_kind == "archive":
+            # AND LOAD ... — next nested command (command-archive.lisp)
+            p.next()
+            cmd.nested.append(_parse_one_command(p))
+            # nested command consumed the final semi, if any
+            break
+        if w == "and":
+            break  # parent archive's separator — hand control back
+        if w == "finally" and cmd.source_kind != "archive":
+            break  # parent archive's FINALLY — hand control back
         if w == "into":
             p.next()
             cmd.target = p.next().value
@@ -212,10 +245,34 @@ def parse_load(text: str) -> LoadCommand:
                 cmd.columns = _parse_columns(p)
         elif w == "target":
             p.next()
-            p.eat_word("table")
-            cmd.target_table = p.next().value
-            if p.peek() and p.peek().kind == "lparen":
+            sub = p.eat_word("table", "columns")
+            if sub == "table":
+                cmd.target_table = p.next().value
+                if p.peek() and p.peek().kind == "lparen":
+                    cmd.columns = _parse_columns(p)
+            else:  # TARGET COLUMNS ( ... )
                 cmd.columns = _parse_columns(p)
+        elif w == "having":
+            p.next()
+            p.eat_word("fields")
+            if cmd.source_kind == "fixed":
+                cmd.fixed_fields = _parse_fixed_fields(p)
+            else:
+                cmd.fields = _parse_fields(p)
+        elif w == "with" and cmd.source_kind == "messages":
+            # scanner grammar block (ABNF): WITH apache = rsyslog
+            # DATA = IP REST ... — captured raw; the regex compilation
+            # happens in streaming/syslog.py scanner construction
+            p.next()
+            raw: list[str] = []
+            while p.peek() is not None and p.peek().kind != "semi":
+                nt = p.peek()
+                if nt.kind == "word" and nt.value.lower() in ("when", "cast", "into"):
+                    break
+                if nt.kind == "word" and nt.value.lower() == "with" and raw:
+                    break
+                raw.append(p.next().value)
+            cmd.options.setdefault("abnf_blocks", []).append(" ".join(raw))
         elif w == "with":
             p.next()
             _parse_with(p, cmd)
@@ -228,12 +285,32 @@ def parse_load(text: str) -> LoadCommand:
         elif w in ("before", "after"):
             p.next()
             p.eat_word("load")
+            target_list = cmd.before_load if w == "before" else cmd.after_load
+            while p.at_word("do", "execute"):
+                verb = p.next().value.lower()
+                if verb == "do":
+                    target_list.append(p.eat("dollar"))
+                    while p.peek() and p.peek().kind == "comma":
+                        p.next()
+                        target_list.append(p.eat("dollar"))
+                else:  # EXECUTE 'file.sql'
+                    cmd.execute_files.append(p.next().value)
+                    while p.peek() and p.peek().kind == "comma":
+                        p.next()
+                        cmd.execute_files.append(p.next().value)
+        elif w == "finally" and cmd.source_kind == "archive":
+            p.next()
             p.eat_word("do")
-            stmts = [p.eat("dollar")]
+            cmd.finally_do.append(p.eat("dollar"))
             while p.peek() and p.peek().kind == "comma":
                 p.next()
-                stmts.append(p.eat("dollar"))
-            (cmd.before_load if w == "before" else cmd.after_load).extend(stmts)
+                cmd.finally_do.append(p.eat("dollar"))
+        elif w == "load" and cmd.source_kind == "archive":
+            cmd.nested.append(_parse_one_command(p))
+            # nested parse stops at AND / FINALLY / semi; consume ANDs here
+            while p.at_word("and"):
+                p.next()
+                cmd.nested.append(_parse_one_command(p))
         elif w == "including":
             p.next()
             p.eat_word("only")
@@ -241,21 +318,135 @@ def parse_load(text: str) -> LoadCommand:
             p.eat_word("names")
             p.eat_word("matching")
             cmd.including = _parse_regex_list(p)
+            _maybe_in_schema(p)
         elif w == "excluding":
             p.next()
             p.eat_word("table")
             p.eat_word("names")
             p.eat_word("matching")
             cmd.excluding = _parse_regex_list(p)
+            _maybe_in_schema(p)
+        elif w == "decoding":
+            # DECODING TABLE NAMES MATCHING ~/re/[, ...] AS enc
+            p.next()
+            p.eat_word("table")
+            p.eat_word("names")
+            p.eat_word("matching")
+            pats = _parse_regex_list(p)
+            p.eat_word("as")
+            cmd.decoding_rules.append((pats, p.next().value))
+        elif w == "alter":
+            p.next()
+            _parse_alter(p, cmd)
+        elif w == "when" and cmd.source_kind == "messages":
+            p.next()
+            _parse_scanner(p, cmd)
+        elif w == "materialize":
+            # MATERIALIZE [ALL] VIEWS [name[, ...]] — record names
+            p.next()
+            if p.at_word("all"):
+                p.next()
+            p.eat_word("views")
+            views: list[tuple[str, str | None]] = []
+            while p.peek() and p.peek().kind in ("word", "qident", "string"):
+                if p.at_word(*_SECTION_WORDS):
+                    break
+                vname = p.next().value
+                sql = None
+                if p.at_word("as"):
+                    p.next()
+                    sql = p.eat("dollar")
+                views.append((vname, sql))
+                if p.peek() and p.peek().kind == "comma":
+                    p.next()
+            cmd.options["materialize_views"] = views or True
         else:
             raise ParseError(f"unexpected clause {w!r}")
 
-    # inline data = raw text after the terminating semicolon
-    semi = text.rfind(";")
-    if cmd.source == "inline" and semi != -1:
-        data = text[semi + 1 :]
-        cmd.inline_data = data.lstrip("\n")
     return cmd
+
+
+def _maybe_in_schema(p: _P) -> None:
+    """Optional `IN SCHEMA 'name'` suffix on INCLUDING/EXCLUDING."""
+    if p.at_word("in"):
+        p.next()
+        p.eat_word("schema")
+        p.next()  # schema name — scoping is carried by the regex list
+
+
+def _parse_alter(p: _P, cmd: LoadCommand) -> None:
+    """ALTER TABLE NAMES MATCHING <pat>[, ...] <action>  |
+    ALTER SCHEMA 'x' RENAME TO 'y'  (alter-table.lisp grammar)."""
+    kind = p.eat_word("table", "schema")
+    if kind == "schema":
+        name = p.next().value
+        p.eat_word("rename")
+        p.eat_word("to")
+        cmd.alter_rules.append(
+            {"scope": "schema", "kind": "rename", "match": name, "value": p.next().value}
+        )
+        return
+    p.eat_word("names")
+    p.eat_word("matching")
+    pats = []
+    while True:
+        t = p.peek()
+        if t is None:
+            break
+        if t.kind in ("regex", "string", "qident"):
+            pats.append((p.next().value, t.kind == "regex"))
+        elif t.kind == "comma":
+            p.next()
+            continue
+        else:
+            break
+    action = p.eat_word("rename", "set")
+    if action == "rename":
+        p.eat_word("to")
+        value = p.next().value
+        kind_name = "rename"
+    elif p.peek() is not None and p.peek().kind == "lparen":
+        # SET (fillfactor='40', ...) — storage parameters verbatim
+        value = _capture_sexp(p)
+        kind_name = "set_storage"
+    else:
+        sub = p.eat_word("schema", "tablespace")
+        value = p.next().value
+        kind_name = f"set_{sub}"
+    for pat, is_regex in pats:
+        cmd.alter_rules.append(
+            {
+                "scope": "table",
+                "kind": kind_name,
+                "match": pat,
+                "is_regex": is_regex,
+                "value": value,
+            }
+        )
+
+
+def _parse_scanner(p: _P, cmd: LoadCommand) -> None:
+    """WHEN MATCHES <rule> IN <name> REGISTERING f1, f2 INTO uri
+    [SET guc = 'v', ...]  (syslog scanners, command grammar)."""
+    p.eat_word("matches")
+    rule = p.next().value
+    p.eat_word("in")
+    name = p.next().value
+    p.eat_word("registering")
+    fields = [p.next().value]
+    while p.peek() and p.peek().kind == "comma":
+        p.next()
+        fields.append(p.next().value)
+    scanner = {"rule": rule, "name": name, "fields": fields, "target": None, "gucs": {}}
+    if p.at_word("into"):
+        p.next()
+        scanner["target"] = p.next().value
+    if p.at_word("set"):
+        p.next()
+        sub = LoadCommand(source_kind="messages", source="")
+        _parse_set(p, sub)
+        scanner["gucs"] = sub.gucs
+    cmd.scanners.append(scanner)
 
 
 def _parse_regex_list(p: _P) -> list[str]:
@@ -299,9 +490,26 @@ def _parse_from(p: _P, cmd: LoadCommand) -> None:
             p.eat_word("directory")
             cmd.source_dir = p.next().value
         cmd.source = cmd.source_dir or "."
+    elif t.kind == "word" and t.value.lower() == "filename":
+        # FROM FILENAME MATCHING ~/re/ — archive-member reference
+        p.next()
+        p.eat_word("matching")
+        cmd.source_regex = _regex_or_string(p)
+        cmd.first_match_only = True
+        cmd.source = "."
     else:
         src = p.next().value
         cmd.source = "inline" if src.lower() == "inline" else src
+    # `WITH ENCODING enc` glued to the FROM clause (archive members,
+    # dbf files): applies to the source read, not the options section
+    if p.at_word("with") and (
+        (n1 := p.peek(1)) is not None
+        and n1.kind == "word"
+        and n1.value.lower() == "encoding"
+    ):
+        p.next()
+        p.next()
+        cmd.options["encoding"] = p.next().value
     if p.peek() and p.peek().kind == "lparen":
         if cmd.source_kind == "fixed":
             cmd.fixed_fields = _parse_fixed_fields(p)
@@ -512,6 +720,14 @@ def _parse_with(p: _P, cmd: LoadCommand) -> None:
             t = p.next()
             if t.kind == "word" and t.value == "=":
                 value = p.next().value
+                # absorb a size unit: `batch size = 1024 kB`
+                nxt = p.peek()
+                if (
+                    nxt is not None
+                    and nxt.kind == "word"
+                    and nxt.value.lower() in ("kb", "mb", "gb")
+                ):
+                    value = f"{value} {p.next().value}"
                 break
             if t.kind == "string":
                 value = t.value
@@ -569,9 +785,19 @@ def _set_option(cmd: LoadCommand, key: str, value) -> None:
 
 
 def _parse_set(p: _P, cmd: LoadCommand) -> None:
+    """SET [PostgreSQL|MySQL PARAMETERS] name TO|= 'value', ..."""
+    if p.at_word("postgresql", "mysql"):
+        p.next()
+        p.eat_word("parameters")
     while True:
         name = p.next().value
-        p.eat_word("to")
+        t = p.peek()
+        if p.at_word("to"):
+            p.next()
+        elif t is not None and t.kind == "word" and t.value == "=":
+            p.next()
+        elif name.endswith("="):
+            name = name[:-1]
         cmd.gucs[name] = p.next().value
         if p.peek() and p.peek().kind == "comma":
             p.next()
@@ -613,18 +839,38 @@ def _parse_casts(p: _P, cmd: LoadCommand) -> None:
                     else:
                         rule.guards[gw] = True
         else:
-            name = p.next().value
-            if "." in name:
-                tbl, col = name.rsplit(".", 1)
-            else:
-                tbl, col = "", name
-            rule.column = (tbl, col)
-        p.eat_word("to")
-        rule.target_type = p.next().value
+            first = p.next()
+            name = first.value
+            nxt = p.peek()
+            # `"tbl"."col"`: the quoted table arrives alone and the
+            # tokenizer glues `."col"` (or `.col`) into the next token
+            if first.kind == "qident" and nxt is not None and nxt.kind in ("word", "qident"):
+                v = nxt.value
+                if v.startswith("."):
+                    p.next()
+                    tbl, col = name, v[1:].strip('"')
+                    rule.column = (tbl, col)
+                    name = None
+            if name is not None:
+                if "." in name:
+                    tbl, col = name.rsplit(".", 1)
+                    tbl = tbl.strip('"')
+                    col = col.strip('"')
+                else:
+                    tbl, col = "", name
+                rule.column = (tbl, col)
+        # `to <type>` is optional: `type date drop not null using f`
+        if p.at_word("to"):
+            p.next()
+            rule.target_type = p.next().value
         while p.at_word("drop", "keep", "using"):
             w = p.next().value.lower()
             if w == "using":
-                rule.using = p.next().value
+                nt = p.peek()
+                if nt is not None and nt.kind == "lparen":
+                    rule.using = _capture_sexp(p)  # incl. (lambda ...) forms
+                else:
+                    rule.using = p.next().value
             else:
                 t = p.next().value.lower()
                 if t == "not":

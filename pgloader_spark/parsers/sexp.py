@@ -154,6 +154,13 @@ def compile_sexp(node: Node, fields: dict[str, Column] | None = None) -> Column:
         if not node or not isinstance(node[0], Sym):
             raise SexpError(f"cannot call non-symbol: {node!r}")
         fname = node[0].name
+        if fname.lower() == "lambda":
+            # (lambda (field...) body): parameters ARE the source field
+            # names in USING clauses, so compiling the body with normal
+            # field resolution applies the transform to those columns
+            if len(node) != 3:
+                raise SexpError("lambda needs exactly (lambda (params) body)")
+            return compile_sexp(node[2], fields)
         fn = TRANSFORMS.get(fname) or _BUILTINS.get(fname.lower())
         if fn is None:
             raise SexpError(
