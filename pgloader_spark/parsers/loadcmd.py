@@ -160,7 +160,7 @@ _SOURCE_KINDS = {
 _SECTION_WORDS = {
     "into", "with", "set", "cast", "before", "after", "including",
     "excluding", "target", "having", "decoding", "alter", "when",
-    "finally", "load", "and", "materialize",
+    "finally", "load", "and", "materialize", "distribute",
 }
 
 
@@ -338,6 +338,24 @@ def _parse_one_command(p: _P) -> LoadCommand:
         elif w == "alter":
             p.next()
             _parse_alter(p, cmd)
+        elif w == "distribute":
+            # DISTRIBUTE t USING col [FROM t1, t2] | DISTRIBUTE t AS REFERENCE
+            p.next()
+            tbl = p.next().value
+            rule = {"table": tbl, "column": None, "from_tables": []}
+            if p.at_word("as"):
+                p.next()
+                p.eat_word("reference")
+            else:
+                p.eat_word("using")
+                rule["column"] = p.next().value
+                if p.at_word("from"):
+                    p.next()
+                    rule["from_tables"].append(p.next().value)
+                    while p.peek() and p.peek().kind == "comma":
+                        p.next()
+                        rule["from_tables"].append(p.next().value)
+            cmd.options.setdefault("distribute", []).append(rule)
         elif w == "when" and cmd.source_kind == "messages":
             p.next()
             _parse_scanner(p, cmd)

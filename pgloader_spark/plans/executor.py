@@ -183,6 +183,36 @@ def validation_rules(cmd: LoadCommand) -> list[ColumnRule]:
     return rules
 
 
+def execute_archive(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport]:
+    """LOAD ARCHIVE: fetch/expand the archive, then run each nested
+    command with its FILENAME MATCHING resolved against the extracted
+    files; FINALLY DO statements run last
+    (src/parsers/command-archive.lisp:20-64)."""
+    from pgloader_spark.sources.files import expand_archive
+
+    src = cmd.source
+    if src.startswith(("http://", "https://")):
+        from pgloader_spark.sources.files import fetch_http
+
+        src = fetch_http(src)
+    files = expand_archive(src)
+    extract_dir = os.path.dirname(files[0]) if files else "."
+
+    for stmt in cmd.before_load:
+        if ctx.sql_runner:
+            ctx.sql_runner(stmt)
+
+    reports = []
+    for nested in cmd.nested:
+        nested.source_dir = nested.source_dir or extract_dir
+        reports.append(execute(ctx, nested))
+
+    for stmt in cmd.finally_do:
+        if ctx.sql_runner:
+            ctx.sql_runner(stmt)
+    return reports
+
+
 def execute(ctx: ExecutionContext, cmd: LoadCommand) -> LoadReport:
     """parse result -> report. BEFORE/AFTER LOAD DO statements run
     through ctx.sql_runner when provided (JDBC in production; DuckDB
