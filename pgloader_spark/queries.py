@@ -1245,24 +1245,32 @@ def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster id plays the LSH-bucket role): the self-join shuffles on
     the block key only, never the full cross product."""
     emb = read_table(spark, sf_dir, "embeddings", widen=True)
-    a = emb.select(
+    # Norms are computed ONCE per row before the self-join (not per
+    # pair), and the fold-based dot keeps the expression tree small —
+    # the unrolled variant blew Janino's 64KB codegen limit and fell
+    # back to interpreted eval.
+    base = emb.select(
         F.col("label").alias("blk"),
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("v"),
+    ).withColumn("n2", similarity.norm2(F.col("v")))
+    a = base.select(
+        "blk",
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("n2").alias("na"),
     )
-    b = emb.select(
-        F.col("label").alias("blk"),
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"),
+    b = base.select(
+        "blk",
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("n2").alias("nb"),
     )
     pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
     cos = F.round(
         F.round(
-            similarity.dot_fixed(F.col("va"), F.col("vb"), 64)
-            / F.sqrt(
-                similarity.dot_fixed(F.col("va"), F.col("va"), 64)
-                * similarity.dot_fixed(F.col("vb"), F.col("vb"), 64)
-            ),
+            similarity.dot(F.col("va"), F.col("vb"))
+            / F.sqrt(F.col("na") * F.col("nb")),
             6,
         ),
         4,
