@@ -23,8 +23,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from pgloader_spark.operators.text import tokens
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Disk-backed persist for an intermediate referenced 2+ times.
+
+    Without it Spark re-runs the whole tokenize/explode/distinct
+    subtree once per reference (measured 4 full scans in the
+    shingle-Jaccard plan).  MEMORY_AND_DISK costs one shuffle-like
+    materialization and degrades to disk at 100 TB — the same
+    trade every production LSH pipeline makes (persist or
+    checkpoint the shingle table).  Spark's CacheManager keys the
+    entry by canonical plan, so repeated calls reuse one entry.
+    """
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 N_MINHASH = 12
 N_BANDS = 4  # 12 hashes -> 4 bands x 3 rows
@@ -243,7 +258,7 @@ def shingle_jaccard_pairs(
     the shingle — an 8-byte shuffle key instead of a string (any
     collision affects both engines identically, so parity holds).
     """
-    sh = (
+    sh = _pin(
         shingle_rows(df, id_col, text_col, k)
         .select(F.col(id_col), md5_hash64(F.col("sh"), seed=0).alias("sh"))
         .distinct()
@@ -295,7 +310,7 @@ def token_jaccard_pairs(
     """
     toks = F.array_distinct(tokens(text_col))
     docs = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
-    ex = docs.select("id", F.explode("toks").alias("tok"))
+    ex = _pin(docs.select("id", F.explode("toks").alias("tok")))
     dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     # per-doc tokens ordered rarest-first under the global (df, tok)
     # total order; struct sort gives exactly that ordering
@@ -310,12 +325,12 @@ def token_jaccard_pairs(
         )
     )
     prefix_len = (F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1).cast("int")
-    pre = ordered.select(
+    pre = _pin(ordered.select(
         "id",
         "toks",
         "n",
         F.explode(F.slice("toks", 1, prefix_len)).alias("tok"),
-    )
+    ))
     a = pre.select(
         F.col("tok"),
         F.col("id").alias("id_a"),
