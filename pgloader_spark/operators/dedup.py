@@ -253,8 +253,8 @@ def shingle_jaccard_pairs(
     """Exact Jaccard over k-word shingle sets for pairs sharing >=1 shingle.
 
     Shingles are near-unique keys, so the self-join is sparse; the
-    |A ∪ B| term comes from per-doc set sizes (broadcast-size dim at
-    any realistic near-dup rate).  The join key is a 60-bit hash of
+    |A ∪ B| term comes from per-doc set sizes joined back on the id
+    key.  The join key is a 60-bit hash of
     the shingle — an 8-byte shuffle key instead of a string (any
     collision affects both engines identically, so parity holds).
     """
@@ -270,11 +270,14 @@ def shingle_jaccard_pairs(
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # sizes has one row per document, so it scales with the corpus —
+    # no broadcast hint; AQE converts these to broadcast joins while
+    # the table is small and shuffles on the id key beyond that.
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        common.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",

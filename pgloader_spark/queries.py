@@ -115,7 +115,14 @@ LIMIT 10
 """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join + agg + top-k; customer dim is broadcast."""
+    """Join + agg + top-k.
+
+    No forced broadcasts: customer and orders scale with SF, so a
+    broadcast hint would OOM at cluster scale.  Catalyst's size
+    estimates (and AQE's runtime conversion) still pick broadcast
+    joins when the filtered sides are small — same plan at test SF,
+    shuffle join when the data outgrows executor memory.
+    """
     cust = read_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = read_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")
@@ -126,8 +133,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = F.lit(1).cast(DEC)
     rev = _dec("l_extendedprice") * (one - _dec("l_discount"))
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(
             "l_orderkey",
             F.col("o_orderdate").cast("date").alias("o_orderdate"),
@@ -158,7 +165,10 @@ GROUP BY r_name, n_name
 """,
 )
 def q5_supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-way star join: all dims broadcast, one shuffle for the agg."""
+    """Multi-way star join: fixed-size dims (nation, region) broadcast,
+    one shuffle for the agg.  supplier and orders scale with SF, so
+    they carry no hint — Catalyst/AQE broadcasts them while small and
+    falls back to shuffle joins at cluster scale."""
     li = read_table(spark, sf_dir, "lineitem")
     sup = read_table(spark, sf_dir, "supplier")
     nat = read_table(spark, sf_dir, "nation")
@@ -170,10 +180,10 @@ def q5_supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = F.lit(1).cast(DEC)
     rev = _dec("l_extendedprice") * (one - _dec("l_discount"))
     return (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
-        .join(orders.hint("broadcast"), li.l_orderkey == orders.o_orderkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("r_name", "n_name")
         .agg(
             F.sum(rev).cast("double").alias("revenue"),
@@ -1016,8 +1026,11 @@ def join_asof_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("a_ts"),
     )
     clicks = ev.filter(F.col("event_type") == "click")
+    # No broadcast hint: the anchor set scales with the event stream.
+    # The equi component (user key) keeps this a hash-partitionable
+    # join; AQE broadcasts it at small SF on its own.
     j = clicks.join(
-        F.broadcast(anchor),
+        anchor,
         (clicks.user_id == anchor.a_user) & (clicks.ts <= anchor.a_ts),
     )
     w = W.partitionBy("a_id").orderBy(F.desc("ts"), F.desc("event_id"))
