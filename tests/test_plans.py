@@ -1,0 +1,88 @@
+"""Plan-contract tests: the scale properties the queries rely on.
+
+Correctness is covered by the DuckDB oracles; these tests pin the
+*physical plan* properties that make the same queries viable at
+cluster scale — filter pushdown into the parquet scan, column
+pruning, and the absence of forced broadcasts on data-scaled join
+sides (reference has no optimizer to compare against; see SURVEY.md
+section 4 for what Catalyst supplies for free).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from pgloader_spark import queries as Q
+
+
+def _formatted_plan(df) -> str:
+    je = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return je.explainString(mode)
+
+
+def _scans(plan: str) -> list[str]:
+    """Split the formatted plan into per-scan detail blocks."""
+    blocks = re.split(r"\n\(\d+\) ", plan)
+    return [b for b in blocks if "PushedFilters" in b]
+
+
+def test_q3_pushes_filters_and_prunes_columns(spark, sf_dir):
+    plan = _formatted_plan(Q.q3_shipping_priority(spark, sf_dir))
+    scans = _scans(plan)
+    assert len(scans) >= 3
+    pushed = "\n".join(scans)
+    # the three selective predicates reach the parquet reader
+    assert "GreaterThan(l_shipdate" in pushed
+    assert "LessThan(o_orderdate" in pushed
+    assert "EqualTo(c_mktsegment,BUILDING)" in pushed
+    # lineitem scan reads only the 4 needed columns of 16
+    li_scan = next(s for s in scans if "l_shipdate" in s)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", li_scan)
+    assert m and len(m.group(1).split(",")) <= 4
+
+
+def test_q5_broadcasts_only_fixed_size_dims(spark, sf_dir):
+    df = Q.q5_supplier_nation_revenue(spark, sf_dir)
+    plan = _formatted_plan(df)
+    # nation/region are constant-size: hinted broadcasts must survive
+    assert plan.count("BroadcastExchange") >= 2
+    # no forced broadcast on SF-scaled sides: the logical plan keeps
+    # hints as ResolvedHint nodes; only nation/region may carry one
+    logical = str(df._jdf.queryExecution().optimizedPlan())
+    for line in logical.splitlines():
+        if "broadcast" in line.lower() and "Relation" in line:
+            assert "nation" in line or "region" in line
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["q1_pricing_summary", "window_top3_orders_per_customer", "events_sessionize"],
+)
+def test_hot_queries_stay_jvm_side(spark, sf_dir, qname):
+    """No Python evaluation in the hot path: the plans contain no
+    BatchEvalPython / ArrowEvalPython nodes (everything compiles to
+    Column expressions inside whole-stage codegen)."""
+    df = Q.QUERIES[qname](spark, sf_dir)
+    plan = _formatted_plan(df)
+    assert "EvalPython" not in plan
+    # AQE finalizes (and codegens) the plan only at execution time
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    # codegen stages print as "*(n) Operator" in the simple plan string
+    assert re.search(r"\*\(\d+\) ", final)
+    assert "EvalPython" not in final
+
+
+def test_dedup_shingle_jaccard_has_no_forced_broadcast(spark, sf_dir):
+    from pgloader_spark.operators.dedup import shingle_jaccard_pairs
+    from pgloader_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    df = shingle_jaccard_pairs(docs)
+    logical = str(df._jdf.queryExecution().logical())
+    assert "UnresolvedHint" not in logical
