@@ -7,6 +7,14 @@
 - ``lsh_buckets`` / ``lsh_topk``: random-hyperplane LSH — the scale
   path.  Bucketing is a narrow projection; search touches only
   matching buckets, cutting the scanned corpus by ~2^n_planes.
+- ``ivf_assign`` / ``ivf_topk``: IVF-style partitioned search — the
+  other classic scale path.  Centroids live on the driver (they are
+  tiny by construction) and are inlined as literals, so assignment is
+  a narrow shuffle-free projection; search probes only the query's
+  cell.  Centroid choice here is deterministic (first-K by id) rather
+  than k-means — the assignment/probe plumbing, which is the part that
+  must scale, is identical either way, and a trained k-means model
+  would simply replace the centroid list.
 
 Dot products fold left-to-right in doubles (F.aggregate over
 zip_with) so the DuckDB oracle reproduces values exactly.
@@ -151,6 +159,99 @@ def lsh_buckets(
     """(id, bucket) — narrow projection; bucket histogram shows recall/cost."""
     return df.select(
         F.col(id_col), lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket")
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic centroid list: the first-K corpus vectors by id.
+
+    Collected to the driver (K is tiny by construction — real IVF uses
+    K ≈ sqrt(N) centroids, still driver-sized at 100 TB corpus scale)
+    and inlined as literals so assignment needs no join or shuffle.
+    """
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(cid, [float(x) for x in r[1]]) for cid, r in enumerate(rows)]
+
+
+def ivf_assign(
+    vec_col: Column, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """Nearest-centroid cell id — a narrow per-row projection.
+
+    Picks argmax cosine (rounded to 6 decimals, ties to the lowest
+    centroid id) via array_max over (score, -cid) structs: struct
+    comparison is lexicographic, so max score wins and -cid breaks
+    ties toward the smallest id — matching the oracle's
+    ROW_NUMBER() ... ORDER BY s DESC, cid.
+    """
+    v = vec_col.cast("array<double>")
+    vn2 = dot(v, v)
+    entries = []
+    for cid, cvec in centroids:
+        c = F.array(*[F.lit(x) for x in cvec])
+        cn2 = 0.0
+        for x in cvec:  # left-to-right fold, same order as dot()
+            cn2 += x * x
+        score = F.round(dot(v, c) / F.sqrt(vn2 * F.lit(cn2)), 6)
+        entries.append(F.struct(score.alias("s"), F.lit(-cid).alias("nc")))
+    return (-F.array_max(F.array(*entries))["nc"]).cast("int")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: candidates restricted to the query's cell (n_probe=1).
+
+    One narrow assignment pass over the corpus, then the same
+    broadcast-join + per-query top-k as ``lsh_topk``.  At scale the
+    corpus side would be written out partitioned by cell so repeated
+    queries prune to one cell's files.
+    """
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    _dot = dot
+    cb = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).cast("array<double>").alias("n_vec"),
+        ivf_assign(F.col(vec_col), cents).alias("cell"),
+    ).withColumn("n_n2", _dot(F.col("n_vec"), F.col("n_vec")))
+    qb = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+        ivf_assign(F.col(vec_col), cents).alias("cell"),
+    ).withColumn("q_n2", _dot(F.col("q_vec"), F.col("q_vec")))
+    scored = (
+        cb.join(F.broadcast(qb), "cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(
+                _dot(F.col("q_vec"), F.col("n_vec"))
+                / F.sqrt(F.col("q_n2") * F.col("n_n2")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos_sim", "rank")
     )
 
 

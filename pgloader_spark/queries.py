@@ -818,6 +818,62 @@ def similarity_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries_df, dim=64, k=10, n_planes=4)
 
 
+_DUCK_IVF_ASSIGN = f"""
+cent AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         embedding AS cvec
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+scored_cells AS (
+  SELECT e.vec_id, c.cid,
+         {_DUCK_COS.format(a="e.embedding", b="c.cvec")} AS s
+  FROM embeddings e CROSS JOIN cent c),
+asg AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+    FROM scored_cells) WHERE rn = 1)
+"""
+
+
+@query(
+    "similarity_ivf_assign",
+    oracle=f"""
+WITH {_DUCK_IVF_ASSIGN}
+SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM asg
+""",
+)
+def similarity_ivf_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell assignment — centroids inlined as literals, no shuffle."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(emb, n_centroids=8)
+    return emb.select(
+        "vec_id", similarity.ivf_assign(F.col("embedding"), cents).alias("cell")
+    )
+
+
+@query(
+    "similarity_ivf_topk",
+    oracle=f"""
+WITH {_DUCK_IVF_ASSIGN},
+c AS (SELECT e.vec_id AS n_id, e.embedding AS n_vec, a.cell
+      FROM embeddings e JOIN asg a USING (vec_id)),
+q AS (SELECT e.vec_id AS q_id, e.embedding AS q_vec, a.cell
+      FROM embeddings e JOIN asg a USING (vec_id) WHERE e.vec_id % 50 = 0),
+s AS (
+  SELECT q_id, n_id, {_DUCK_COS.format(a="q.q_vec", b="c.n_vec")} AS cos_sim
+  FROM c JOIN q USING (cell) WHERE n_id <> q_id),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS INTEGER) AS rank FROM s)
+SELECT q_id, n_id, cos_sim, rank FROM r WHERE rank <= 10
+""",
+)
+def similarity_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed approximate top-k (n_probe=1) — the other scale path."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.ivf_topk(emb, queries_df, k=10, n_centroids=8)
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------

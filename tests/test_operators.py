@@ -79,6 +79,35 @@ def test_cosine_topk_self_excluded_and_ranked(spark):
     assert out[0]["rank"] == 1 and out[0]["cos_sim"] > 0.99
 
 
+def test_ivf_assign_and_probe(spark):
+    # two obvious clusters around x-axis and y-axis
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.1, 0.9]),
+            (4, [1.0, 0.05]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = similarity.ivf_centroids(emb, n_centroids=2)
+    assert [cid for cid, _ in cents] == [0, 1]
+    assign = {
+        r["vec_id"]: r["cell"]
+        for r in emb.select(
+            "vec_id", similarity.ivf_assign(F.col("embedding"), cents).alias("cell")
+        ).collect()
+    }
+    assert assign[2] == assign[4] == assign[0] == 0
+    assert assign[3] == assign[1] == 1
+    q = emb.filter(F.col("vec_id") == 0)
+    out = similarity.ivf_topk(emb, q, k=5, n_centroids=2).collect()
+    # probe stays inside cell 0: neighbors 2 and 4 only, never 1/3
+    assert {r["n_id"] for r in out} == {2, 4}
+    assert out[0]["rank"] == 1
+
+
 def test_lang_id_english(spark):
     df = spark.createDataFrame(
         [(1, "the cat and the dog are in the house with a mouse")],
