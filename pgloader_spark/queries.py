@@ -194,6 +194,176 @@ def q5_supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate.
+
+    The whole query is one narrow stage + a scalar reduce; every
+    predicate reaches the parquet scan as a pushed filter, so at
+    100 TB this reads only the row groups whose min/max overlap."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q4_order_priority_exists",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+""",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with a non-equi conjunct.
+
+    Expressed directly as a left-semi join with a compound condition —
+    the same decorrelated plan Catalyst rewrites the subquery into.
+    The equi half (l_orderkey = o_orderkey) keys the shuffle; the
+    date comparison rides along as a post-probe filter."""
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q13_customer_order_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+       ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey) t
+GROUP BY c_count
+""",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join with a join-side filter, double agg.
+
+    The second aggregation's input is one row per customer, so the
+    second shuffle is tiny; the first groupBy reuses the join's
+    hash partitioning on c_custkey (no extra exchange)."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "1-URGENT"),
+        "left_outer",
+    )
+    return (
+        joined.groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "q18_large_volume_orders",
+    oracle="""
+SELECT c_name, o_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey
+                     HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+GROUP BY c_name, o_custkey, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
+""",
+)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN over a grouped HAVING subquery.
+
+    The qualifying-keys aggregate is computed once and applied as a
+    left-semi join on the orders side BEFORE the 3-way join, so the
+    expensive join only sees qualifying orders. Decimal-exact sum."""
+    li = read_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("__sq"))
+        .filter(F.col("__sq") > F.lit(300).cast(DEC))
+        .select("l_orderkey")
+    )
+    orders = read_table(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_totalprice",
+        )
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+    )
+
+
+@query(
+    "subq_top_supplier_per_nation",
+    oracle="""
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+FROM supplier s1
+WHERE s_acctbal = (SELECT MAX(s2.s_acctbal) FROM supplier s2
+                   WHERE s2.s_nationkey = s1.s_nationkey)
+""",
+)
+def subq_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q2's core shape).
+
+    Decorrelated by hand into a window max over the correlation key —
+    one shuffle on s_nationkey instead of a self-join, which is also
+    the plan Catalyst produces for the SQL form."""
+    sup = read_table(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey")
+    return (
+        sup.withColumn("__mx", F.max("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("__mx"))
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    )
+
+
+@query(
     "join_semi_customers_with_orders",
     oracle="""
 SELECT c_custkey, c_name, c_mktsegment FROM customer
