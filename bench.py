@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_bands",
     "dedup_shingle_jaccard",
+    "dedup_token_jaccard",
     "similarity_cosine_topk",
     "text_quality_stats",
     "text_langid",

@@ -9,10 +9,17 @@ Scale notes (the point of this module):
   self-join, whose key cardinality ≈ n_docs × n_bands and whose
   groups are tiny unless there are real near-duplicates (AQE skew
   join handles pathological buckets).
-- ``simhash``: narrow map to a 32-bit signature, then an exact
+- ``simhash``: narrow map to a 60-bit signature, then an exact
   group-by — near-dup detection at Hamming distance 0 cost.
-- ``shingle-Jaccard``: exact verification join on 3-word shingles —
-  selective keys (shingles are near-unique), so the join stays sparse.
+- ``token/shingle-Jaccard``: EXACT Jaccard with PPJoin prefix
+  filtering — both paths share ``_prefix_candidates``, which orders
+  each document's item set rarest-first under one global
+  document-frequency total order and joins on the length
+  ``n - ceil(t*n) + 1`` prefix only.  A boilerplate shingle shared by
+  millions of documents (license headers, "terms of service") never
+  lands in any prefix, so the O(df^2) hot-key blowup of a naive
+  item self-join cannot occur; the theorem guarantees no true pair
+  is lost, so results are bit-identical to the unpruned join.
 
 All hashing is md5-based so the DuckDB oracle can reproduce values
 bit-for-bit (Spark ``xxhash64``/``hash`` have no DuckDB equivalent).
@@ -209,11 +216,21 @@ def minhash_candidate_pairs(
     )
 
 
-def simhash32(text_col: Column | str) -> Column:
-    """32-bit SimHash over the distinct token set (unit weights).
+SIMHASH_BITS = 60  # md5_hash64 yields 60 usable bits; bit 63 would overflow int64
+
+
+def simhash60(text_col: Column | str, bits: int = SIMHASH_BITS) -> Column:
+    """60-bit SimHash over the distinct token set (unit weights).
 
     Each bit j of the signature is the sign of sum over tokens of
     (bit j of md5-hash(token)) * 2 - 1.  Pure array folds — narrow.
+
+    Width rationale: a b-bit signature produces ~n^2 / 2^(b+1)
+    accidental collisions over n documents.  At n = 10^9 that is
+    ~10^9 false near-dup pairs for b = 32 (useless) but ~0.4 for
+    b = 60 — so 60 bits, the full usable width of the
+    DuckDB-reproducible md5-prefix hash (15 hex digits; bit 63
+    would overflow a signed int64 on both engines).
     """
     toks = F.array_distinct(tokens(text_col))
     hashes = F.transform(toks, lambda t: md5_hash64(t, seed=99))
@@ -224,7 +241,7 @@ def simhash32(text_col: Column | str) -> Column:
         )
 
     bit_sums = [
-        F.aggregate(hashes, F.lit(0).cast("long"), _bit_merge(j)) for j in range(32)
+        F.aggregate(hashes, F.lit(0).cast("long"), _bit_merge(j)) for j in range(bits)
     ]
     out = F.lit(0).cast("long")
     for j, s in enumerate(bit_sums):
@@ -237,9 +254,108 @@ def simhash_duplicates(
 ) -> DataFrame:
     """Group by exact SimHash signature (Hamming distance 0 near-dups)."""
     return (
-        df.select(F.col(id_col), simhash32(text_col).alias("simhash"))
+        df.select(F.col(id_col), simhash60(text_col).alias("simhash"))
         .groupBy("simhash")
         .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _prefix_candidates(items_df: DataFrame, threshold: float) -> DataFrame:
+    """Candidate pairs via PPJoin-style prefix filtering — EXACT pruning.
+
+    ``items_df`` is (id, items: array) with distinct items per doc.
+    The prefix-filter theorem: order every document's items by
+    ascending global document frequency (one consistent total order —
+    struct sort on (df, item)), keep only the first
+    n - ceil(t*n) + 1 items ("the prefix"), and join on prefix items
+    only.  Any pair with Jaccard >= t shares at least ceil(t*n)
+    items, so it MUST collide inside both prefixes — no true pair is
+    lost.  A boilerplate item appearing in millions of documents
+    sorts last and never enters a prefix, so the O(df^2) hot-key
+    blowup of a naive item self-join cannot occur.
+
+    Returns (id_a, id_b, items_a, items_b, n_a, n_b), one row per
+    candidate pair, items joined back AFTER pair dedup so the heavy
+    array payload never rides the candidate shuffle: a true near-dup
+    pair collides on up to prefix-length items, and carrying both
+    token arrays through every collision (then dropDuplicates) makes
+    the shuffle O(collisions * doc-size) — measured 126 GB at sf0.1
+    on a dup-heavy corpus.  Narrow (id_a, id_b) pairs shuffle in
+    16 bytes/row; arrays attach once per DISTINCT pair via two id
+    joins against the pinned per-doc table (AQE broadcasts it while
+    small, hash-joins on id beyond that).
+    """
+    ex = _pin(items_df.select("id", F.explode("items").alias("item")))
+    dfreq = ex.groupBy("item").agg(F.count(F.lit(1)).alias("df"))
+    # per-doc items ordered rarest-first under the global (df, item)
+    # total order; struct sort gives exactly that ordering
+    ordered = _pin(
+        ex.join(dfreq, "item")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "item"))).alias("arr"))
+        .select(
+            "id",
+            F.transform("arr", lambda s: s["item"]).alias("items"),
+            F.size("arr").alias("n"),
+        )
+    )
+    prefix_len = (F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1).cast("int")
+    pre = _pin(
+        ordered.select(
+            "id",
+            "n",
+            F.explode(F.slice("items", 1, prefix_len)).alias("item"),
+        )
+    )
+    a = pre.select(F.col("item"), F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    b = pre.select(F.col("item"), F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    # PPJoin length filter: J >= t forces t*max(n_a,n_b) <= min(n_a,n_b)
+    # (intersection <= min, union >= max).  The 1e-9 slack absorbs
+    # float rounding — it can only admit a borderline candidate, which
+    # exact verification then rejects.
+    length_ok = (
+        F.col("n_a").cast("double") >= F.lit(threshold) * F.col("n_b") - F.lit(1e-9)
+    ) & (F.col("n_b").cast("double") >= F.lit(threshold) * F.col("n_a") - F.lit(1e-9))
+    cand_ids = (
+        a.join(b, "item")
+        .filter((F.col("id_a") < F.col("id_b")) & length_ok)
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    full_a = ordered.select(
+        F.col("id").alias("id_a"),
+        F.col("items").alias("items_a"),
+        F.col("n").alias("n_a"),
+    )
+    full_b = ordered.select(
+        F.col("id").alias("id_b"),
+        F.col("items").alias("items_b"),
+        F.col("n").alias("n_b"),
+    )
+    return cand_ids.join(full_a, "id_a").join(full_b, "id_b")
+
+
+def _jaccard_pairs_ppjoin(items_df: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard >= threshold over per-doc item sets.
+
+    Prefix-filtered candidate generation (see ``_prefix_candidates``)
+    then exact verification with array_intersect on the full item
+    sets.  Join volume drops from DF^2 on common items to
+    near-linear in real near-duplicates; the verification carries
+    each doc's item array once per candidate (cheap at any realistic
+    near-dup rate).
+    """
+    cand = _prefix_candidates(items_df, threshold)
+    inter = F.size(F.array_intersect("items_a", "items_b"))
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.round(
+                inter / (F.col("n_a") + F.col("n_b") - inter).cast("double"), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -250,45 +366,23 @@ def shingle_jaccard_pairs(
     threshold: float = 0.5,
     k: int = SHINGLE_K,
 ) -> DataFrame:
-    """Exact Jaccard over k-word shingle sets for pairs sharing >=1 shingle.
+    """Exact Jaccard over k-word shingle sets, prefix-filtered (PPJoin).
 
-    Shingles are near-unique keys, so the self-join is sparse; the
-    |A ∪ B| term comes from per-doc set sizes joined back on the id
-    key.  The join key is a 60-bit hash of
-    the shingle — an 8-byte shuffle key instead of a string (any
-    collision affects both engines identically, so parity holds).
+    Items are 60-bit hashes of the shingles — an 8-byte join/shuffle
+    payload instead of a k-word string (any collision affects both
+    engines identically, so oracle parity holds).  The hash + distinct
+    is a pure narrow map (array HOFs, no explode/groupBy); the only
+    shuffles are the document-frequency aggregation and the pruned
+    prefix join.  Unlike a raw shingle self-join, a hot boilerplate
+    shingle (license header, navigation chrome) cannot produce
+    O(df^2) join rows: it sorts last in every document's
+    rarest-first ordering and never enters a prefix.
     """
-    sh = _pin(
-        shingle_rows(df, id_col, text_col, k)
-        .select(F.col(id_col), md5_hash64(F.col("sh"), seed=0).alias("sh"))
-        .distinct()
+    items = F.array_distinct(F.transform(shingles(text_col, k), _seeded_hash(0)))
+    return _jaccard_pairs_ppjoin(
+        df.select(F.col(id_col).alias("id"), items.alias("items")), threshold
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    # sizes has one row per document, so it scales with the corpus —
-    # no broadcast hint; AQE converts these to broadcast joins while
-    # the table is small and shuffles on the id key beyond that.
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
-                6,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+
 
 def token_jaccard_pairs(
     df: DataFrame,
@@ -299,67 +393,11 @@ def token_jaccard_pairs(
     """Exact token-set Jaccard via prefix filtering (PPJoin-style).
 
     A naive token self-join is quadratic in document frequency: a
-    stopword shared by every document emits |corpus|^2/2 pairs. The
-    prefix-filter theorem keeps the join EXACT while pruning it: order
-    every document's tokens by ascending global document frequency
-    (one consistent total order), keep only the first
-    n - ceil(t*n) + 1 tokens ("the prefix"), and join on prefix
-    tokens only — any pair with Jaccard >= t MUST collide inside both
-    prefixes. Candidates are then verified on the full token sets
-    with array_intersect. Join volume drops from DF^2 on common
-    tokens to near-linear in real near-duplicates; the verification
-    carries each doc's token array once per candidate (cheap at any
-    realistic near-dup rate).
+    stopword shared by every document emits |corpus|^2/2 pairs.  The
+    shared prefix-filtered core keeps the join EXACT while pruning it
+    (see ``_prefix_candidates``).
     """
     toks = F.array_distinct(tokens(text_col))
-    docs = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
-    ex = _pin(docs.select("id", F.explode("toks").alias("tok")))
-    dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    # per-doc tokens ordered rarest-first under the global (df, tok)
-    # total order; struct sort gives exactly that ordering
-    ordered = (
-        ex.join(dfreq, "tok")
-        .groupBy("id")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("arr"))
-        .select(
-            "id",
-            F.transform("arr", lambda s: s["tok"]).alias("toks"),
-            F.size("arr").alias("n"),
-        )
-    )
-    prefix_len = (F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1).cast("int")
-    pre = _pin(ordered.select(
-        "id",
-        "toks",
-        "n",
-        F.explode(F.slice("toks", 1, prefix_len)).alias("tok"),
-    ))
-    a = pre.select(
-        F.col("tok"),
-        F.col("id").alias("id_a"),
-        F.col("toks").alias("toks_a"),
-        F.col("n").alias("n_a"),
-    )
-    b = pre.select(
-        F.col("tok"),
-        F.col("id").alias("id_b"),
-        F.col("toks").alias("toks_b"),
-        F.col("n").alias("n_b"),
-    )
-    cand = (
-        a.join(b, "tok")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "toks_a", "toks_b", "n_a", "n_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    return (
-        cand.select(
-            "id_a",
-            "id_b",
-            F.round(
-                inter / (F.col("n_a") + F.col("n_b") - inter).cast("double"), 6
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    return _jaccard_pairs_ppjoin(
+        df.select(F.col(id_col).alias("id"), toks.alias("items")), threshold
     )

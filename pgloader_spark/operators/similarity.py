@@ -183,19 +183,31 @@ def ivf_centroids(
     return [(cid, [float(x) for x in r[1]]) for cid, r in enumerate(rows)]
 
 
-def ivf_assign(
-    vec_col: Column, centroids: list[tuple[int, list[float]]]
+def ivf_cells(
+    vec_col: Column,
+    centroids: list[tuple[int, list[float]]],
+    n_probe: int = 1,
+    norm2_col: Column | None = None,
 ) -> Column:
-    """Nearest-centroid cell id — a narrow per-row projection.
+    """Top-``n_probe`` nearest-centroid cell ids — narrow per-row projection.
 
-    Picks argmax cosine (rounded to 6 decimals, ties to the lowest
-    centroid id) via array_max over (score, -cid) structs: struct
-    comparison is lexicographic, so max score wins and -cid breaks
-    ties toward the smallest id — matching the oracle's
-    ROW_NUMBER() ... ORDER BY s DESC, cid.
+    Ranks centroids by cosine (rounded to 6 decimals, ties to the
+    lowest centroid id) via a descending sort of (score, -cid)
+    structs: struct comparison is lexicographic, so higher score
+    sorts first and -cid breaks ties toward the smallest id —
+    matching the oracle's ROW_NUMBER() ... ORDER BY s DESC, cid.
+
+    ``norm2_col``: pass a precomputed squared-norm column to avoid
+    embedding the O(dim) aggregate fold once per centroid in the
+    expression tree (K copies otherwise rely on codegen
+    subexpression elimination).
+
+    Zero-norm vectors have no defined cosine (every score NULL); they
+    deterministically probe cells 0..n_probe-1 rather than letting
+    NULL-ordering pick an arbitrary cell.
     """
     v = vec_col.cast("array<double>")
-    vn2 = dot(v, v)
+    vn2 = norm2_col if norm2_col is not None else dot(v, v)
     entries = []
     for cid, cvec in centroids:
         c = F.array(*[F.lit(x) for x in cvec])
@@ -204,7 +216,19 @@ def ivf_assign(
             cn2 += x * x
         score = F.round(dot(v, c) / F.sqrt(vn2 * F.lit(cn2)), 6)
         entries.append(F.struct(score.alias("s"), F.lit(-cid).alias("nc")))
-    return (-F.array_max(F.array(*entries))["nc"]).cast("int")
+    top = F.slice(F.sort_array(F.array(*entries), asc=False), 1, n_probe)
+    cells = F.transform(top, lambda e: (-e["nc"]).cast("int"))
+    fallback = F.array(*[F.lit(i).cast("int") for i in range(n_probe)])
+    return F.when(vn2 > 0, cells).otherwise(fallback)
+
+
+def ivf_assign(
+    vec_col: Column,
+    centroids: list[tuple[int, list[float]]],
+    norm2_col: Column | None = None,
+) -> Column:
+    """Nearest-centroid cell id (see ``ivf_cells``)."""
+    return ivf_cells(vec_col, centroids, n_probe=1, norm2_col=norm2_col)[0]
 
 
 def ivf_topk(
@@ -214,26 +238,41 @@ def ivf_topk(
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    n_probe: int = 1,
 ) -> DataFrame:
-    """IVF probe: candidates restricted to the query's cell (n_probe=1).
+    """IVF probe: candidates restricted to the query's ``n_probe`` cells.
 
     One narrow assignment pass over the corpus, then the same
-    broadcast-join + per-query top-k as ``lsh_topk``.  At scale the
+    broadcast-join + per-query top-k as ``lsh_topk``; each query
+    probes its ``n_probe`` nearest cells (explode on the tiny
+    broadcast side — the corpus is never duplicated), trading a
+    proportional candidate-set increase for recall.  At scale the
     corpus side would be written out partitioned by cell so repeated
-    queries prune to one cell's files.
+    queries prune to ``n_probe`` cells' files.
+
+    ``centroids``: pass a precomputed ``ivf_centroids`` result to
+    share one driver-side collect across assign/probe calls.
     """
-    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    cents = centroids if centroids is not None else ivf_centroids(
+        corpus, n_centroids, id_col, vec_col
+    )
     _dot = dot
     cb = corpus.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).cast("array<double>").alias("n_vec"),
-        ivf_assign(F.col(vec_col), cents).alias("cell"),
-    ).withColumn("n_n2", _dot(F.col("n_vec"), F.col("n_vec")))
+    ).withColumn("n_n2", _dot(F.col("n_vec"), F.col("n_vec"))).withColumn(
+        "cell", ivf_assign(F.col("n_vec"), cents, norm2_col=F.col("n_n2"))
+    )
     qb = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
-        ivf_assign(F.col(vec_col), cents).alias("cell"),
-    ).withColumn("q_n2", _dot(F.col("q_vec"), F.col("q_vec")))
+    ).withColumn("q_n2", _dot(F.col("q_vec"), F.col("q_vec"))).withColumn(
+        "cell",
+        F.explode(
+            ivf_cells(F.col("q_vec"), cents, n_probe=n_probe, norm2_col=F.col("q_n2"))
+        ),
+    )
     scored = (
         cb.join(F.broadcast(qb), "cell")
         .filter(F.col("n_id") != F.col("q_id"))

@@ -850,7 +850,7 @@ def _duck_simhash_sql() -> str:
     bit_terms = " + ".join(
         f"CASE WHEN list_sum(list_transform(hs, x -> ((x >> {j}) & 1) * 2 - 1)) > 0 "
         f"THEN {1 << j} ELSE 0 END"
-        for j in range(32)
+        for j in range(dedup.SIMHASH_BITS)
     )
     return f"""
 WITH toks AS (SELECT doc_id, list_distinct({toks}) AS tk FROM documents),

@@ -26,33 +26,45 @@ TABLES = (
 )
 
 
-def get_spark(app_name: str = "pgloader_spark", master: str | None = None) -> SparkSession:
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = master or f"local[{cpus}]"
-    builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
-        # Shuffle partitions sized to the local core count; on a real
-        # cluster AQE coalescing re-sizes them at runtime anyway.
-        .config("spark.sql.shuffle.partitions", str(min(int(cpus) * 2, 64)))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # testdata ships one parquet file per table; without this a
-        # 25 MB file becomes a single scan task. On a real cluster
-        # (many files) the default 128 MB is fine — this only lowers
-        # the split size so local[32] actually fans out.
-        .config("spark.sql.files.maxPartitionBytes", "4m")
-        .config("spark.sql.files.openCostInBytes", "1m")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+def session_configs(master: str, cpus: str = "32") -> dict[str, str]:
+    """Config set for a given master — the ship-everywhere settings
+    plus local-only tuning.
+
+    The local[N] overrides (4 MB parquet splits, fixed shuffle
+    partition count) exist ONLY because the testdata ships one
+    parquet file per table: without them a 25 MB file is a single
+    scan task and local[32] never fans out.  A cluster deployment
+    must keep the defaults — 4 MB splits would shred a 100 TB scan
+    into 25M tasks — so they are gated on the master string.
+    """
+    conf = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
         # testdata events.parquet carries TIMESTAMP(NANOS) which the
         # vectorized reader rejects; read as long and convert in
         # load_tables (floor-truncate to micros, matching DuckDB).
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
-    )
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
+    }
+    if master.startswith("local"):
+        # Shuffle partitions sized to the local core count; AQE
+        # coalescing re-sizes them at runtime anyway.
+        conf["spark.sql.shuffle.partitions"] = str(min(int(cpus) * 2, 64))
+        conf["spark.sql.files.maxPartitionBytes"] = "4m"
+        conf["spark.sql.files.openCostInBytes"] = "1m"
+    return conf
+
+
+def get_spark(app_name: str = "pgloader_spark", master: str | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    builder = SparkSession.builder.master(master).appName(app_name)
+    for k, v in session_configs(master, cpus).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
 
 

@@ -59,6 +59,71 @@ def test_jaccard_threshold(spark):
     assert (1, 4) not in got
 
 
+def test_prefix_filter_prunes_hot_item(spark):
+    """The PPJoin pruning contract: a boilerplate item shared by every
+    document never enters any prefix, so it generates ZERO candidate
+    pairs (a naive item self-join would emit n*(n-1)/2 on it)."""
+    n = 40
+    # each doc: 9 unique tokens + the hot token "boilerplate"
+    rows = [
+        (i, " ".join(f"u{i}w{j}" for j in range(9)) + " boilerplate")
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    items = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(F.split("text", " ")).alias("items"),
+    )
+    cand = dedup._prefix_candidates(items, threshold=0.8)
+    # pairwise Jaccard is 1/19 — but the point is the prefix join
+    # never even PRODUCES the candidates: n=10, prefix=10-8+1=3
+    # rarest-first tokens, and the hot token sorts last everywhere.
+    assert cand.count() == 0
+    # pruning is exact: true near-dups above threshold still survive
+    dup = spark.createDataFrame(
+        [(100, "x1 x2 x3 x4 x5"), (101, "x1 x2 x3 x4 x5")],
+        "doc_id long, text string",
+    )
+    out = dedup.token_jaccard_pairs(docs.union(dup), threshold=0.8).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(100, 101)}
+
+
+def test_shingle_jaccard_matches_naive_on_random_corpus(spark):
+    """Exactness of the prefix-filtered shingle path vs a brute-force
+    all-pairs computation on a corpus WITH hot boilerplate shingles."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(24):
+        base = rng.choices(vocab, k=rng.randint(4, 12))
+        rows.append((i, " ".join(base) + " common tail here"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.shingle_jaccard_pairs(docs, threshold=0.3, k=3).collect()
+    }
+
+    def sh_set(text, k=3):
+        toks = [t for t in text.split() if t]
+        if len(toks) < k:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    want = {}
+    sets = {i: sh_set(t) for i, t in rows}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter:
+            j = round(inter / len(sets[a] | sets[b]), 6)
+            if j >= 0.3:
+                want[(a, b)] = j
+    assert got == want
+
+
 def test_simhash_identical_docs_same_bucket(spark):
     out = dedup.simhash_duplicates(docs_df(spark)).collect()
     assert any(r["n_docs"] == 2 for r in out)

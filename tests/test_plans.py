@@ -86,3 +86,38 @@ def test_dedup_shingle_jaccard_has_no_forced_broadcast(spark, sf_dir):
     df = shingle_jaccard_pairs(docs)
     logical = str(df._jdf.queryExecution().logical())
     assert "UnresolvedHint" not in logical
+
+
+def test_jaccard_self_join_is_prefix_pruned(spark, sf_dir):
+    """Plan contract: both Jaccard paths self-join on a SLICED prefix
+    of the df-ordered item array, never the raw item stream — the
+    prefix filter is what stops a hot boilerplate shingle from
+    emitting O(df^2) join rows at 100 TB."""
+    from pgloader_spark.operators.dedup import (
+        shingle_jaccard_pairs,
+        token_jaccard_pairs,
+    )
+    from pgloader_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    for fn in (shingle_jaccard_pairs, token_jaccard_pairs):
+        plan = str(fn(docs)._jdf.queryExecution().optimizedPlan())
+        assert "slice(" in plan, f"{fn.__name__}: join input not prefix-sliced"
+
+
+def test_local_only_configs_gated_on_master():
+    """The 4 MB-split / fixed-shuffle-partition tweaks exist for the
+    single-file local testdata only; a cluster master must keep Spark's
+    defaults (128 MB splits, AQE-sized shuffles)."""
+    from pgloader_spark.session import session_configs
+
+    local = session_configs("local[32]", cpus="32")
+    assert local["spark.sql.files.maxPartitionBytes"] == "4m"
+    assert local["spark.sql.shuffle.partitions"] == "64"
+
+    for master in ("yarn", "k8s://https://host:443", "spark://host:7077"):
+        conf = session_configs(master)
+        assert "spark.sql.files.maxPartitionBytes" not in conf
+        assert "spark.sql.shuffle.partitions" not in conf
+        # ship-everywhere settings still present
+        assert conf["spark.sql.adaptive.enabled"] == "true"
