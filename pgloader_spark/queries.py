@@ -1041,7 +1041,40 @@ def similarity_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed approximate top-k (n_probe=1) — the other scale path."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
-    return similarity.ivf_topk(emb, queries_df, k=10, n_centroids=8)
+    cents = similarity.ivf_centroids(emb, n_centroids=8)
+    return similarity.ivf_topk(emb, queries_df, k=10, centroids=cents)
+
+
+@query(
+    "similarity_ivf_topk_p2",
+    oracle=f"""
+WITH {_DUCK_IVF_ASSIGN},
+qasg AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+    FROM scored_cells) WHERE rn <= 2),
+c AS (SELECT e.vec_id AS n_id, e.embedding AS n_vec, a.cell
+      FROM embeddings e JOIN asg a USING (vec_id)),
+q AS (SELECT e.vec_id AS q_id, e.embedding AS q_vec, a.cell
+      FROM embeddings e JOIN qasg a ON e.vec_id = a.vec_id
+      WHERE e.vec_id % 50 = 0),
+s AS (
+  SELECT q_id, n_id, {_DUCK_COS.format(a="q.q_vec", b="c.n_vec")} AS cos_sim
+  FROM c JOIN q USING (cell) WHERE n_id <> q_id),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS INTEGER) AS rank FROM s)
+SELECT q_id, n_id, cos_sim, rank FROM r WHERE rank <= 10
+""",
+)
+def similarity_ivf_topk_p2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k probing the 2 nearest cells — ~2x candidates, higher
+    recall; the corpus side is never duplicated (explode happens on the
+    tiny broadcast query side)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    cents = similarity.ivf_centroids(emb, n_centroids=8)
+    return similarity.ivf_topk(emb, queries_df, k=10, centroids=cents, n_probe=2)
 
 
 # --------------------------------------------------------------------------

@@ -171,6 +171,26 @@ def test_ivf_assign_and_probe(spark):
     # probe stays inside cell 0: neighbors 2 and 4 only, never 1/3
     assert {r["n_id"] for r in out} == {2, 4}
     assert out[0]["rank"] == 1
+    # n_probe=2 widens the probe to both cells -> full recall here,
+    # sharing the precomputed centroid list (one driver collect)
+    out2 = similarity.ivf_topk(emb, q, k=5, centroids=cents, n_probe=2).collect()
+    assert {r["n_id"] for r in out2} == {1, 2, 3, 4}
+
+
+def test_ivf_zero_norm_vector_gets_deterministic_cells(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = similarity.ivf_centroids(emb, n_centroids=2)
+    rows = emb.select(
+        "vec_id",
+        similarity.ivf_cells(F.col("embedding"), cents, n_probe=2).alias("cells"),
+        similarity.ivf_assign(F.col("embedding"), cents).alias("cell"),
+    ).collect()
+    got = {r["vec_id"]: (r["cells"], r["cell"]) for r in rows}
+    assert got[2] == ([0, 1], 0)  # zero-norm: deterministic fallback
+    assert got[0][1] == 0 and got[1][1] == 1
 
 
 def test_lang_id_english(spark):
