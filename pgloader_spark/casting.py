@@ -35,6 +35,7 @@ class SourceField:
     extra: str | None = None  # "auto_increment", "on update CURRENT_TIMESTAMP"
     unsigned: bool = False
     table_name: str | None = None
+    comment: str | None = None
 
     def typemod(self) -> tuple[int | None, int | None]:
         if not self.type_mod:
@@ -56,6 +57,7 @@ class CastResult:
     drop_default: bool = False
     default: str | None = None
     sqltype: str | None = None  # generated PG type (enum) to create first
+    sqltype_kind: str | None = None  # "enum" | "set" (set renders name[])
 
 
 Guard = Callable[[SourceField], bool]
@@ -220,20 +222,27 @@ def _mysql_rules() -> list[CastRule]:
             target=_r("bit varying", T.StringType(), transform="bits-to-hex-bitstring"),
         )
     )
-    # enum/set -> generated PG enum type (mysql.lisp:260-305)
+    # enum/set -> generated PG enum type named {table}_{column}_t
+    # (enum-or-set-name, mysql-cast-rules.lisp:7-10; registration
+    # mysql-cast-rules.lisp:260-305).  SET columns become arrays of the
+    # enum type and load through set-to-enum-array ('a,b' -> {a,b}).
     def enum_target(f: SourceField) -> CastResult:
-        tname = f"{f.table_name}_{f.name}".lower()
-        return CastResult(pg_type=tname, spark_type=T.StringType(), sqltype=tname)
+        tname = f"{f.table_name}_{f.name}_t".lower()
+        return CastResult(
+            pg_type=tname, spark_type=T.StringType(),
+            sqltype=tname, sqltype_kind="enum",
+        )
+
+    def set_target(f: SourceField) -> CastResult:
+        tname = f"{f.table_name}_{f.name}_t".lower()
+        return CastResult(
+            pg_type=f"{tname}[]", spark_type=T.StringType(),
+            transform="set-to-enum-array",
+            sqltype=tname, sqltype_kind="set",
+        )
 
     R.append(CastRule(source_type="enum", target=enum_target))
-    R.append(
-        CastRule(
-            source_type="set",
-            target=lambda f: CastResult(
-                "text", T.StringType(), transform="set-to-enum-array"
-            ),
-        )
-    )
+    R.append(CastRule(source_type="set", target=set_target))
     R.append(CastRule(source_type="point", target=_r("point", T.StringType(), "convert-mysql-point")))
     R.append(
         CastRule(

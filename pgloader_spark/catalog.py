@@ -182,13 +182,15 @@ class FKey:
 @dataclass
 class Table:
     """catalog.lisp:50-63: source-name vs target name, fields (source
-    side) vs columns (target side), indexes, fkeys, row estimate."""
+    side) vs columns (target side), indexes, fkeys, check constraints
+    (name, pg-clause) pairs (catalog.lisp:60-61), row estimate."""
 
     name: str
     source_name: str | None = None
     columns: list[Column] = field(default_factory=list)
     indexes: list[Index] = field(default_factory=list)
     fkeys: list[FKey] = field(default_factory=list)
+    check_constraints: list[tuple[str, str]] = field(default_factory=list)
     row_count_estimate: int | None = None
     comment: str | None = None
 
@@ -209,10 +211,12 @@ class Table:
 
 @dataclass
 class Schema:
-    """catalog.lisp:47-48."""
+    """catalog.lisp:47-48; ``sqltypes`` holds generated enum/set types
+    (``plans/ddl.py``) that must be created before the tables."""
 
     name: str
     tables: list[Table] = field(default_factory=list)
+    sqltypes: list = field(default_factory=list)
 
     def find_table(self, name: str) -> Table | None:
         for t in self.tables:

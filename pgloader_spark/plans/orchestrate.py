@@ -148,9 +148,18 @@ def migrate(
 
 def post_load_statements(catalog: Catalog) -> list[str]:
     """The complete-phase DDL in dependency order
-    (``migrate-database.lisp:153-250`` / ``pgsql-create-schema``):
-    indexes, unique-index -> PRIMARY KEY promotion, FKs, sequence
-    resets — emitted as SQL for the JDBC runner."""
+    (``complete-pgsql-database``, ``migrate-database.lisp:153-226``):
+    indexes, unique-index -> PRIMARY KEY promotion, FKs (which need
+    the PKs/unique indexes on the referenced side), sequence resets
+    (max() benefits from the fresh indexes), CHECK constraints,
+    triggers + procedures, comments last — emitted as SQL for the
+    JDBC runner."""
+    from pgloader_spark.plans.ddl import (
+        check_constraint_statements,
+        comment_statements,
+        create_trigger_statements,
+    )
+
     stmts: list[str] = []
     for schema in catalog.schemas:
         for t in schema.tables:
@@ -175,4 +184,7 @@ def post_load_statements(catalog: Catalog) -> list[str]:
                         f"SELECT setval('{seq}', "
                         f"(SELECT GREATEST(MAX({c.name}), 1) FROM {t.name}));"
                     )
+    stmts += check_constraint_statements(catalog)
+    stmts += create_trigger_statements(catalog)
+    stmts += comment_statements(catalog)
     return stmts

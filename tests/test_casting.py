@@ -59,8 +59,17 @@ def test_mysql_zero_date_default_dropped(mysql):
 
 def test_mysql_enum_generates_sqltype(mysql):
     res = mysql.cast(SourceField("status", "enum", type_mod="('a','b')", table_name="orders"))
-    assert res.sqltype == "orders_status"
-    assert res.pg_type == "orders_status"
+    assert res.sqltype == "orders_status_t"  # enum-or-set-name _t suffix
+    assert res.sqltype_kind == "enum"
+    assert res.pg_type == "orders_status_t"
+
+
+def test_mysql_set_generates_array_sqltype(mysql):
+    res = mysql.cast(SourceField("features", "set", type_mod="('a','b')", table_name="film"))
+    assert res.sqltype == "film_features_t"
+    assert res.sqltype_kind == "set"
+    assert res.pg_type == "film_features_t[]"
+    assert res.transform == "set-to-enum-array"
 
 
 def test_default_normalization(mysql):
