@@ -277,7 +277,17 @@ def _sqlite_rules() -> list[CastRule]:
 
 def _mssql_rules() -> list[CastRule]:
     """mssql-cast-rules.lisp:7-91."""
+    ai = lambda f: "auto_increment" in (f.extra or "").lower()  # noqa: E731
     return [
+        # IDENTITY columns -> serial family (mssql-cast-rules.lisp:15-27)
+        CastRule(source_type="int", guard=ai,
+                 target=_r("serial", T.IntegerType())),
+        CastRule(source_type="bigint", guard=ai,
+                 target=_r("bigserial", T.LongType())),
+        CastRule(source_type="smallint", guard=ai,
+                 target=_r("smallserial", T.ShortType())),
+        CastRule(source_type="tinyint", guard=ai,
+                 target=_r("serial", T.IntegerType())),
         CastRule(source_type="tinyint", target=_r("smallint", T.ShortType())),
         CastRule(source_type="smallint", target=_r("smallint", T.ShortType())),
         CastRule(source_type="int", target=_r("integer", T.IntegerType())),

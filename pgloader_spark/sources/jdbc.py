@@ -219,7 +219,7 @@ def mysql_columns_sql(database: str) -> str:
     public information_schema layout."""
     return f"""
 SELECT table_name, column_name, ordinal_position, column_default,
-       is_nullable, data_type, column_type, extra
+       is_nullable, data_type, column_type, extra, column_comment
 FROM information_schema.columns
 WHERE table_schema = '{database}'
 ORDER BY table_name, ordinal_position
@@ -255,6 +255,47 @@ WHERE table_schema = '{database}' AND table_type = 'BASE TABLE'
 """.strip()
 
 
+def mysql_checks_sql(database: str) -> str:
+    """CHECK constraints (MySQL 8.0.16+; the JOIN is empty on older
+    servers) — src/sources/mysql/sql/list-all-checks.sql."""
+    return f"""
+SELECT tc.table_name, cc.constraint_name, cc.check_clause
+FROM information_schema.table_constraints tc
+JOIN information_schema.check_constraints cc
+  ON cc.constraint_schema = tc.table_schema
+ AND cc.constraint_name = tc.constraint_name
+WHERE tc.table_schema = '{database}' AND tc.constraint_type = 'CHECK'
+ORDER BY tc.table_name, cc.constraint_name
+""".strip()
+
+
+def mysql_table_comments_sql(database: str) -> str:
+    """src/sources/mysql/sql/list-table-comments.sql."""
+    return f"""
+SELECT table_name, table_comment
+FROM information_schema.tables
+WHERE table_schema = '{database}' AND table_type = 'BASE TABLE'
+""".strip()
+
+
+def mysql_column_comments_sql(database: str) -> str:
+    """src/sources/mysql/sql/list-columns-comments.sql."""
+    return f"""
+SELECT c.table_name, c.column_name, c.column_comment
+FROM information_schema.columns c
+JOIN information_schema.tables t
+  USING (table_schema, table_name)
+WHERE c.table_schema = '{database}' AND t.table_type = 'BASE TABLE'
+ORDER BY c.table_name, c.ordinal_position
+""".strip()
+
+
+def mysql_check_clause_to_pg(clause: str) -> str:
+    """Backtick quoting -> double quotes so the clause is valid in
+    PostgreSQL (mysql-schema.lisp:203-206)."""
+    return re.sub(r"`([^`]+)`", r'"\1"', clause)
+
+
 def pg_columns_sql(schema: str = "public") -> str:
     return f"""
 SELECT table_name, column_name, ordinal_position, column_default,
@@ -264,6 +305,187 @@ FROM information_schema.columns
 WHERE table_schema = '{schema}'
 ORDER BY table_name, ordinal_position
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# MS SQL introspection (src/sources/mssql/sql/*.sql re-derived from the
+# public INFORMATION_SCHEMA / sys-catalog layouts)
+# --------------------------------------------------------------------------
+
+
+def mssql_columns_sql(database: str, table_type: str = "BASE TABLE") -> str:
+    """Column catalog scan — list-all-columns.sql.  The reference
+    unwraps MSSQL's ((default)) parens and maps getdate()/newid()
+    server-side in T-SQL; we read the raw default and normalize
+    client-side in ``mssql_normalize_default`` (same mapping,
+    unit-testable without a live server)."""
+    return f"""
+SELECT c.table_schema, c.table_name, c.column_name, c.data_type,
+       c.column_default, c.is_nullable,
+       COLUMNPROPERTY(object_id(c.table_name), c.column_name,
+                      'IsIdentity') AS is_identity,
+       c.character_maximum_length, c.numeric_precision, c.numeric_scale,
+       c.character_set_name, c.collation_name
+FROM information_schema.columns c
+JOIN information_schema.tables t
+  ON c.table_schema = t.table_schema AND c.table_name = t.table_name
+WHERE c.table_catalog = '{database}' AND t.table_type = '{table_type}'
+ORDER BY c.table_schema, c.table_name, c.ordinal_position
+""".strip()
+
+
+def mssql_fkeys_sql(database: str) -> str:
+    """Foreign keys via REFERENTIAL_CONSTRAINTS joined to both sides'
+    KEY_COLUMN_USAGE — list-all-fkeys.sql (dots in constraint names
+    are replaced since PG identifiers treat them as separators)."""
+    return f"""
+SELECT REPLACE(kcu1.constraint_name, '.', '_') AS constraint_name,
+       kcu1.table_schema, kcu1.table_name, kcu1.column_name,
+       kcu2.table_schema AS unique_table_schema,
+       kcu2.table_name AS unique_table_name,
+       kcu2.column_name AS unique_column_name,
+       rc.update_rule, rc.delete_rule
+FROM information_schema.referential_constraints rc
+JOIN information_schema.key_column_usage kcu1
+  ON kcu1.constraint_catalog = rc.constraint_catalog
+ AND kcu1.constraint_schema = rc.constraint_schema
+ AND kcu1.constraint_name = rc.constraint_name
+JOIN information_schema.key_column_usage kcu2
+  ON kcu2.constraint_catalog = rc.unique_constraint_catalog
+ AND kcu2.constraint_schema = rc.unique_constraint_schema
+ AND kcu2.constraint_name = rc.unique_constraint_name
+WHERE kcu1.ordinal_position = kcu2.ordinal_position
+  AND kcu1.table_catalog = '{database}'
+  AND kcu1.table_schema NOT IN ('dto', 'sys')
+  AND kcu2.table_schema NOT IN ('dto', 'sys')
+ORDER BY kcu1.constraint_name, kcu1.ordinal_position
+""".strip()
+
+
+def mssql_indexes_sql() -> str:
+    """Indexes (incl. filtered-index definitions) from the sys
+    catalogs — list-all-indexes.sql."""
+    return """
+SELECT schema_name(o.schema_id) AS schema_name,
+       o.name AS table_name,
+       REPLACE(i.name, '.', '_') AS index_name,
+       co.name AS column_name,
+       i.is_unique, i.is_primary_key, i.filter_definition
+FROM sys.indexes i
+JOIN sys.objects o ON i.object_id = o.object_id
+JOIN sys.index_columns ic
+  ON ic.object_id = i.object_id AND ic.index_id = i.index_id
+JOIN sys.columns co
+  ON co.object_id = i.object_id AND co.column_id = ic.column_id
+WHERE schema_name(o.schema_id) NOT IN ('dto', 'sys')
+ORDER BY schema_name, o.name, i.name, ic.is_included_column, ic.key_ordinal
+""".strip()
+
+
+def mssql_sequences_sql() -> str:
+    """User-defined SEQUENCE objects (IDENTITY columns never appear in
+    sys.sequences) — list-all-sequences.sql."""
+    return """
+SELECT sc.name AS schema_name, s.name AS sequence_name,
+       tp.name AS data_type,
+       CAST(s.start_value AS BIGINT) AS start_value,
+       CAST(s.increment AS BIGINT) AS increment_by,
+       CAST(s.minimum_value AS BIGINT) AS minimum_value,
+       CAST(s.maximum_value AS BIGINT) AS maximum_value,
+       CAST(s.current_value AS BIGINT) AS current_value,
+       s.is_cycling, s.cache_size
+FROM sys.sequences s
+JOIN sys.schemas sc ON sc.schema_id = s.schema_id
+JOIN sys.types tp ON tp.user_type_id = s.user_type_id
+ORDER BY sc.name, s.name
+""".strip()
+
+
+def mssql_normalize_default(default: str | None) -> str | None:
+    """Unwrap MSSQL's ((value)) / (value) default wrapping and map the
+    common function defaults, matching the CASE ladder the reference
+    runs in T-SQL (list-all-columns.sql):
+    newid() -> GENERATE_UUID, getdate()/sysdatetimeoffset() ->
+    CURRENT_TIMESTAMP, convert(varchar..., getdate(), ...) -> today,
+    'literal' -> literal."""
+    if default is None:
+        return None
+    d = default.strip()
+    while len(d) >= 2 and d[0] == "(" and d[-1] == ")":
+        d = d[1:-1]
+    low = d.lower()
+    if low == "newid()":
+        return "GENERATE_UUID"
+    if low in ("getdate()", "sysdatetimeoffset()"):
+        return "CURRENT_TIMESTAMP"
+    if re.fullmatch(r"convert\(.*varchar.*,\s*getdate\(\)\s*,.*\)", low):
+        return "today"
+    if len(d) >= 2 and d[0] == "'" and d[-1] == "'":
+        return d[1:-1]
+    return d
+
+
+def _rowget(row, key, default=None):
+    """Field access tolerant of dicts and pyspark Rows."""
+    try:
+        return row[key]
+    except (KeyError, ValueError, IndexError, TypeError):
+        return default
+
+
+def fields_from_mssql_columns(rows) -> dict[tuple[str, str], list]:
+    """information_schema rows -> {(schema, table): [SourceField]}
+    feeding the MSSQL cast rules (mssql-schema.lisp list-all-columns
+    consumption)."""
+    from pgloader_spark.casting import SourceField
+
+    out: dict[tuple[str, str], list] = {}
+    for r in rows:
+        char_len = _rowget(r, "character_maximum_length")
+        num_prec = _rowget(r, "numeric_precision")
+        num_scale = _rowget(r, "numeric_scale")
+        dtype = r["data_type"]
+        if char_len and char_len > 0:
+            mod = f"({char_len})"
+        elif num_prec and dtype.lower() in ("decimal", "numeric"):
+            mod = f"({num_prec},{num_scale or 0})"
+        else:
+            mod = None
+        f = SourceField(
+            name=r["column_name"],
+            type_name=dtype,
+            type_mod=mod,
+            default=mssql_normalize_default(_rowget(r, "column_default")),
+            nullable=(_rowget(r, "is_nullable") or "YES").upper() == "YES",
+            extra="auto_increment" if _rowget(r, "is_identity") else None,
+            table_name=r["table_name"],
+        )
+        out.setdefault((r["table_schema"], r["table_name"]), []).append(f)
+    return out
+
+
+def catalog_from_mssql(column_rows, engine=None):
+    """Canned (or live-JDBC) column resultsets -> a full target
+    Catalog: one Schema per source schema, cast rules applied per
+    column — the resolution step of ``LOAD DATABASE FROM mssql://``."""
+    from pgloader_spark.casting import CastEngine
+    from pgloader_spark.catalog import Catalog, Schema
+    from pgloader_spark.plans.ddl import table_from_fields
+
+    engine = engine or CastEngine("mssql")
+    cat = Catalog("mssql")
+    schemas: dict[str, Schema] = {}
+    for (schema_name, table_name), fields in fields_from_mssql_columns(
+        column_rows
+    ).items():
+        sch = schemas.get(schema_name)
+        if sch is None:
+            pg_name = "public" if schema_name == "dbo" else schema_name
+            sch = Schema(pg_name)
+            schemas[schema_name] = sch
+            cat.schemas.append(sch)
+        table_from_fields(table_name, fields, engine, sch)
+    return cat
 
 
 def sqlite_tables_sql() -> str:
@@ -294,6 +516,42 @@ def fields_from_mysql_columns(rows) -> list:
                 extra=r["extra"],
                 unsigned="unsigned" in ct.lower(),
                 table_name=r["table_name"],
+                comment=_rowget(r, "column_comment") or None,
             )
         )
     return out
+
+
+def attach_mysql_checks(catalog, rows) -> None:
+    """list-all-checks resultset -> Table.check_constraints with
+    backtick->double-quote clause translation
+    (mysql-schema.lisp:193-206)."""
+    for r in rows:
+        for schema in catalog.schemas:
+            t = schema.find_table(r["table_name"])
+            if t is not None:
+                t.check_constraints.append(
+                    (r["constraint_name"],
+                     mysql_check_clause_to_pg(r["check_clause"]))
+                )
+                break
+
+
+def attach_mysql_comments(catalog, table_rows=(), column_rows=()) -> None:
+    """list-table-comments / list-columns-comments resultsets ->
+    Table.comment / Column.comment."""
+    for r in table_rows:
+        for schema in catalog.schemas:
+            t = schema.find_table(r["table_name"])
+            if t is not None and r["table_comment"]:
+                t.comment = r["table_comment"]
+                break
+    for r in column_rows:
+        for schema in catalog.schemas:
+            t = schema.find_table(r["table_name"])
+            if t is None:
+                continue
+            for c in t.columns:
+                if c.name == r["column_name"] and r["column_comment"]:
+                    c.comment = r["column_comment"]
+            break

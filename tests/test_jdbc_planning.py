@@ -116,3 +116,110 @@ def test_fields_from_mysql_columns():
     res2 = eng.cast(fields[1])
     assert res2.pg_type == "numeric"
     assert res2.type_mod == "(10,2)"
+
+
+def test_mssql_introspection_sql_shape():
+    from pgloader_spark.sources.jdbc import (
+        mssql_columns_sql,
+        mssql_fkeys_sql,
+        mssql_indexes_sql,
+        mssql_sequences_sql,
+    )
+
+    cols = mssql_columns_sql("AdventureWorks")
+    assert "information_schema.columns" in cols
+    assert "table_catalog = 'AdventureWorks'" in cols
+    assert "IsIdentity" in cols
+    fk = mssql_fkeys_sql("AdventureWorks")
+    assert "referential_constraints" in fk
+    assert "NOT IN ('dto', 'sys')" in fk
+    idx = mssql_indexes_sql()
+    assert "sys.indexes" in idx and "filter_definition" in idx
+    seq = mssql_sequences_sql()
+    assert "sys.sequences" in seq
+
+
+def test_mssql_normalize_default():
+    from pgloader_spark.sources.jdbc import mssql_normalize_default
+
+    assert mssql_normalize_default("((newid()))") == "GENERATE_UUID"
+    assert mssql_normalize_default("(getdate())") == "CURRENT_TIMESTAMP"
+    assert mssql_normalize_default("((sysdatetimeoffset()))") == "CURRENT_TIMESTAMP"
+    assert mssql_normalize_default("(convert(varchar(10),getdate(),120))") == "today"
+    assert mssql_normalize_default("(('pending'))") == "pending"
+    assert mssql_normalize_default("((0))") == "0"
+    assert mssql_normalize_default(None) is None
+
+
+def test_catalog_from_mssql_canned_resultset():
+    """A LOAD DATABASE FROM mssql:// plan resolves a full catalog from
+    canned column rows: dbo -> public, identity -> serial/bigserial,
+    nvarchar -> text, datetime2 -> timestamptz."""
+    from pgloader_spark.sources.jdbc import catalog_from_mssql
+
+    rows = [
+        {"table_schema": "dbo", "table_name": "orders", "column_name": "id",
+         "data_type": "bigint", "column_default": None, "is_nullable": "NO",
+         "is_identity": 1, "character_maximum_length": None,
+         "numeric_precision": 19, "numeric_scale": 0},
+        {"table_schema": "dbo", "table_name": "orders", "column_name": "label",
+         "data_type": "nvarchar", "column_default": "(('x'))",
+         "is_nullable": "YES", "is_identity": 0,
+         "character_maximum_length": 48, "numeric_precision": None,
+         "numeric_scale": None},
+        {"table_schema": "sales", "table_name": "fx", "column_name": "rate",
+         "data_type": "decimal", "column_default": None, "is_nullable": "YES",
+         "is_identity": 0, "character_maximum_length": None,
+         "numeric_precision": 18, "numeric_scale": 6},
+    ]
+    cat = catalog_from_mssql(rows)
+    assert [s.name for s in cat.schemas] == ["public", "sales"]
+    orders = cat.schemas[0].find_table("orders")
+    assert orders.columns[0].type_name == "bigserial"
+    assert orders.columns[0].extra.get("serial") is True
+    assert orders.columns[1].type_name == "text"
+    fx = cat.schemas[1].find_table("fx")
+    assert fx.columns[0].type_name == "numeric"
+    assert fx.columns[0].type_mod == "(18,6)"
+
+
+def test_mysql_checks_and_comments_attach():
+    from pgloader_spark.catalog import Catalog, Column, Schema, Table
+    from pgloader_spark.sources.jdbc import (
+        attach_mysql_checks,
+        attach_mysql_comments,
+        mysql_check_clause_to_pg,
+        mysql_checks_sql,
+        mysql_column_comments_sql,
+        mysql_table_comments_sql,
+    )
+
+    assert "check_constraints" in mysql_checks_sql("sakila")
+    assert "table_comment" in mysql_table_comments_sql("sakila")
+    assert "column_comment" in mysql_column_comments_sql("sakila")
+    assert mysql_check_clause_to_pg("(`qty` > 0)") == '("qty" > 0)'
+
+    cat = Catalog("db", [Schema("public", [
+        Table("t", columns=[Column("qty", "integer")]),
+    ])])
+    attach_mysql_checks(cat, [
+        {"table_name": "t", "constraint_name": "chk_qty",
+         "check_clause": "(`qty` > 0)"},
+    ])
+    attach_mysql_comments(
+        cat,
+        table_rows=[{"table_name": "t", "table_comment": "orders table"}],
+        column_rows=[{"table_name": "t", "column_name": "qty",
+                      "column_comment": "quantity"}],
+    )
+    t = cat.schemas[0].tables[0]
+    assert t.check_constraints == [("chk_qty", '("qty" > 0)')]
+    assert t.comment == "orders table"
+    assert t.columns[0].comment == "quantity"
+    # and the post-load DDL picks them all up
+    from pgloader_spark.plans.orchestrate import post_load_statements
+
+    stmts = post_load_statements(cat)
+    assert any('CHECK (("qty" > 0))' in s for s in stmts)
+    assert any(s.startswith("COMMENT ON TABLE") for s in stmts)
+    assert any(s.startswith("COMMENT ON COLUMN") for s in stmts)
