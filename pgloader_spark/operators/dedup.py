@@ -304,11 +304,21 @@ def _prefix_candidates(items_df: DataFrame, threshold: float) -> DataFrame:
         ordered.select(
             "id",
             "n",
-            F.explode(F.slice("items", 1, prefix_len)).alias("item"),
+            F.posexplode(F.slice("items", 1, prefix_len)).alias("pos", "item"),
         )
     )
-    a = pre.select(F.col("item"), F.col("id").alias("id_a"), F.col("n").alias("n_a"))
-    b = pre.select(F.col("item"), F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    a = pre.select(
+        F.col("item"),
+        F.col("id").alias("id_a"),
+        F.col("n").alias("n_a"),
+        F.col("pos").alias("p_a"),
+    )
+    b = pre.select(
+        F.col("item"),
+        F.col("id").alias("id_b"),
+        F.col("n").alias("n_b"),
+        F.col("pos").alias("p_b"),
+    )
     # PPJoin length filter: J >= t forces t*max(n_a,n_b) <= min(n_a,n_b)
     # (intersection <= min, union >= max).  The 1e-9 slack absorbs
     # float rounding — it can only admit a borderline candidate, which
@@ -316,9 +326,28 @@ def _prefix_candidates(items_df: DataFrame, threshold: float) -> DataFrame:
     length_ok = (
         F.col("n_a").cast("double") >= F.lit(threshold) * F.col("n_b") - F.lit(1e-9)
     ) & (F.col("n_b").cast("double") >= F.lit(threshold) * F.col("n_a") - F.lit(1e-9))
+    # PPJoin positional filter, row-local and EXACT: J >= t forces
+    # intersection I >= t/(1+t) * (n_a+n_b) =: alpha.  Both docs list
+    # their items under the SAME global (df, item) total order, so a
+    # pair's first common item occupies the same collision row on both
+    # sides; at 0-based positions (p_a, p_b) every common item sits at
+    # position >= p_a in a (resp. >= p_b in b), hence
+    # I <= min(n_a - p_a, n_b - p_b).  A true pair's first-common-item
+    # row always passes (its bound >= I >= alpha), so filtering
+    # collision rows by their own positions before the pair-dedup
+    # shuffle loses nothing — it just drops deep-prefix collision rows
+    # (measured: 28.6M -> ~11M rows into dropDuplicates at sf0.1 on a
+    # dup-heavy corpus).
+    alpha = F.lit(threshold / (1.0 + threshold)) * (F.col("n_a") + F.col("n_b"))
+    position_ok = (
+        F.least(
+            F.col("n_a") - F.col("p_a"), F.col("n_b") - F.col("p_b")
+        ).cast("double")
+        >= alpha - F.lit(1e-9)
+    )
     cand_ids = (
         a.join(b, "item")
-        .filter((F.col("id_a") < F.col("id_b")) & length_ok)
+        .filter((F.col("id_a") < F.col("id_b")) & length_ok & position_ok)
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -396,8 +425,12 @@ def token_jaccard_pairs(
     stopword shared by every document emits |corpus|^2/2 pairs.  The
     shared prefix-filtered core keeps the join EXACT while pruning it
     (see ``_prefix_candidates``).
+
+    Tokens are hashed to 60-bit integers (the DuckDB oracle hashes
+    identically): Jaccard is invariant under an injective item map,
+    and 8-byte longs shuffle/compare far cheaper than strings.
     """
-    toks = F.array_distinct(tokens(text_col))
+    toks = F.array_distinct(F.transform(tokens(text_col), _seeded_hash(0)))
     return _jaccard_pairs_ppjoin(
         df.select(F.col(id_col).alias("id"), toks.alias("items")), threshold
     )
