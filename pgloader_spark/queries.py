@@ -1572,3 +1572,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("n_chars").alias("n_frames")
     )
     return frame_sample_plan(docs, every=100)
+
+
+# Registration side-effect modules (each adds entries to QUERIES/ORACLES).
+from pgloader_spark import queries_tpch  # noqa: E402,F401  isort:skip

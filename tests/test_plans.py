@@ -121,3 +121,62 @@ def test_local_only_configs_gated_on_master():
         assert "spark.sql.shuffle.partitions" not in conf
         # ship-everywhere settings still present
         assert conf["spark.sql.adaptive.enabled"] == "true"
+
+
+def test_q19_or_of_ands_pushes_per_side_conjuncts(spark, sf_dir):
+    """Catalyst factors common per-side conjuncts out of the OR-of-ANDs
+    predicate: each parquet scan receives an Or(...) pushed filter
+    covering only ITS columns (brand/size on part, quantity on
+    lineitem) — the textbook pushdown-through-disjunction case."""
+    from pgloader_spark import queries_tpch as QT
+
+    plan = _formatted_plan(QT.q19_discounted_revenue(spark, sf_dir))
+    scans = _scans(plan)
+    part_scan = next(s for s in scans if "p_brand" in s)
+    li_scan = next(s for s in scans if "l_quantity" in s)
+    assert "Or(" in part_scan and "p_brand,Brand#12" in part_scan
+    assert "Or(" in li_scan and "l_quantity" in li_scan
+
+
+def test_q2_decorrelates_to_single_window(spark, sf_dir):
+    """The correlated-min subquery compiles to ONE window over the
+    joined result — no per-row subquery re-execution, no second scan
+    of lineitem beyond the unit-cost aggregation."""
+    from pgloader_spark import queries_tpch as QT
+
+    df = QT.q2_min_cost_supplier(spark, sf_dir)
+    plan = _formatted_plan(df)
+    # one Window node (each node prints twice in formatted mode: tree + detail)
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q21_single_pass_decorrelation(spark, sf_dir):
+    """EXISTS + NOT EXISTS over the same table collapse into one
+    grouped pass: exactly one scan of lineitem in the plan (the
+    textbook form runs three)."""
+    from pgloader_spark import queries_tpch as QT
+
+    plan = _formatted_plan(QT.q21_sole_return_supplier(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_new_tpch_broadcasts_only_fixed_dims(spark, sf_dir):
+    """No forced broadcast on SF-scaled tables across the new TPC-H
+    set; explicit hints may target only nation/region (25/5 rows) or
+    provably 1-row aggregates (scalar thresholds)."""
+    from pgloader_spark import queries_tpch as QT
+
+    for qname in (
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q10_returned_items",
+        "q16_supplier_part_types",
+        "q20_excess_suppliers",
+    ):
+        df = Q.QUERIES[qname](spark, sf_dir)
+        logical = str(df._jdf.queryExecution().optimizedPlan())
+        for line in logical.splitlines():
+            if "broadcast" in line.lower() and "Relation" in line:
+                assert "nation" in line or "region" in line, f"{qname}: {line}"
