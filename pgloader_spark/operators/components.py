@@ -72,7 +72,9 @@ def _fingerprint(parents: DataFrame) -> tuple[int, int]:
     row = parents.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(
-            F.sum(F.xxhash64("node", "parent")), F.lit(0)
+            # decimal(38,0) sum: 64-bit hash values cannot overflow it
+            F.sum(F.xxhash64("node", "parent").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
         ).alias("sig"),
     ).collect()[0]
     return row["n"], row["sig"]

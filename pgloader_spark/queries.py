@@ -910,6 +910,35 @@ def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.shingle_jaccard_pairs(docs, threshold=0.5, k=3)
 
 
+@query(
+    "dedup_components",
+    oracle=f"""
+WITH RECURSIVE jac AS (SELECT id_a, id_b FROM ({_duck_jaccard_sql(k=3, threshold=0.5)}) jp),
+edges AS (SELECT id_a AS u, id_b AS v FROM jac
+          UNION SELECT id_b, id_a FROM jac),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+comp AS (SELECT u AS did, MIN(v) AS mn FROM reach GROUP BY u)
+SELECT d.doc_id, CAST(COALESCE(LEAST(c.mn, d.doc_id), d.doc_id) AS BIGINT) AS component
+FROM documents d LEFT JOIN comp c ON c.did = d.doc_id
+""",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs resolved into clusters: large-star/small-star
+    connected components (the step between pair generation and
+    keep-one-per-cluster). Oracle: DuckDB recursive-CTE transitive
+    closure with min-label election — exact, any graph shape."""
+    from pgloader_spark.operators.components import connected_components
+
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    pairs = dedup.shingle_jaccard_pairs(docs, threshold=0.5, k=3)
+    return connected_components(
+        pairs, nodes=docs.select(F.col("doc_id").alias("id")), id_col="id"
+    ).select(F.col("id").alias("doc_id"), "component")
+
+
 # --------------------------------------------------------------------------
 # Similarity search over embeddings
 # --------------------------------------------------------------------------

@@ -1,0 +1,70 @@
+"""Connected-components operator: synthetic graph shapes.
+
+The oracle query (`dedup_components`) covers the real-data path; these
+pin the algorithm on adversarial shapes — long chains (the case naive
+label propagation can't converge on in O(log n) rounds), stars,
+multiple components, singletons, and the empty graph.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgloader_spark.operators.components import (
+    component_stats,
+    connected_components,
+)
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges] or [(None, None)],
+        "id_a long, id_b long",
+    ).filter(F.col("id_a").isNotNull())
+
+
+def _as_dict(mapping):
+    return {r["id"]: r["component"] for r in mapping.collect()}
+
+
+def test_chain_collapses_to_min(spark):
+    got = _as_dict(connected_components(_pairs(spark, [(i, i + 1) for i in range(1, 20)])))
+    assert got == {i: 1 for i in range(1, 21)}
+
+
+def test_two_components_and_star(spark):
+    edges = [(10, 11), (11, 12), (100, 101), (100, 102), (100, 103)]
+    got = _as_dict(connected_components(_pairs(spark, edges)))
+    assert got == {10: 10, 11: 10, 12: 10, 100: 100, 101: 100, 102: 100, 103: 100}
+
+
+def test_singletons_from_nodes_df(spark):
+    nodes = spark.range(1, 8).select(F.col("id"))
+    got = _as_dict(connected_components(_pairs(spark, [(2, 3), (5, 6)]), nodes=nodes))
+    assert got == {1: 1, 2: 2, 3: 2, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_empty_edges(spark):
+    nodes = spark.range(1, 4)
+    got = _as_dict(connected_components(_pairs(spark, []), nodes=nodes))
+    assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_duplicate_and_reversed_edges(spark):
+    edges = [(1, 2), (2, 1), (1, 2), (2, 3), (3, 2)]
+    got = _as_dict(connected_components(_pairs(spark, edges)))
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_component_stats(spark):
+    mapping = connected_components(_pairs(spark, [(1, 2), (2, 3), (7, 8)]))
+    stats = {
+        r["component"]: r["n_members"] for r in component_stats(mapping).collect()
+    }
+    assert stats == {1: 3, 7: 2}
+
+
+def test_max_iter_guard(spark):
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(_pairs(spark, [(1, 2), (2, 3)]), max_iter=0)
