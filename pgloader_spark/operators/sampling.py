@@ -1,0 +1,75 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Random sampling (``df.sample``) is not reproducible across engines,
+partitionings, or reruns — a pipeline that must re-derive the same
+training subset needs HASH-based sampling: membership is a pure
+function of the row key, so any engine (and the DuckDB oracle)
+selects the identical rows.
+
+Scale properties: both operators are a narrow filter or a single
+bounded window shuffle — no driver-side state, no RNG, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def hash_bucket(col: Column | str, seed: int = 0, buckets: int = 1_000_000) -> Column:
+    """Uniform bucket in [0, buckets) from md5(seed:key) — engine-portable.
+
+    md5 (not xxhash64) so DuckDB reproduces the exact assignment.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), c.cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    return h % F.lit(buckets)
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    seed: int = 0,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Keep rows whose hash bucket < fraction * buckets.
+
+    Deterministic, re-runnable, and composable: sampling at 10% then
+    1% with the same seed yields nested subsets (the smaller sample is
+    a subset of the larger) — the property training-data ablations
+    need.
+    """
+    cutoff = int(fraction * buckets)
+    return df.filter(hash_bucket(key_col, seed, buckets) < cutoff)
+
+
+def stratified_take(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    n_per_stratum: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic n-per-stratum sample: rank rows inside each
+    stratum by hash order and keep the first n.
+
+    One window shuffle on the stratum key; skewed strata cost their
+    own partition only (AQE skew handling applies). Equivalent to a
+    per-stratum uniform sample but exactly reproducible.
+    """
+    rn = F.row_number().over(
+        W.partitionBy(strata_col).orderBy(
+            hash_bucket(key_col, seed), F.col(key_col)
+        )
+    )
+    return (
+        df.withColumn("__rn", rn)
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )

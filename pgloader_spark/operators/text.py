@@ -12,6 +12,7 @@ Every function here has a DuckDB-SQL mirror in
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql.window import Window as W
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -165,4 +166,201 @@ def document_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         q["mean_word_len"].alias("mean_word_len"),
         lang_id(text_col, dtk=F.col("__dtk")).alias("lang_pred"),
         F.md5(F.array_join(F.array_sort(F.col("__dtk")), " ")).alias("fingerprint"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Repetition / diversity signals (Gopher-style quality heuristics)
+# --------------------------------------------------------------------------
+
+
+def ngrams_of(toks: Column, n: int) -> Column:
+    """Order-preserving word n-grams of a token ARRAY column.
+
+    Documents with fewer than n tokens yield an empty array (unlike
+    dedup.shingles, which falls back to the whole stream — repetition
+    metrics must not fabricate a pseudo-n-gram).
+    """
+    cnt = F.size(toks)
+    return F.when(cnt < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), cnt - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def word_ngrams(col: Column | str, n: int) -> Column:
+    """Order-preserving word n-grams of the token stream (array column)."""
+    return ngrams_of(tokens(col), n)
+
+
+def dup_ngram_fraction(col: Column | str, n: int, grams: Column | None = None) -> Column:
+    """Fraction of n-gram occurrences that are repeats of an earlier
+    one: 1 - distinct/total (0 for empty docs).
+
+    The standard repetition filter for pretraining corpora (documents
+    full of boilerplate loops score high). Pure array math — narrow,
+    no shuffle, linear per row.
+
+    Pass ``grams`` (a staged n-gram array column) in multi-metric
+    projections: interpreted array HOFs get no codegen CSE, so every
+    embedded copy of the expression re-tokenizes the document.
+    """
+    grams = word_ngrams(col, n) if grams is None else grams
+    total = F.size(grams)
+    dis = F.size(F.array_distinct(grams))
+    return F.when(total > 0, F.round(1.0 - dis / total.cast("double"), 6)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def top_ngram_fraction(col: Column | str, n: int, grams: Column | None = None) -> Column:
+    """Occurrences of the most frequent n-gram / total n-grams.
+
+    O(distinct * total) per row via array HOFs — acceptable for
+    document-sized arrays; catches single-phrase spam that
+    dup_ngram_fraction underweights.
+    """
+    grams = word_ngrams(col, n) if grams is None else grams
+    total = F.size(grams)
+    counts = F.transform(
+        F.array_distinct(grams),
+        lambda g: F.size(F.filter(grams, lambda x: x == g)),
+    )
+    return F.when(
+        total > 0,
+        F.round(F.array_max(counts).cast("double") / total.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+
+
+def token_entropy(col: Column | str, toks: Column | None = None) -> Column:
+    """Shannon entropy (nats) of the token distribution per document.
+
+    Low entropy = repetitive/templated text. Computed with array HOFs
+    (narrow); the DuckDB mirror uses list comprehensions — same values.
+    """
+    toks = tokens(col) if toks is None else toks
+    n = F.size(toks)
+    # sorted distinct terms: the fold order is part of the contract —
+    # float addition is non-associative, and the DuckDB mirror must sum
+    # in the identical order to hash-match
+    probs = F.transform(
+        F.array_sort(F.array_distinct(toks)),
+        lambda g: F.size(F.filter(toks, lambda x: x == g)).cast("double")
+        / n.cast("double"),
+    )
+    ent = -F.aggregate(
+        probs, F.lit(0.0), lambda acc, p: acc + p * F.log(p)
+    )
+    return F.when(n > 0, F.round(ent, 6)).otherwise(F.lit(0.0))
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One-pass repetition/diversity projection (narrow, no shuffle).
+
+    Stages the token and n-gram arrays in explicit projections so each
+    is computed ONCE per row: the metric expressions are interpreted
+    array HOFs (no whole-stage codegen, hence no common-subexpression
+    elimination), and inlining them would re-tokenize the document
+    once per embedded copy — measured 10x slower at sf0.1.
+    CollapseProject leaves multiply-referenced non-cheap projections
+    staged, so the optimizer preserves this structure.
+    """
+    staged = df.select(
+        F.col(id_col), tokens(text_col).alias("__tk")
+    ).select(
+        id_col,
+        "__tk",
+        ngrams_of(F.col("__tk"), 2).alias("__g2"),
+        ngrams_of(F.col("__tk"), 3).alias("__g3"),
+    )
+    return staged.select(
+        F.col(id_col),
+        dup_ngram_fraction(text_col, 2, grams=F.col("__g2")).alias(
+            "dup_bigram_frac"
+        ),
+        dup_ngram_fraction(text_col, 3, grams=F.col("__g3")).alias(
+            "dup_trigram_frac"
+        ),
+        top_ngram_fraction(text_col, 2, grams=F.col("__g2")).alias(
+            "top_bigram_frac"
+        ),
+        token_entropy(text_col, toks=F.col("__tk")).alias("token_entropy"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Redaction / normalization
+# --------------------------------------------------------------------------
+
+# Patterns chosen to mean the same thing in Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround.
+REDACT_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[0-9]{6,}", "<NUM>"),
+)
+
+
+def redact(col: Column | str) -> Column:
+    """Replace emails, URLs, and long digit runs with typed tags.
+
+    The cheap PII pre-filter a pretraining pipeline runs before any
+    model-based scrubber; pure regexp_replace chain, JVM-side.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, tag in REDACT_PATTERNS:
+        c = F.regexp_replace(c, pat, tag)
+    return c
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase, collapse all whitespace runs to single spaces, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+# --------------------------------------------------------------------------
+# TF-IDF
+# --------------------------------------------------------------------------
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF.
+
+    tf = occurrences in the doc; idf = ln((N+1)/(df+1)) + 1 (smooth).
+    Shuffle budget: one groupBy (doc, term), one groupBy term for
+    document frequency, one window per doc — each keyed differently
+    but all map-side-combinable. The corpus size N rides a 1-row
+    broadcast, never a driver collect.
+    """
+    tok_rows = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = tok_rows.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)) + F.lit(1.0)
+    scored = (
+        tf.join(docfreq, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    )
+    return (
+        scored.withColumn("rnk", rn)
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tfidf", F.col("rnk").cast("int").alias("rnk"))
     )

@@ -1605,3 +1605,4 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Registration side-effect modules (each adds entries to QUERIES/ORACLES).
 from pgloader_spark import queries_tpch  # noqa: E402,F401  isort:skip
+from pgloader_spark import queries_pipeline  # noqa: E402,F401  isort:skip

@@ -1,0 +1,169 @@
+"""Training-data pipeline queries: repetition signals, TF-IDF,
+deterministic sampling, redaction/normalization.
+
+Extends the dedup/similarity/text surface with the remaining
+operations a pretraining-corpus pipeline runs at 100 TB — each as a
+(Spark callable, DuckDB oracle) pair. All per-document math is pure
+Column/array-HOF expressions (narrow, no Python); corpus-level steps
+(document frequency, stratified ranks) budget one keyed shuffle each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgloader_spark.operators import text as txt
+from pgloader_spark.operators.sampling import hash_bucket, hash_sample, stratified_take
+from pgloader_spark.queries import _DUCK_TOKENS, query
+from pgloader_spark.session import read_table
+
+_TOKS = _DUCK_TOKENS.format(c="text")
+
+
+def _duck_ngrams(n: int) -> str:
+    """DuckDB word-n-gram list over the token list (empty if < n tokens)."""
+    return (
+        f"CASE WHEN len(tk) < {n} THEN CAST([] AS VARCHAR[]) "
+        f"ELSE list_transform(range(1, len(tk) - {n} + 2), "
+        f"i -> array_to_string(tk[i:i+{n - 1}], ' ')) END"
+    )
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+grams AS (
+  SELECT doc_id, tk,
+         {_duck_ngrams(2)} AS g2,
+         {_duck_ngrams(3)} AS g3
+  FROM toks)
+SELECT doc_id,
+  CASE WHEN len(g2) > 0
+       THEN round(1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE), 6)
+       ELSE 0.0 END AS dup_bigram_frac,
+  CASE WHEN len(g3) > 0
+       THEN round(1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE), 6)
+       ELSE 0.0 END AS dup_trigram_frac,
+  CASE WHEN len(g2) > 0
+       THEN round(list_max(list_transform(list_distinct(g2),
+                    d -> len(list_filter(g2, x -> x = d))))
+                  / CAST(len(g2) AS DOUBLE), 6)
+       ELSE 0.0 END AS top_bigram_frac,
+  CASE WHEN len(tk) > 0
+       THEN round(-list_sum(list_transform(list_sort(list_distinct(tk)),
+                    d -> (len(list_filter(tk, x -> x = d))
+                          / CAST(len(tk) AS DOUBLE))
+                         * ln(len(list_filter(tk, x -> x = d))
+                              / CAST(len(tk) AS DOUBLE)))), 6)
+       ELSE 0.0 END AS token_entropy
+FROM grams
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/diversity signals: duplicate-n-gram
+    fractions, most-frequent-bigram share, token entropy — the cheap
+    filters that kill templated/spam documents before expensive dedup.
+    Narrow per-row array math, no shuffle."""
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    return txt.repetition_stats(docs)
+
+
+@query(
+    "text_tfidf_topk",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         round(tf * (ln((n_docs + 1) / CAST(df + 1 AS DOUBLE)) + 1.0), 6)
+           AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rnk
+  FROM scored)
+SELECT doc_id, term, tfidf, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 3
+""",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed TF-IDF."""
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    return txt.tfidf_topk(docs, k=3)
+
+
+@query(
+    "text_redact_normalize",
+    oracle=r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(lower(text),
+               '[a-za-z0-9._%+-]+@[a-za-z0-9.-]+\.[a-za-z]{2,}', '<email>', 'g'),
+             'https?://[^\s]+', '<url>', 'g'),
+           '[0-9]{6,}', '<num>', 'g'),
+         '\s+', ' ', 'g'))) AS norm_md5
+FROM documents
+""",
+)
+def text_redact_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction (emails/URLs/long digit runs -> typed tags)
+    then whitespace/case normalization; emitted as an md5 so the oracle
+    row stays narrow. Pure regexp_replace chain — JVM-side, narrow."""
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    return docs.select(
+        "doc_id",
+        # lower FIRST (both engines), then redact, then normalize — the
+        # tag text itself is case-folded by normalize_text
+        F.md5(txt.normalize_text(txt.redact(F.lower(F.col("text"))))).alias(
+            "norm_md5"
+        ),
+    )
+
+
+@query(
+    "sample_hash_10pct",
+    oracle="""
+SELECT doc_id,
+       CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 12))
+            AS BIGINT) % 1000000 AS bucket
+FROM documents
+WHERE CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 12))
+           AS BIGINT) % 1000000 < 100000
+""",
+)
+def sample_hash_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% hash sample: membership is a pure function of
+    the key, so the subset is identical across engines, reruns, and
+    partitionings — and nested within any larger-fraction sample of
+    the same seed (what ablation pipelines need)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.1, seed=7).select(
+        "doc_id", hash_bucket("doc_id", seed=7).alias("bucket")
+    )
+
+
+@query(
+    "sample_stratified_lang",
+    oracle="""
+WITH ranked AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 12))
+                         AS BIGINT) % 1000000, doc_id) AS rn
+  FROM documents)
+SELECT lang, doc_id FROM ranked WHERE rn <= 20
+""",
+)
+def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20-docs-per-language stratified sample (hash-order
+    rank inside each stratum; one window shuffle on the stratum key)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return stratified_take(docs, "lang", "doc_id", 20).select("lang", "doc_id")

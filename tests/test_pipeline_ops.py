@@ -1,0 +1,89 @@
+"""Unit tests: repetition signals, redaction, deterministic sampling.
+
+The oracle queries cover real-data parity; these pin edge cases the
+synthetic corpus can't reach (PII strings, empty docs, nesting).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pgloader_spark.operators import text as txt
+from pgloader_spark.operators.sampling import hash_sample, stratified_take
+
+
+def _one(spark, s: str, col):
+    return spark.createDataFrame([(s,)], "text string").select(
+        col.alias("v")
+    ).collect()[0]["v"]
+
+
+def test_redact_email_url_digits(spark):
+    s = "mail a@b.com or visit https://x.io/page?id=9 ref 1234567 end"
+    got = _one(spark, s, txt.redact(F.col("text")))
+    assert got == "mail <EMAIL> or visit <URL> ref <NUM> end"
+
+
+def test_redact_keeps_short_digit_runs(spark):
+    assert _one(spark, "call 12345 now", txt.redact(F.col("text"))) == "call 12345 now"
+
+
+def test_normalize_collapses_whitespace_and_case(spark):
+    got = _one(spark, "  A\t\tB\n C  ", txt.normalize_text(F.col("text")))
+    assert got == "a b c"
+
+
+def test_dup_ngram_fraction_values(spark):
+    # "a b a b a" -> bigrams [a b, b a, a b, b a]: 4 total, 2 distinct
+    got = _one(spark, "a b a b a", txt.dup_ngram_fraction("text", 2))
+    assert got == 0.5
+    assert _one(spark, "", txt.dup_ngram_fraction("text", 2)) == 0.0
+    assert _one(spark, "one", txt.dup_ngram_fraction("text", 2)) == 0.0
+
+
+def test_top_ngram_fraction(spark):
+    # bigrams: [x y, y x, x y] -> top "x y" 2/3
+    got = _one(spark, "x y x y", txt.top_ngram_fraction("text", 2))
+    assert got == round(2 / 3, 6)
+
+
+def test_token_entropy_uniform_and_constant(spark):
+    assert _one(spark, "w w w w", txt.token_entropy("text")) == 0.0
+    got = _one(spark, "a b c d", txt.token_entropy("text"))
+    assert got == round(math.log(4), 6)
+
+
+def test_hash_sample_is_nested_and_deterministic(spark):
+    df = spark.range(0, 2000).select(F.col("id").alias("k"))
+    s10 = {r["k"] for r in hash_sample(df, "k", 0.10, seed=3).collect()}
+    s05 = {r["k"] for r in hash_sample(df, "k", 0.05, seed=3).collect()}
+    again = {r["k"] for r in hash_sample(df, "k", 0.10, seed=3).collect()}
+    assert s05 < s10  # nested subsets, same seed
+    assert s10 == again  # rerun-stable
+    assert 0.06 < len(s10) / 2000 < 0.14  # roughly the asked fraction
+
+
+def test_stratified_take_exact_counts(spark):
+    df = spark.range(0, 300).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("g")
+    )
+    out = stratified_take(df, "g", "id", 7)
+    counts = out.groupBy("g").count().collect()
+    assert {r["g"]: r["count"] for r in counts} == {"0": 7, "1": 7, "2": 7}
+    # deterministic across invocations
+    a = sorted(r["id"] for r in out.collect())
+    b = sorted(r["id"] for r in stratified_take(df, "g", "id", 7).collect())
+    assert a == b
+
+
+def test_tfidf_topk_basic(spark):
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry date date")],
+        "doc_id long, text string",
+    )
+    rows = txt.tfidf_topk(df, k=1).collect()
+    best = {r["doc_id"]: r["term"] for r in rows}
+    # each doc's top term is its repeated/unique word
+    assert best == {1: "apple", 2: "banana", 3: "date"}
