@@ -167,3 +167,24 @@ def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank inside each stratum; one window shuffle on the stratum key)."""
     docs = read_table(spark, sf_dir, "documents")
     return stratified_take(docs, "lang", "doc_id", 20).select("lang", "doc_id")
+
+
+@query(
+    "stream_windowed_stats",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       round(SUM(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_windowed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming tumbling-window rollup on bounded input: identical
+    semantics batch vs stream (same operator powers both), which is the
+    correctness argument for the streaming path — the oracle checks the
+    batch side, the streaming test checks state/watermark behavior."""
+    from pgloader_spark.streaming.stateful import windowed_event_stats
+
+    ev = read_table(spark, sf_dir, "events")
+    return windowed_event_stats(ev, window="1 hour")

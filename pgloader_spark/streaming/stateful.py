@@ -96,3 +96,58 @@ def running_counts_with_state(events: DataFrame, key_col: str = "user_id") -> Da
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup_exact(
+    events: DataFrame,
+    content_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact-content dedup inside a stream, state bounded by watermark.
+
+    The batch ``exact_duplicates`` operator keyed on a content digest,
+    re-expressed for unbounded input: ``dropDuplicatesWithinWatermark``
+    keeps one row per digest and EVICTS digests older than the
+    watermark — state is O(rows per watermark window), not O(stream
+    history), which is what makes stream dedup viable at all.  On a
+    bounded DataFrame it degrades to plain digest dedup (same rows).
+    """
+    src = events.withColumn("content_md5", F.md5(F.col(content_col)))
+    if events.isStreaming:
+        return src.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["content_md5"]
+        )
+    return src.dropDuplicates(["content_md5"])
+
+
+def windowed_event_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window per-key aggregates with bounded lateness.
+
+    The canonical streaming rollup: watermark admits late events up to
+    ``watermark`` then finalizes the window (append-mode emittable);
+    identical semantics on batch input (window() works unwatermarked).
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -85,3 +85,88 @@ def test_running_counts_state_across_batches(spark, tmp_path):
         assert latest == {1: 3, 2: 3}
     finally:
         q.stop()
+
+
+def test_streaming_dedup_exact_across_batches(spark, tmp_path):
+    from pgloader_spark.streaming.stateful import streaming_dedup_exact
+
+    src = tmp_path / "din"
+    src.mkdir()
+    (src / "b1.csv").write_text(
+        "2024-01-01 10:00:00,hello world\n2024-01-01 10:01:00,hello world\n"
+        "2024-01-01 10:02:00,other doc\n"
+    )
+    stream = (
+        spark.readStream.format("csv")
+        .schema("ts timestamp, text string")
+        .load(str(src))
+    )
+    out = streaming_dedup_exact(stream, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_mem")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # a second micro-batch re-sends a batch-1 document inside the
+        # watermark window: state must swallow it
+        (src / "b2.csv").write_text(
+            "2024-01-01 10:03:00,hello world\n2024-01-01 10:04:00,brand new\n"
+        )
+        q.processAllAvailable()
+        texts = sorted(
+            r["text"] for r in spark.sql("SELECT text FROM dedup_mem").collect()
+        )
+        assert texts == ["brand new", "hello world", "other doc"]
+    finally:
+        q.stop()
+
+
+def test_streaming_dedup_batch_mode(spark):
+    from pgloader_spark.streaming.stateful import streaming_dedup_exact
+
+    df = spark.createDataFrame(
+        [("2024-01-01 10:00:00", "a"), ("2024-01-01 11:00:00", "a"),
+         ("2024-01-01 12:00:00", "b")],
+        "ts string, text string",
+    ).selectExpr("CAST(ts AS TIMESTAMP) ts", "text")
+    got = sorted(r["text"] for r in streaming_dedup_exact(df).collect())
+    assert got == ["a", "b"]
+
+
+def test_windowed_event_stats_stream(spark, tmp_path):
+    from pgloader_spark.streaming.stateful import windowed_event_stats
+
+    src = tmp_path / "win"
+    src.mkdir()
+    (src / "b1.csv").write_text(
+        "2024-01-01 10:05:00,click,1.5\n2024-01-01 10:20:00,click,2.5\n"
+        "2024-01-01 11:10:00,view,1.0\n"
+    )
+    stream = (
+        spark.readStream.format("csv")
+        .schema("ts timestamp, event_type string, value double")
+        .load(str(src))
+    )
+    out = windowed_event_stats(stream, window="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_mem")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "wck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM win_mem ORDER BY window_start, event_type"
+        ).collect()
+        assert [(r["event_type"], r["n_events"], r["sum_value"]) for r in rows] == [
+            ("click", 2, 4.0),
+            ("view", 1, 1.0),
+        ]
+    finally:
+        q.stop()
