@@ -334,3 +334,55 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "cos_sim", "rank")
     )
+
+
+def ivf_centroids_kmeans(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 9,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd-refined IVF centroids — deterministic AND cross-engine exact.
+
+    First-K-by-id seeding (``ivf_centroids``) leaves cell quality at
+    the mercy of id order; two Lloyd iterations move centroids to the
+    actual cluster means, filling what would otherwise be permanently
+    skewed cells. Each iteration:
+
+    1. assign every vector to its nearest centroid (cosine, rounded to
+       6 decimals, ties to the lowest cell id — ``ivf_assign``);
+    2. recompute each cell's per-dimension mean with an EXACT decimal
+       sum, divided in double and rounded to ``decimals`` places.
+
+    The decimal sum is the parity trick: float summation order differs
+    between engines, but DECIMAL(27,10) addition is exact and
+    order-independent, so a DuckDB mirror reproduces every refined
+    centroid bit-for-bit. Per iteration: one narrow assignment
+    projection + one (cell, dim) aggregation (K*dim groups) + a
+    driver collect of K*dim doubles — the same driver-coordination
+    every real IVF trainer does. Empty cells keep their previous
+    centroid.
+    """
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    base = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    for _ in range(n_iters):
+        assigned = base.select(ivf_assign(F.col("v"), cents).alias("cell"), "v")
+        ex = assigned.select("cell", F.posexplode("v").alias("i", "x"))
+        means = ex.groupBy("cell", "i").agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(27,10)")).cast("double")
+                / F.count(F.lit(1)),
+                decimals,
+            ).alias("m")
+        )
+        rows = (
+            means.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("arr"))
+            .select("cell", F.transform("arr", lambda s: s["m"]).alias("cvec"))
+            .collect()
+        )
+        refined = {int(r["cell"]): [float(x) for x in r["cvec"]] for r in rows}
+        cents = [(cid, refined.get(cid, old)) for cid, old in cents]
+    return cents

@@ -87,3 +87,32 @@ def test_tfidf_topk_basic(spark):
     best = {r["doc_id"]: r["term"] for r in rows}
     # each doc's top term is its repeated/unique word
     assert best == {1: "apple", 2: "banana", 3: "date"}
+
+
+def test_ivf_kmeans_refines_and_keeps_k(spark):
+    import math
+
+    from pgloader_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_centroids_kmeans,
+    )
+
+    # two tight clusters around (1,0) and (0,1); first-2 seeding picks
+    # two near-identical vectors from cluster A — Lloyd must move one
+    rows = [
+        (0, [1.0, 0.01]), (1, [1.0, 0.02]), (2, [0.9, 0.0]), (3, [1.1, 0.05]),
+        (4, [0.01, 1.0]), (5, [0.02, 1.0]), (6, [0.0, 0.9]), (7, [0.05, 1.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    seeds = ivf_centroids(df, 2)
+    refined = ivf_centroids_kmeans(df, 2, n_iters=2)
+    assert len(refined) == 2 and [c for c, _ in refined] == [0, 1]
+    assert all(len(v) == 2 for _, v in refined)
+    # seeds both point along x; refined centroids must separate: one
+    # near x-axis, one near y-axis
+    def angle(v):
+        return math.atan2(v[1], v[0])
+    seed_spread = abs(angle(seeds[0][1]) - angle(seeds[1][1]))
+    refined_spread = abs(angle(refined[0][1]) - angle(refined[1][1]))
+    assert refined_spread > seed_spread
+    assert refined_spread > 1.0  # ~90 degrees apart
