@@ -265,3 +265,107 @@ def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
     cents = similarity.ivf_centroids_kmeans(emb, n_centroids=8, n_iters=2)
     return similarity.ivf_topk(emb, queries_df, k=10, centroids=cents)
+
+
+@query(
+    "etl_json_extract",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events
+GROUP BY event_type
+""",
+)
+def etl_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ETL: parse a JSON props column with a TYPED
+    from_json schema (not get_json_object string-plucking) and
+    aggregate — the Spark-idiomatic path keeps the parse inside
+    codegen and lets Catalyst prune unparsed fields at 100 TB."""
+    from pyspark.sql import types as T
+
+    ev = read_table(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.IntegerType())])
+    k = F.from_json(F.col("props"), schema)["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         embedding::DOUBLE[] AS v,
+         list_min(embedding::DOUBLE[]) AS lo,
+         list_max(embedding::DOUBLE[]) AS hi
+  FROM embeddings),
+enc AS (
+  SELECT vec_id, v, lo, hi,
+         CASE WHEN hi > lo
+              THEN list_transform(v, x -> CAST(round((x - lo) * 255.0 / (hi - lo), 0) AS BIGINT))
+              ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS codes
+  FROM q)
+SELECT vec_id,
+       round(lo, 6) AS qmin,
+       round(hi, 6) AS qmax,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       round(list_sum(list_transform(range(1, len(v) + 1),
+               i -> abs(v[i] - (lo + codes[i] * (hi - lo) / 255.0))))
+             / len(v), 6) AS mean_abs_err
+FROM enc
+""",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of embeddings (per-vector min/max
+    range coding) + reconstruction error — the storage-side operator
+    that makes a 100 TB embedding corpus 4x smaller before ANN.
+    Pure array HOFs, narrow, no shuffle."""
+    emb = read_table(spark, sf_dir, "embeddings", widen=True)
+    v = F.col("embedding").cast("array<double>")
+    staged = emb.select(
+        "vec_id",
+        v.alias("v"),
+        F.array_min(v).alias("lo"),
+        F.array_max(v).alias("hi"),
+    )
+    span = F.col("hi") - F.col("lo")
+    codes = F.when(
+        F.col("hi") > F.col("lo"),
+        F.transform(
+            F.col("v"),
+            lambda x: F.round((x - F.col("lo")) * 255.0 / span, 0).cast("long"),
+        ),
+    ).otherwise(F.transform(F.col("v"), lambda x: F.lit(0).cast("long")))
+    enc = staged.withColumn("codes", codes)
+    recon_err = (
+        F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.col("codes"),
+                lambda x, c: F.abs(x - (F.col("lo") + c * span / 255.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+        / F.size("v")
+    )
+    return enc.select(
+        "vec_id",
+        F.round("lo", 6).alias("qmin"),
+        F.round("hi", 6).alias("qmax"),
+        F.aggregate("codes", F.lit(0).cast("long"), lambda a, c: a + c).alias(
+            "code_sum"
+        ),
+        F.round(recon_err, 6).alias("mean_abs_err"),
+    )
