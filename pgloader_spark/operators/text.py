@@ -218,40 +218,80 @@ def dup_ngram_fraction(col: Column | str, n: int, grams: Column | None = None) -
 def top_ngram_fraction(col: Column | str, n: int, grams: Column | None = None) -> Column:
     """Occurrences of the most frequent n-gram / total n-grams.
 
-    O(distinct * total) per row via array HOFs — acceptable for
-    document-sized arrays; catches single-phrase spam that
-    dup_ngram_fraction underweights.
+    O(t log t) per row: sort the grams, then fold a (prev, run, best)
+    state over the sorted array — the longest equal-run IS the top
+    count. The naive distinct×filter formulation is O(distinct *
+    total), which turns a 10k-token document into 10^8 comparisons;
+    run-length over a sort stays linear after the sort.
     """
     grams = word_ngrams(col, n) if grams is None else grams
     total = F.size(grams)
-    counts = F.transform(
-        F.array_distinct(grams),
-        lambda g: F.size(F.filter(grams, lambda x: x == g)),
-    )
+    best = _max_sorted_run(F.array_sort(grams))
     return F.when(
         total > 0,
-        F.round(F.array_max(counts).cast("double") / total.cast("double"), 6),
+        F.round(best.cast("double") / total.cast("double"), 6),
     ).otherwise(F.lit(0.0))
+
+
+def _max_sorted_run(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a sorted array."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+    step = lambda acc, x: F.struct(  # noqa: E731
+        x.alias("prev"),
+        F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+        F.greatest(
+            acc["best"],
+            F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1)),
+        ).alias("best"),
+    )
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
 
 
 def token_entropy(col: Column | str, toks: Column | None = None) -> Column:
     """Shannon entropy (nats) of the token distribution per document.
 
-    Low entropy = repetitive/templated text. Computed with array HOFs
-    (narrow); the DuckDB mirror uses list comprehensions — same values.
+    Low entropy = repetitive/templated text. O(t log t) per row: fold
+    run lengths over the SORTED token array, closing each run with its
+    -(p ln p) term. Terms are added in sorted-distinct-token order —
+    the same order the DuckDB mirror sums in, which matters because
+    float addition is non-associative and the oracle hash-compares.
     """
     toks = tokens(col) if toks is None else toks
     n = F.size(toks)
-    # sorted distinct terms: the fold order is part of the contract —
-    # float addition is non-associative, and the DuckDB mirror must sum
-    # in the identical order to hash-match
-    probs = F.transform(
-        F.array_sort(F.array_distinct(toks)),
-        lambda g: F.size(F.filter(toks, lambda x: x == g)).cast("double")
-        / n.cast("double"),
+    nd = n.cast("double")
+
+    def term(run: Column) -> Column:
+        p = run.cast("double") / nd
+        return p * F.log(p)
+
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0.0).alias("acc"),
     )
-    ent = -F.aggregate(
-        probs, F.lit(0.0), lambda acc, p: acc + p * F.log(p)
+
+    def step(acc: Column, x: Column) -> Column:
+        same = x.eqNullSafe(acc["prev"])
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            # close the previous run when the token changes
+            F.when(same | (acc["run"] == 0), acc["acc"])
+            .otherwise(acc["acc"] + term(acc["run"]))
+            .alias("acc"),
+        )
+
+    ent = F.aggregate(
+        F.array_sort(toks),
+        init,
+        step,
+        lambda acc: -(
+            F.when(acc["run"] > 0, acc["acc"] + term(acc["run"])).otherwise(acc["acc"])
+        ),
     )
     return F.when(n > 0, F.round(ent, 6)).otherwise(F.lit(0.0))
 
