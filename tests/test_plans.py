@@ -180,3 +180,41 @@ def test_new_tpch_broadcasts_only_fixed_dims(spark, sf_dir):
         for line in logical.splitlines():
             if "broadcast" in line.lower() and "Relation" in line:
                 assert "nation" in line or "region" in line, f"{qname}: {line}"
+
+
+def test_repetition_and_quantize_are_narrow(spark, sf_dir):
+    """Per-document metrics must not shuffle: no Exchange in the plan
+    beyond the (optional) widen repartition of the single-file scan."""
+    from pgloader_spark import queries_pipeline as QP
+
+    for qname in ("text_repetition", "embedding_quantize_int8"):
+        plan = _formatted_plan(Q.QUERIES[qname](spark, sf_dir))
+        n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_exchanges <= 1, f"{qname}: {n_exchanges} exchanges"
+        assert "EvalPython" not in plan
+
+
+def test_tfidf_broadcasts_only_the_corpus_count(spark, sf_dir):
+    """The 1-row corpus-size aggregate is the only forced broadcast in
+    TF-IDF; document-frequency and term-frequency sides scale with the
+    corpus and must stay unhinted."""
+    df = Q.QUERIES["text_tfidf_topk"](spark, sf_dir)
+    logical = str(df._jdf.queryExecution().optimizedPlan())
+    hints = [l for l in logical.splitlines() if "ResolvedHint" in l]
+    assert len(hints) <= 1
+
+
+def test_connected_components_shuffles_are_bounded(spark):
+    """One star round = groupBy + join on the edge endpoints; the
+    iteration must not accumulate lineage (localCheckpoint truncates),
+    so a post-convergence mapping plan contains no star-round joins."""
+    from pgloader_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    mapping = connected_components(pairs)
+    plan = str(mapping._jdf.queryExecution().optimizedPlan())
+    # lineage was cut: the final plan reads checkpointed RDDs, not the
+    # full iteration history
+    assert "LogicalRDD" in plan
