@@ -129,3 +129,87 @@ def test_dateformat_translation_known_tokens(fmt):
     # these; 'SS'/'US' excluded — US legitimately maps to 'SSSSSS')
     for tok in ("YYYY", "HH24", "MI", "DD"):
         assert tok not in out
+
+
+def test_ppjoin_jaccard_matches_bruteforce(spark):
+    """Prefix + positional + length filters are EXACT: compare the full
+    PPJoin pipeline against an O(n^2) brute force on a randomized
+    dup-heavy corpus (fixed seed). Catches any over-pruning bug in the
+    candidate filters — the one class of error the DuckDB oracle
+    (which shares the formula) could miss if both sides drifted."""
+    import itertools
+    import random
+
+    from pgloader_spark.operators.dedup import token_jaccard_pairs
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(80):
+        if i % 3 == 0 and docs:
+            # near-duplicate of an earlier doc: drop/add a couple tokens
+            base = docs[rng.randrange(len(docs))][1].split()
+            mutated = [t for t in base if rng.random() > 0.1]
+            mutated += rng.sample(vocab, rng.randrange(0, 2))
+            docs.append((i, " ".join(mutated)))
+        else:
+            docs.append((i, " ".join(rng.sample(vocab, rng.randrange(5, 20)))))
+
+    for threshold in (0.5, 0.8, 0.95):
+        expected = set()
+        sets = {i: {t.lower() for t in txt.split()} for i, txt in docs}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and round(inter / union, 6) >= threshold:
+                expected.add((a, b))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in token_jaccard_pairs(df, threshold=threshold).collect()
+        }
+        assert got == expected, f"threshold={threshold}"
+
+
+def test_connected_components_matches_union_find(spark):
+    """Star rounds vs a classic union-find on random graphs."""
+    import random
+
+    from pgloader_spark.operators.components import connected_components
+
+    rng = random.Random(99)
+    n, m = 60, 45
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for v in range(n):
+        r = find(v)
+        expected.setdefault(r, set()).add(v)
+    # min-id label per member set
+    want = {}
+    for members in expected.values():
+        lo = min(members)
+        for v in members:
+            if len(members) > 1 or any(v in (a, b) for a, b in edges):
+                want[v] = lo
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    touched = {v for e in edges for v in e}
+    assert got == {v: want[v] for v in touched}
