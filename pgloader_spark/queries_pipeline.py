@@ -13,9 +13,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pgloader_spark.operators import dedup
 from pgloader_spark.operators import text as txt
 from pgloader_spark.operators.sampling import hash_bucket, hash_sample, stratified_take
-from pgloader_spark.queries import _DUCK_TOKENS, query
+from pgloader_spark.queries import _DUCK_TOKENS, _duck_jaccard_sql, query
 from pgloader_spark.session import read_table
 
 _TOKS = _DUCK_TOKENS.format(c="text")
@@ -368,4 +369,89 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "code_sum"
         ),
         F.round(recon_err, 6).alias("mean_abs_err"),
+    )
+
+
+@query(
+    "agg_salted_user_totals",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+""",
+)
+def agg_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation: identical RESULTS to a plain
+    groupBy (the oracle is the plain SQL) but the hot-key work spreads
+    over 16 sub-keys in stage 1 — the straggler-proof form of a
+    skewed 100 TB GROUP BY. Decimal partials keep the two-stage sum
+    exact, so salting cannot perturb float ordering."""
+    from pgloader_spark.operators.skew import salted_agg
+
+    ev = read_table(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        ["user_id"],
+        {
+            "c": F.count(F.lit(1)),
+            "s": F.sum(F.col("value").cast("decimal(18,2)")),
+        },
+        {
+            "n_events": F.sum("c"),
+            "total_value": F.sum("s").cast("double"),
+        },
+        n_salts=16,
+    )
+
+
+@query(
+    "dedup_keep_canonical",
+    oracle=f"""
+WITH RECURSIVE jac AS (
+  SELECT id_a, id_b FROM ({_duck_jaccard_sql(k=3, threshold=0.5)}) jp),
+edges AS (SELECT id_a AS u, id_b AS v FROM jac
+          UNION SELECT id_b, id_a FROM jac),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+comp AS (SELECT u AS did, MIN(v) AS mn FROM reach GROUP BY u),
+labeled AS (
+  SELECT d.doc_id, d.lang, d.n_chars,
+         CAST(COALESCE(LEAST(c.mn, d.doc_id), d.doc_id) AS BIGINT) AS component
+  FROM documents d LEFT JOIN comp c ON c.did = d.doc_id)
+SELECT doc_id, lang, n_chars,
+       (SELECT COUNT(*) FROM labeled l2 WHERE l2.component = l1.component)
+         AS cluster_size
+FROM labeled l1
+WHERE doc_id = component
+""",
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's OUTPUT: one canonical document per
+    near-dup cluster (min doc_id wins), with the cluster size it
+    represents. pairs -> components -> keep-one — what actually ships
+    to training."""
+    from pgloader_spark.operators.components import (
+        component_stats,
+        connected_components,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    pairs = dedup.shingle_jaccard_pairs(docs, threshold=0.5, k=3)
+    mapping = connected_components(
+        pairs, nodes=docs.select(F.col("doc_id").alias("id")), id_col="id"
+    )
+    sizes = component_stats(mapping)
+    return (
+        mapping.filter(F.col("id") == F.col("component"))
+        .join(docs, mapping.id == docs.doc_id)
+        .join(sizes, "component")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.col("n_members").alias("cluster_size"),
+        )
     )
