@@ -40,6 +40,7 @@ HEADLINE = [
     "similarity_cosine_topk",
     "text_quality_stats",
     "text_langid",
+    "text_repetition",
 ]
 
 
