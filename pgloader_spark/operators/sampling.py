@@ -73,3 +73,57 @@ def stratified_take(
         .filter(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )
+
+
+def mix_to_target(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    target: dict[str, float],
+    seed: int = 0,
+) -> DataFrame:
+    """Largest subsample whose strata match the target mixture.
+
+    Domain/language mixing: given target shares (e.g. ``{"en": .4,
+    "code": .3, ...}``), keep ``floor(frac_s * S)`` rows of stratum s
+    where ``S = min_s floor(n_s / frac_s)`` — the biggest total for
+    which every stratum can supply its share.  The binding (scarcest
+    relative to its target) stratum is kept whole; the rest are
+    down-sampled in hash order, so the result is deterministic and
+    nested under re-runs with more data.
+
+    Strata absent from ``target`` are dropped (quota 0).
+
+    Scale shape: per-stratum counts and quotas are a stratum-sized
+    (tiny) aggregate + broadcast join; the data-sized work is one
+    window rank on the stratum key — same cost as ``stratified_take``.
+    Quota math stays in doubles with identical IEEE ops on any engine,
+    so an external oracle derives the same quotas.
+    """
+    spark = df.sparkSession
+    fr = spark.createDataFrame(
+        [(s, float(f)) for s, f in target.items()],
+        f"{strata_col} string, __frac double",
+    )
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    j = counts.join(fr, strata_col, "inner")
+    scale = j.agg(
+        F.min(F.floor(F.col("__n") / F.col("__frac"))).alias("__scale")
+    )
+    quotas = j.crossJoin(F.broadcast(scale)).select(
+        strata_col,
+        F.least(
+            F.col("__n"), F.floor(F.col("__frac") * F.col("__scale"))
+        ).alias("__quota"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy(strata_col).orderBy(
+            hash_bucket(key_col, seed), F.col(key_col)
+        )
+    )
+    return (
+        df.withColumn("__rn", rn)
+        .join(F.broadcast(quotas), strata_col)
+        .filter(F.col("__rn") <= F.col("__quota"))
+        .drop("__rn", "__quota")
+    )

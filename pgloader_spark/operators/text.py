@@ -404,3 +404,57 @@ def tfidf_topk(
         .filter(F.col("rnk") <= k)
         .select(id_col, "term", "tfidf", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram language-model scoring (CCNet-style perplexity proxy)
+# --------------------------------------------------------------------------
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Mean log-probability of each document under the corpus' own
+    unigram distribution — the cheap stand-in for the KenLM perplexity
+    filter CCNet/CCNet-style pipelines run: documents of rare-token
+    soup score far below fluent text.
+
+    Two-pass shape that scales: pass 1 builds the unigram model (one
+    groupBy on term — vocabulary-sized output, even web-scale corpora
+    have ≪ broadcast-limit distinct tokens after lowercasing); pass 2
+    broadcast-joins the model back onto the exploded token stream and
+    aggregates per document (one groupBy on the id, map-side
+    combinable). The corpus total rides a 1-row broadcast.
+
+    Float discipline: per-token log-probs are rounded to 6 dp and
+    summed as DECIMAL(18,6), so the per-doc sum is independent of
+    partitioning/order and reproducible on any engine; only the final
+    mean divides in doubles (one IEEE-exact op).
+    """
+    tok_rows = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    vocab = tok_rows.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    model = vocab.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(
+            F.log(F.col("cnt") / F.col("total").cast("double")), 6
+        ).alias("logp"),
+    )
+    per_doc = (
+        tok_rows.join(F.broadcast(model), "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("logp").cast("decimal(18,6)")).alias("slp"),
+        )
+    )
+    return df.select(F.col(id_col)).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("int").alias("n_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("slp").cast("double") / F.col("n_tokens"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("avg_logprob"),
+    )
