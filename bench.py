@@ -2,26 +2,33 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {name: sec, ...}, "sf": <sf>, "errors": {name: msg},
+   "etl": {"rows": N, "sec": S, "rows_per_sec": R}}
 
-Per-query time is wall time of execution to completion (collect for
-small results, count for large ones) after the Spark session is warm —
-session startup is excluded, matching how the reference's own bench
-reports COPY wall time separately from process startup
-(clojure/tests/bench/report.py).
+Per-query time is wall time of execution to completion via a noop sink
+after the Spark session is warm — session startup is excluded, matching
+how the reference's own bench reports COPY wall time separately from
+process startup (clojure/tests/bench/report.py).
+
+Every query is individually try/except-isolated: one broken query
+reports in "errors" and costs only its own timing, never the run
+(the round-2 lesson — a single AnalysisException must not turn the
+bench artifact into a stack trace).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pgloader_spark.queries import QUERIES  # noqa: E402
-from pgloader_spark.session import get_spark  # noqa: E402
+from pgloader_spark.session import get_spark, read_table  # noqa: E402
 
 # Headline set: the scan/agg/join/window core, the ETL transform path,
 # and the pipeline operators (dedup / similarity / text).
@@ -43,6 +50,59 @@ HEADLINE = [
     "text_repetition",
 ]
 
+RUNS = 3
+
+
+def bench_etl_load(spark, sf_dir: str, workdir: str) -> dict | None:
+    """Full pgloader-parity path: CSV -> parse LOAD command -> project/
+    cast -> validate -> parquet sink.  The reference's headline number
+    is single-node COPY throughput (BASELINE.md: 550-694k rows/s);
+    this measures the same rows/sec for our engine end-to-end.
+
+    CSV export is untimed setup (the reference bench also starts the
+    clock at COPY, not at dump time).
+    """
+    from pgloader_spark.plans.executor import run_command_text
+
+    csv_dir = os.path.join(workdir, "lineitem_csv")
+    if not os.path.isdir(csv_dir):
+        (
+            read_table(spark, sf_dir, "lineitem")
+            .selectExpr(
+                "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                "l_returnflag", "l_linestatus",
+                "date_format(l_shipdate, 'yyyy-MM-dd HH:mm:ss') AS l_shipdate",
+            )
+            .write.option("sep", "|")
+            .mode("overwrite")
+            .csv(csv_dir)
+        )
+    sink = os.path.join(workdir, "lineitem_loaded.parquet")
+    shutil.rmtree(sink, ignore_errors=True)
+    cmd = f"""
+LOAD CSV
+  FROM '{csv_dir}/*.csv'
+       (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+        l_shipdate)
+  INTO postgresql:///bench?lineitem
+       (l_orderkey bigint, l_partkey bigint, l_suppkey bigint,
+        l_linenumber int, l_quantity double, l_extendedprice double,
+        l_discount double, l_tax double, l_returnflag, l_linestatus,
+        l_shipdate timestamp)
+  WITH fields terminated by '|', null if '';
+"""
+    t0 = time.perf_counter()
+    report = run_command_text(spark, cmd, root_dir=workdir)
+    report.result.write.mode("overwrite").parquet(sink)
+    sec = time.perf_counter() - t0
+    rows = report.loaded
+    return {
+        "rows": rows,
+        "sec": round(sec, 4),
+        "rows_per_sec": round(rows / sec) if sec > 0 else None,
+    }
 
 
 def main() -> None:
@@ -54,41 +114,61 @@ def main() -> None:
     # warm the JVM / codegen paths outside the measured window
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    def run(name: str) -> float:
+    errors: dict[str, str] = {}
+
+    def run(name: str) -> float | None:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # noop sink: exactly one full distributed execution, no
-        # driver-side materialization (the standard Spark bench shape)
-        df.write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        try:
+            # isolation: drop persist entries left by the previous
+            # query/run so no query is timed against another's caches
+            # (and every measured run re-materializes its own pins)
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # noop sink: exactly one full distributed execution, no
+            # driver-side materialization (the standard Spark bench shape)
+            df.write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+        except Exception:
+            errors[name] = traceback.format_exc(limit=3).splitlines()[-1][:500]
+            return None
 
     # Warm-up pass (codegen compilation, parquet footers, broadcast
     # threads), then three measured passes, per-query median — the
     # reference bench's RUNS=3-take-median methodology
     # (clojure/tests/bench/Makefile, report.py).
-    for name in HEADLINE:
-        run(name)
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _ in range(3):
-        for name in HEADLINE:
-            samples[name].append(run(name))
+    alive = [name for name in HEADLINE if run(name) is not None]
+    samples: dict[str, list[float]] = {name: [] for name in alive}
+    for _ in range(RUNS):
+        for name in alive:
+            t = run(name)
+            if t is not None:
+                samples[name].append(t)
     timings = {
-        name: round(sorted(ts)[1], 4) for name, ts in samples.items()
+        name: round(sorted(ts)[len(ts) // 2], 4)
+        for name, ts in samples.items()
+        if ts
     }
 
+    try:
+        etl = bench_etl_load(spark, sf_dir, "/tmp/pgloader_spark_bench")
+    except Exception:
+        etl = None
+        errors["etl_load_csv"] = traceback.format_exc(limit=3).splitlines()[-1][:500]
+
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if etl is not None:
+        out["etl"] = etl
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -171,6 +171,90 @@ def frame_sample_plan(
     )
 
 
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def decode_audio_meta(data: bytes) -> tuple[str, int, int, int]:
+    """(mime, sample_rate, n_channels, duration_ms) from a canonical
+    44-byte-header RIFF/WAVE file — pure struct math on the public
+    layout (fmt chunk at 12, data chunk at 36)."""
+    mime = sniff_mime(data)
+    if mime != "audio/wav":
+        raise UnsupportedMediaError(f"no stub decoder for {mime}")
+    n_channels, sample_rate = struct.unpack_from("<HI", data, 22)
+    byte_rate = struct.unpack_from("<I", data, 28)[0]
+    data_size = struct.unpack_from("<I", data, 40)[0]
+    if byte_rate <= 0:
+        raise UnsupportedMediaError("zero byte rate")
+    return mime, sample_rate, n_channels, data_size * 1000 // byte_rate
+
+
+def audio_metadata(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload"
+) -> DataFrame:
+    """mapInPandas WAV-decode stage — same narrow Arrow-batched shape
+    as ``image_metadata``."""
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd  # noqa: PLC0415 — executor-side import
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                data = bytes(payload) if payload is not None else b""
+                try:
+                    mime, sr, ch, dur = decode_audio_meta(data)
+                    rows.append((doc_id, mime, sr, ch, dur, None))
+                except (UnsupportedMediaError, struct.error) as exc:
+                    rows.append(
+                        (doc_id, sniff_mime(data), None, None, None, str(exc))
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_META_SCHEMA.fields]
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(decode, AUDIO_META_SCHEMA)
+
+
+def png_payload(width_col, height_col):
+    """Spark Column: a minimal PNG (signature + IHDR) built JVM-side —
+    ``concat``/``unhex``/``lpad(hex(...))`` only, so payload synthesis
+    stays in codegen and only the decode crosses into Python."""
+    be32 = lambda c: F.unhex(F.lpad(F.hex(c.cast("long")), 8, "0"))  # noqa: E731
+    return F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A")),   # signature
+        F.unhex(F.lit("0000000D49484452")),   # IHDR length + tag
+        be32(width_col),
+        be32(height_col),
+        F.unhex(F.lit("080200000000000000")),  # depth/color/... + CRC pad
+    )
+
+
+def make_wav(sample_rate: int, n_channels: int, n_samples: int) -> bytes:
+    """Canonical 44-byte-header PCM16 WAV for tests."""
+    block = n_channels * 2
+    data_size = n_samples * block
+    byte_rate = sample_rate * block
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_size)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, n_channels, sample_rate, byte_rate, block, 16)
+        + b"data"
+        + struct.pack("<I", data_size)
+        + b"\x00" * data_size
+    )
+
+
 def make_png(width: int, height: int) -> bytes:
     """Minimal valid-enough PNG header for tests (signature + IHDR)."""
     ihdr = struct.pack(">II", width, height) + b"\x08\x02\x00\x00\x00"

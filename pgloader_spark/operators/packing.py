@@ -50,15 +50,31 @@ def pack_greedy(
     weight_col: str,
     id_col: str = "doc_id",
     budget: int = 512,
-    n_shards: int = 8,
+    n_shards: int | None = None,
     seed: int = 0,
+    rows_per_shard: int = 250_000,
 ) -> DataFrame:
     """(doc_id, shard, bin_id, bin_offset, weight) greedy-packed bins.
 
     ``bin_offset`` is the token position where the document starts inside
     its bin — what a sequence-builder needs to slice the concatenated
     stream back apart.
+
+    Each shard materializes as ONE pandas frame inside a task, so shard
+    size — not cluster size — is the memory bound.  When ``n_shards``
+    is not given it is derived from the row count so no shard exceeds
+    ``rows_per_shard`` rows (a 3-column frame of 250k rows is ~6 MB)
+    while still covering the cluster's parallelism; the count() costs
+    one extra narrow job.  Callers fixing ``n_shards`` explicitly (e.g.
+    for a deterministic oracle) take on that bound themselves.
     """
+    if n_shards is None:
+        n_rows = df.count()
+        n_shards = max(
+            df.sparkSession.sparkContext.defaultParallelism,
+            -(-n_rows // rows_per_shard),  # ceil
+            1,
+        )
     keyed = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(weight_col).cast("long").alias("weight"),

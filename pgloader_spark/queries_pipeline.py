@@ -455,3 +455,156 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_members").alias("cluster_size"),
         )
     )
+
+
+@query(
+    "pipeline_decontam",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+evg AS (
+  SELECT DISTINCT unnest({_duck_ngrams(3)}) AS g
+  FROM toks WHERE doc_id % 20 = 0),
+cg AS (
+  SELECT doc_id, list_distinct({_duck_ngrams(3)}) AS gs
+  FROM toks WHERE doc_id % 20 <> 0),
+flat AS (
+  SELECT doc_id, len(gs) AS n_grams,
+         unnest(CASE WHEN len(gs) = 0
+                     THEN [CAST(NULL AS VARCHAR)] ELSE gs END) AS g
+  FROM cg),
+per AS (
+  SELECT f.doc_id, f.n_grams,
+         SUM(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
+  FROM flat f LEFT JOIN evg e ON f.g = e.g
+  GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(n_grams AS INT) AS n_grams,
+       CAST(n_overlap AS INT) AS n_overlap,
+       CASE WHEN n_grams > 0
+            THEN round(n_overlap / CAST(n_grams AS DOUBLE), 6)
+            ELSE 0.0 END AS overlap_frac,
+       n_overlap > 0 AS contaminated
+FROM per
+""",
+)
+def pipeline_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 20th document plays the held-out
+    eval set; the rest is the training corpus.  The eval side reduces to
+    a broadcast set of 64-bit gram hashes, so the corpus is probed
+    without shuffling it (operators/decontam.py; the oracle joins on the
+    gram string — identical up to 64-bit collisions)."""
+    from pgloader_spark.operators.decontam import ngram_decontaminate
+
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return ngram_decontaminate(corpus, ev, k=3)
+
+
+@query(
+    "pipeline_pack_sequences",
+    oracle="""
+WITH RECURSIVE base AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 12))
+              AS BIGINT) % 1000000 AS hb
+  FROM documents),
+sharded AS (
+  SELECT doc_id, weight, CAST(hb % 8 AS INT) AS shard, hb,
+         ROW_NUMBER() OVER (PARTITION BY hb % 8 ORDER BY hb, doc_id) AS rn
+  FROM base),
+packed(shard, rn, doc_id, weight, bin_id, bin_offset, fill) AS (
+  SELECT shard, rn, doc_id, weight, 0, CAST(0 AS BIGINT), weight
+  FROM sharded WHERE rn = 1
+  UNION ALL
+  SELECT s.shard, s.rn, s.doc_id, s.weight,
+         CASE WHEN p.fill > 0 AND p.fill + s.weight > 2048
+              THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.fill > 0 AND p.fill + s.weight > 2048
+              THEN CAST(0 AS BIGINT) ELSE p.fill END,
+         CASE WHEN p.fill > 0 AND p.fill + s.weight > 2048
+              THEN s.weight ELSE p.fill + s.weight END
+  FROM packed p JOIN sharded s ON s.shard = p.shard AND s.rn = p.rn + 1)
+SELECT doc_id, shard, CAST(bin_id AS INT) AS bin_id, bin_offset, weight
+FROM packed
+""",
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into 2048-char bins, sharded 8 ways for
+    parallelism (operators/packing.py).  The oracle replays the same
+    greedy fold as a recursive CTE over the identical (hash, id)
+    order, so bin assignment matches row-for-row."""
+    from pgloader_spark.operators.packing import pack_greedy
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pack_greedy(docs, "n_chars", budget=2048, n_shards=8, seed=0)
+
+
+@query(
+    "sample_mix_to_target",
+    oracle="""
+WITH fr(lang, frac) AS (
+  VALUES ('en', 0.4), ('es', 0.25), ('de', 0.2), ('fr', 0.15)),
+cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+j AS (SELECT c.lang, c.n, f.frac FROM cnt c JOIN fr f USING (lang)),
+scale AS (SELECT MIN(CAST(floor(n / frac) AS BIGINT)) AS s FROM j),
+quotas AS (
+  SELECT lang, LEAST(n, CAST(floor(frac * s) AS BIGINT)) AS q
+  FROM j CROSS JOIN scale),
+ranked AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 12))
+                         AS BIGINT) % 1000000, doc_id) AS rn
+  FROM documents)
+SELECT r.doc_id, r.lang
+FROM ranked r JOIN quotas USING (lang)
+WHERE rn <= q
+""",
+)
+def sample_mix_to_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/language mixing: largest subsample matching the target
+    mixture 40/25/20/15 en/es/de/fr (zh absent from the target -> quota
+    0, dropped).  Quotas ride a broadcast; the data-sized work is one
+    window rank per stratum (operators/sampling.py:mix_to_target)."""
+    from pgloader_spark.operators.sampling import mix_to_target
+
+    docs = read_table(spark, sf_dir, "documents")
+    picked = mix_to_target(
+        docs, "lang", "doc_id",
+        {"en": 0.4, "es": 0.25, "de": 0.2, "fr": 0.15},
+        seed=0,
+    )
+    return picked.select("doc_id", "lang")
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+vocab AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
+tot AS (SELECT SUM(cnt) AS total FROM vocab),
+model AS (
+  SELECT term, round(ln(cnt / CAST(total AS DOUBLE)), 6) AS logp
+  FROM vocab CROSS JOIN tot),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         SUM(CAST(logp AS DECIMAL(18,6))) AS slp
+  FROM toks JOIN model USING (term)
+  GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_tokens, 0) AS INT) AS n_tokens,
+       CASE WHEN p.n_tokens > 0
+            THEN round(CAST(p.slp AS DOUBLE) / p.n_tokens, 6)
+            ELSE 0.0 END AS avg_logprob
+FROM documents d LEFT JOIN per p USING (doc_id)
+""",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per document — the cheap perplexity
+    proxy (CCNet-style quality filter).  Vocabulary-sized model rides a
+    broadcast; decimal partial sums keep the result order-independent
+    (operators/text.py:unigram_logprob)."""
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    return txt.unigram_logprob(docs)

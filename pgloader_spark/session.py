@@ -43,9 +43,8 @@ def session_configs(master: str, cpus: str = "32") -> dict[str, str]:
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
-        # testdata events.parquet carries TIMESTAMP(NANOS) which the
-        # vectorized reader rejects; read as long and convert in
-        # load_tables (floor-truncate to micros, matching DuckDB).
+        # Tolerate parquet TIMESTAMP(NANOS) inputs (vectorized reader
+        # rejects them otherwise); read_table converts bigint ts back.
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
@@ -71,11 +70,16 @@ def get_spark(app_name: str = "pgloader_spark", master: str | None = None) -> Sp
 def read_table(
     spark: SparkSession, sf_dir: str, name: str, widen: bool = False
 ) -> DataFrame:
-    """Read one testdata table, tolerant of TIMESTAMP(NANOS) parquet.
+    """Read one testdata table with timestamps normalized to one type.
 
-    Works on any session (the driver's included): sets the legacy
-    nanos-as-long conf at runtime, then floor-truncates ns to micros —
-    the same truncation DuckDB applies, so oracles agree.
+    Parquet timestamp columns arrive as whatever the writer used —
+    TIMESTAMP_NTZ for plain ``timestamp[us]``, bigint under the legacy
+    nanos conf for ``timestamp[ns]``. Every downstream query sees ONE
+    canonical type: session-zoned TIMESTAMP (UTC session, so NTZ→LTZ
+    is value-identical and arithmetic like ``cast("double")`` is
+    legal). Normalizing here, once, is what keeps a testdata
+    regeneration from breaking query code (the round-2 sessionize
+    lesson).
 
     ``widen=True`` repartitions a single-file table to the session's
     parallelism. The testdata ships ONE parquet file with ONE row
@@ -95,10 +99,14 @@ def read_table(
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     for f in df.schema.fields:
-        if f.name == "ts" and f.dataType.simpleString() == "bigint":
+        kind = f.dataType.simpleString()
+        if f.name == "ts" and kind == "bigint":
+            # legacy nanos-as-long: floor-truncate ns→us (DuckDB's rule)
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
             )
+        elif kind == "timestamp_ntz":
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     if widen:
         try:
             single_file = os.path.isfile(path) and os.path.getsize(path) > (64 << 10)
