@@ -151,7 +151,9 @@ def main() -> None:
     }
 
     try:
-        etl = bench_etl_load(spark, sf_dir, "/tmp/pgloader_spark_bench")
+        etl = bench_etl_load(
+            spark, sf_dir, f"/tmp/pgloader_spark_bench_sf{sf}"
+        )
     except Exception:
         etl = None
         errors["etl_load_csv"] = traceback.format_exc(limit=3).splitlines()[-1][:500]

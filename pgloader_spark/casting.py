@@ -324,11 +324,29 @@ def _mssql_rules() -> list[CastRule]:
 
 
 def _pgsql_rules() -> list[CastRule]:
-    """pgsql-cast-rules.lisp:7-16 — mostly identity."""
+    """pgsql-cast-rules.lisp:7-16 — identity.  The reference's rule
+    table is nearly empty because its target is PostgreSQL (types
+    carry); our execution engine is Spark, so identity means mapping
+    each PG type to its Spark equivalent explicitly.  Type names as
+    information_schema.columns spells them."""
     return [
         CastRule(source_type="jsonb", target=_r("jsonb", T.StringType())),
         CastRule(source_type="json", target=_r("json", T.StringType())),
         CastRule(source_type="hstore", target=_r("hstore", T.StringType())),
+        CastRule(source_type="smallint", target=_r("smallint", T.ShortType())),
+        CastRule(source_type="integer", target=_r("integer", T.IntegerType())),
+        CastRule(source_type="bigint", target=_r("bigint", T.LongType())),
+        CastRule(source_type="real", target=_r("real", T.FloatType())),
+        CastRule(source_type="double precision",
+                 target=_r("double precision", T.DoubleType())),
+        CastRule(source_type="numeric", target=_keep_typemod("numeric", _decimal)),
+        CastRule(source_type="boolean", target=_r("boolean", T.BooleanType())),
+        CastRule(source_type="date", target=_r("date", T.DateType())),
+        CastRule(source_type="timestamp without time zone",
+                 target=_r("timestamp", T.TimestampType())),
+        CastRule(source_type="timestamp with time zone",
+                 target=_r("timestamptz", T.TimestampType())),
+        CastRule(source_type="bytea", target=_r("bytea", T.BinaryType())),
     ]
 
 

@@ -94,22 +94,33 @@ def main(argv: list[str] | None = None) -> int:
         ctx = ExecutionContext(
             spark=spark, root_dir=args.root_dir, on_error_stop=args.on_error_stop
         )
-        report = execute(ctx, cmd)
-        # parquet-dir targets actually land the data; postgresql://
-        # targets need a live server + psycopg (sinks/writers.py)
-        if args.target and not args.target.startswith("postgresql"):
-            report.result.write.mode("overwrite").parquet(args.target)
+        if cmd.source_kind == "database":
+            from pgloader_spark.plans.executor import execute_database
+
+            reports = execute_database(ctx, cmd)
+        else:
+            report = execute(ctx, cmd)
+            # parquet-dir targets land the data; a postgresql:// target
+            # goes through the COPY sink (live server required)
+            if args.target and not args.target.startswith("postgresql"):
+                report.result.write.mode("overwrite").parquet(args.target)
+            elif args.target:
+                from pgloader_spark.sources.pg_live import write_pg_copy
+
+                write_pg_copy(report.result, args.target, report.table)
+            reports = [report]
 
         from pgloader_spark.plans.orchestrate import MigrationSummary, TableResult
 
         summary = MigrationSummary(
             results=[
                 TableResult(
-                    table=report.table,
-                    read=report.read,
-                    loaded=report.loaded,
-                    errors=report.errors,
+                    table=r.table,
+                    read=r.read,
+                    loaded=r.loaded,
+                    errors=r.errors,
                 )
+                for r in reports
             ]
         )
         out = {

@@ -213,6 +213,105 @@ def execute_archive(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport]
     return reports
 
 
+def _user_rules(cmd: LoadCommand):
+    from pgloader_spark.parsers.loadcmd import compile_cast_rules
+
+    return compile_cast_rules(cmd.cast_rules) if cmd.cast_rules else []
+
+
+def _match_filters(name: str, including: list[str], excluding: list[str]) -> bool:
+    import re as _re
+
+    if including and not any(_re.fullmatch(p.replace("~", ".*"), name) for p in including):
+        return False
+    return not any(_re.fullmatch(p.replace("~", ".*"), name) for p in excluding)
+
+
+def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport]:
+    """Live ``LOAD DATABASE`` — the reference's flagship lifecycle
+    (migrate-database.lisp:116-150 / mysql.lisp:100-131): introspect
+    the source catalog, apply cast rules, CREATE the target tables,
+    then stream every table through a partitioned read into the COPY
+    sink (or a parquet lake when the target is a directory).
+
+    Live paths available in-container: ``sqlite://`` (stdlib sqlite3)
+    and ``postgresql://`` (stdlib wire client, sources/pgwire.py).
+    MySQL/MSSQL sources still need a server + JDBC jar; their plans
+    are covered in sources/jdbc.py tests.
+    """
+    from pgloader_spark.casting import CastEngine
+    from pgloader_spark.catalog import Catalog, Schema
+    from pgloader_spark.plans.ddl import prepare_statements, table_from_fields
+
+    src = cmd.source
+    if src.startswith(("sqlite://", "db3://")):
+        from pgloader_spark.sources.sqlite_live import (
+            introspect_sqlite as _introspect,
+        )
+        from pgloader_spark.sources.sqlite_live import (
+            read_sqlite_table as _read,
+        )
+
+        src_loc = src.split("://", 1)[1]
+        engine = CastEngine("sqlite", user_rules=_user_rules(cmd))
+    elif src.startswith(("postgresql://", "pgsql://", "postgres://")):
+        from pgloader_spark.sources.pg_live import introspect_pg as _introspect
+        from pgloader_spark.sources.pg_live import read_pg_table as _read
+
+        src_loc = src
+        engine = CastEngine("pgsql", user_rules=_user_rules(cmd))
+    else:
+        raise ValueError(
+            f"no live driver for {src!r} in this environment "
+            "(sqlite:// and postgresql:// are self-contained)"
+        )
+
+    catalog_fields = {
+        t: f
+        for t, f in _introspect(src_loc).items()
+        if _match_filters(t, cmd.including, cmd.excluding)
+    }
+    cat = Catalog(src.split(":", 1)[0])
+    sch = Schema("public")
+    cat.schemas.append(sch)
+    for t, fields in catalog_fields.items():
+        table_from_fields(t, fields, engine, sch)
+
+    target = cmd.target or ""
+    pg_target = target.startswith(("postgresql://", "pgsql://", "postgres://"))
+    if pg_target:
+        from pgloader_spark.sources.pg_live import write_pg_copy
+        from pgloader_spark.sources.pgwire import PGConn
+
+        with PGConn(target) as conn:
+            for stmt in prepare_statements(cat, include_drop=True):
+                conn.query(stmt)
+            for stmt in cmd.before_load:
+                conn.query(stmt)
+
+    reports: list[LoadReport] = []
+    for t in catalog_fields:
+        df = _read(ctx.spark, src_loc, t, engine=engine)
+        if pg_target:
+            df = df.cache()
+            n = df.count()
+            write_pg_copy(df, target, t)
+            df.unpersist()
+        else:
+            out = os.path.join(target or ctx.root_dir, f"{t}.parquet")
+            df.write.mode("overwrite").parquet(out)
+            n = ctx.spark.read.parquet(out).count()
+        reports.append(LoadReport(table=t, read=n, loaded=n, result=df))
+
+    if pg_target and cmd.after_load:
+        from pgloader_spark.sources.pgwire import PGConn
+
+        with PGConn(target) as conn:
+            for stmt in cmd.after_load:
+                conn.query(stmt)
+    return reports
+
+
 def execute(ctx: ExecutionContext, cmd: LoadCommand) -> LoadReport:
     """parse result -> report. BEFORE/AFTER LOAD DO statements run
     through ctx.sql_runner when provided (JDBC in production; DuckDB

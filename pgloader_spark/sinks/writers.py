@@ -49,30 +49,40 @@ def write_jdbc(
 
 
 def _copy_partition(rows: Iterator, dsn: str, table: str, columns: list[str]) -> None:
-    """Executor-side: stream one partition through COPY. Import is
-    deferred so the module loads without psycopg installed."""
+    """Executor-side: stream one partition through COPY.  Driver
+    preference: psycopg (binary pipeline) > psycopg2 > the stdlib wire
+    client (``sources/pgwire.py`` — always available).  All imports are
+    deferred so the module loads with none of them installed."""
+    copy_stmt = f"COPY {table} ({', '.join(columns)}) FROM STDIN"
     try:
         import psycopg  # noqa: PLC0415
 
         conn = psycopg.connect(dsn)
-        copy_stmt = f"COPY {table} ({', '.join(columns)}) FROM STDIN"
         with conn, conn.cursor() as cur, cur.copy(copy_stmt) as copy:
             for row in rows:
                 copy.write_row(tuple(row))
         return
     except ImportError:
         pass
-    import psycopg2  # noqa: PLC0415
 
     from pgloader_spark.sinks.copy_encode import encode_rows_to_copy  # noqa: PLC0415
+
+    try:
+        import psycopg2  # noqa: PLC0415
+    except ImportError:
+        from pgloader_spark.sources.pgwire import PGConn  # noqa: PLC0415
+
+        buf = encode_rows_to_copy(rows).getvalue().encode("utf-8")
+        if buf:
+            with PGConn(dsn) as conn:
+                conn.copy_in(copy_stmt, [buf])
+        return
 
     conn = psycopg2.connect(dsn)
     try:
         cur = conn.cursor()
         buf = encode_rows_to_copy(rows)
-        cur.copy_expert(
-            f"COPY {table} ({', '.join(columns)}) FROM STDIN", buf
-        )
+        cur.copy_expert(copy_stmt, buf)
         conn.commit()
     finally:
         conn.close()
