@@ -105,6 +105,79 @@ LOAD CSV
     }
 
 
+def bench_etl_pg_copy(spark, sf_dir: str, workdir: str) -> dict | None:
+    """The reference's ACTUAL headline: rows/sec COPYed into a live
+    PostgreSQL (BASELINE.md: 550-694k rows/s single-node).  Starts a
+    scratch server (initdb + pg_ctl, trust auth), streams lineitem
+    through the per-partition COPY sink, verifies the count in PG.
+    Returns None when no server can start in the environment.
+    """
+    import shutil
+    import subprocess
+    import uuid
+
+    if shutil.which("pg_ctl") is None or shutil.which("su") is None:
+        return None
+    base = f"{workdir}/pg_{uuid.uuid4().hex[:6]}"
+    port = 54399
+
+    def su_pg(cmd: str):
+        return subprocess.run(
+            ["su", "postgres", "-s", "/bin/bash", "-c", cmd],
+            capture_output=True,
+            text=True,
+        )
+
+    os.makedirs(base, exist_ok=True)
+    try:
+        shutil.chown(base, "postgres", "postgres")
+        if su_pg(f"initdb -A trust -D {base}/data -U postgres").returncode != 0:
+            return None
+        if su_pg(
+            f"pg_ctl -D {base}/data -l {base}/log -o '-p {port} "
+            f"-c listen_addresses=127.0.0.1 -c fsync=off "
+            f"-c unix_socket_directories={base}' start"
+        ).returncode != 0:
+            return None
+        from pgloader_spark.sources.pg_live import write_pg_copy
+        from pgloader_spark.sources.pgwire import PGConn
+
+        dsn = f"postgresql://postgres@127.0.0.1:{port}/postgres"
+        for _ in range(50):
+            try:
+                PGConn(dsn).close()
+                break
+            except OSError:
+                time.sleep(0.2)
+        with PGConn(dsn) as c:
+            c.query(
+                "CREATE TABLE lineitem (l_orderkey bigint, l_partkey bigint, "
+                "l_suppkey bigint, l_linenumber int, l_quantity double precision, "
+                "l_extendedprice double precision, l_discount double precision, "
+                "l_tax double precision, l_returnflag text, l_linestatus text, "
+                "l_shipdate timestamp)"
+            )
+        df = read_table(spark, sf_dir, "lineitem", widen=True)
+        df = df.cache()
+        rows = df.count()  # materialize the read outside the COPY window
+        t0 = time.perf_counter()
+        write_pg_copy(df, dsn, "lineitem")
+        sec = time.perf_counter() - t0
+        df.unpersist()
+        with PGConn(dsn) as c:
+            _, got = c.query("SELECT COUNT(*) FROM lineitem")
+        if got != [(str(rows),)]:
+            return {"error": f"count mismatch: {got} != {rows}"}
+        return {
+            "rows": rows,
+            "sec": round(sec, 4),
+            "rows_per_sec": round(rows / sec) if sec > 0 else None,
+        }
+    finally:
+        su_pg(f"pg_ctl -D {base}/data -m immediate stop")
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -157,6 +230,13 @@ def main() -> None:
     except Exception:
         etl = None
         errors["etl_load_csv"] = traceback.format_exc(limit=3).splitlines()[-1][:500]
+    try:
+        etl_pg = bench_etl_pg_copy(
+            spark, sf_dir, f"/tmp/pgloader_spark_bench_sf{sf}"
+        )
+    except Exception:
+        etl_pg = None
+        errors["etl_pg_copy"] = traceback.format_exc(limit=3).splitlines()[-1][:500]
 
     total = round(sum(timings.values()), 4)
     out = {
@@ -168,6 +248,8 @@ def main() -> None:
     }
     if etl is not None:
         out["etl"] = etl
+    if etl_pg is not None:
+        out["etl_pg_copy"] = etl_pg
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

@@ -76,7 +76,21 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
     ap.add_argument("--summary", choices=["text", "csv", "json"], default="text")
     ap.add_argument("--on-error-stop", action="store_true")
+    ap.add_argument(
+        "--load-py-file",
+        action="append",
+        default=[],
+        metavar="FILE.py",
+        help="import a user Python file that calls "
+        "register_transform(name, fn) before parsing (the reference's "
+        "--load user-Lisp hook, src/main.lisp:174-183)",
+    )
     args = ap.parse_args(argv)
+
+    from pgloader_spark.functions.transforms import load_plugin_file
+
+    for plugin in args.load_py_file:
+        load_plugin_file(plugin)
 
     from pgloader_spark.plans.executor import ExecutionContext, execute
     from pgloader_spark.session import get_spark

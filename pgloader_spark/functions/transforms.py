@@ -42,6 +42,33 @@ def get_transform(name: str) -> Callable[..., Column]:
     return TRANSFORMS[key]
 
 
+def register_transform(name: str, fn: Callable[..., Column]) -> None:
+    """Public extension hook: add a USING-callable transform.
+
+    The reference loads user Lisp defining new transforms at startup
+    (``--load`` / *load-lisp-file*, src/main.lisp:174-183); user
+    Python files loaded via ``--load-py-file`` (cli.py) call this to
+    make their Column builders visible to the LOAD DSL's USING
+    clause and to CAST rules.  Both lisp-style and underscore keys
+    are registered, like the built-ins.
+    """
+    for n in (name, name.replace("-", "_")):
+        TRANSFORMS[n.strip().lower()] = fn
+
+
+def load_plugin_file(path: str) -> None:
+    """Import a user Python file for its registration side effects."""
+    import importlib.util
+    import os
+
+    mod_name = f"pgloader_spark_plugin_{os.path.basename(path).removesuffix('.py')}"
+    spec = importlib.util.spec_from_file_location(mod_name, path)
+    if spec is None or spec.loader is None:
+        raise ValueError(f"cannot load plugin file: {path}")
+    module = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(module)
+
+
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 

@@ -55,6 +55,17 @@ def session_configs(master: str, cpus: str = "32") -> dict[str, str]:
         conf["spark.sql.shuffle.partitions"] = str(min(int(cpus) * 2, 64))
         conf["spark.sql.files.maxPartitionBytes"] = "4m"
         conf["spark.sql.files.openCostInBytes"] = "1m"
+        # Make AQE coalesce by SIZE, not by parallelism: with the
+        # default parallelismFirst=true every tiny shuffle still fans
+        # out to defaultParallelism tasks, and a 10-stage dedup plan
+        # pays ~64 empty-task schedulings per stage (measured 2-4x
+        # wall-clock on the Jaccard queries at sf0.1).  A 16 MB
+        # advisory collapses Kb-size shuffles to one task while
+        # keeping >100 MB stages parallel.  Cluster masters keep
+        # Spark's defaults: at real scale shuffles are big enough
+        # that parallelismFirst never fires.
+        conf["spark.sql.adaptive.coalescePartitions.parallelismFirst"] = "false"
+        conf["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = "16m"
     return conf
 
 

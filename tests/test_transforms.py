@@ -124,3 +124,41 @@ def test_ip_range(spark):
 def test_unknown_transform_raises():
     with pytest.raises(KeyError):
         tr.get_transform("no-such-fn")
+
+
+def test_register_transform_plugin_through_dsl(spark, tmp_path):
+    """User plugin file -> register_transform -> USING clause resolves
+    it (the reference's --load user-Lisp extension story,
+    src/main.lisp:174-183)."""
+    from pgloader_spark.functions.transforms import (
+        TRANSFORMS,
+        load_plugin_file,
+    )
+    from pgloader_spark.plans.executor import run_command_text
+
+    plugin = tmp_path / "my_transforms.py"
+    plugin.write_text(
+        "from pyspark.sql import functions as F\n"
+        "from pgloader_spark.functions.transforms import register_transform\n"
+        "def shout(col):\n"
+        "    c = F.col(col) if isinstance(col, str) else col\n"
+        "    return F.concat(F.upper(c), F.lit('!'))\n"
+        "register_transform('shout-it', shout)\n"
+    )
+    assert "shout-it" not in TRANSFORMS
+    load_plugin_file(str(plugin))
+    assert "shout-it" in TRANSFORMS and "shout_it" in TRANSFORMS
+
+    cmd = """
+LOAD CSV
+  FROM inline (a, b)
+  INTO postgresql:///db?t (a, b text using (shout-it b));
+
+1,hello
+2,world
+"""
+    report = run_command_text(spark, cmd, root_dir=str(tmp_path))
+    got = {r["a"]: r["b"] for r in report.result.collect()}
+    assert got == {"1": "HELLO!", "2": "WORLD!"}
+    for k in ("shout-it", "shout_it"):
+        TRANSFORMS.pop(k, None)
