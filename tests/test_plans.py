@@ -218,3 +218,45 @@ def test_connected_components_shuffles_are_bounded(spark):
     # lineage was cut: the final plan reads checkpointed RDDs, not the
     # full iteration history
     assert "LogicalRDD" in plan
+
+
+def test_decontam_probes_via_broadcast(spark, sf_dir):
+    """Decontamination's contract: the eval-gram set rides a
+    BroadcastExchange and the corpus side is NEVER shuffled to meet
+    it — at 100 TB the corpus-side shuffle would be the whole job."""
+    plan = _formatted_plan(Q.QUERIES["pipeline_decontam"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the only allowed corpus-side Exchange is the final per-doc
+    # groupBy; the membership probe itself must be broadcast
+    join_ix = plan.find("BroadcastHashJoin")
+    assert join_ix != -1
+
+
+def test_packing_is_single_shuffle(spark, sf_dir):
+    """Sequence packing's contract: exactly ONE data shuffle (the
+    shard key); the greedy fold happens inside each shard's task."""
+    from pgloader_spark.operators.packing import pack_greedy
+    from pgloader_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    plan = _formatted_plan(pack_greedy(docs, "n_chars", budget=2048, n_shards=8))
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}"
+    assert "FlatMapGroupsInPandas" in plan or "ApplyInPandas" in plan
+
+
+def test_mix_to_target_quotas_ride_broadcast(spark, sf_dir):
+    """Mixture sampling's contract: the quota table (strata-sized,
+    tiny) joins via broadcast; the corpus-sized work is one window
+    rank per stratum."""
+    plan = _formatted_plan(Q.QUERIES["sample_mix_to_target"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "Window" in plan
+
+
+def test_unigram_model_rides_broadcast(spark, sf_dir):
+    """Unigram log-prob: the vocabulary-sized model must broadcast
+    back onto the token stream (never shuffle the corpus on term for
+    the probe side)."""
+    plan = _formatted_plan(Q.QUERIES["text_unigram_logprob"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
