@@ -157,7 +157,9 @@ def bench_etl_pg_copy(spark, sf_dir: str, workdir: str) -> dict | None:
                 "l_tax double precision, l_returnflag text, l_linestatus text, "
                 "l_shipdate timestamp)"
             )
-        df = read_table(spark, sf_dir, "lineitem", widen=True)
+        # 16 writers: measured sweet spot for one local server (32
+        # concurrent COPY streams contend on relation extension)
+        df = read_table(spark, sf_dir, "lineitem", widen=True).repartition(16)
         df = df.cache()
         rows = df.count()  # materialize the read outside the COPY window
         t0 = time.perf_counter()
@@ -206,6 +208,25 @@ def main() -> None:
             errors[name] = traceback.format_exc(limit=3).splitlines()[-1][:500]
             return None
 
+    # ETL end-to-end headlines first (before the dedup queries flood
+    # the heap with 3M-pair intermediates — measured 2x noise on the
+    # ETL wall when run after them).
+    try:
+        etl = bench_etl_load(
+            spark, sf_dir, f"/tmp/pgloader_spark_bench_sf{sf}"
+        )
+    except Exception:
+        etl = None
+        errors["etl_load_csv"] = traceback.format_exc(limit=3).splitlines()[-1][:500]
+    try:
+        etl_pg = bench_etl_pg_copy(
+            spark, sf_dir, f"/tmp/pgloader_spark_bench_sf{sf}"
+        )
+    except Exception:
+        etl_pg = None
+        errors["etl_pg_copy"] = traceback.format_exc(limit=3).splitlines()[-1][:500]
+    spark.catalog.clearCache()
+
     # Warm-up pass (codegen compilation, parquet footers, broadcast
     # threads), then three measured passes, per-query median — the
     # reference bench's RUNS=3-take-median methodology
@@ -222,21 +243,6 @@ def main() -> None:
         for name, ts in samples.items()
         if ts
     }
-
-    try:
-        etl = bench_etl_load(
-            spark, sf_dir, f"/tmp/pgloader_spark_bench_sf{sf}"
-        )
-    except Exception:
-        etl = None
-        errors["etl_load_csv"] = traceback.format_exc(limit=3).splitlines()[-1][:500]
-    try:
-        etl_pg = bench_etl_pg_copy(
-            spark, sf_dir, f"/tmp/pgloader_spark_bench_sf{sf}"
-        )
-    except Exception:
-        etl_pg = None
-        errors["etl_pg_copy"] = traceback.format_exc(limit=3).splitlines()[-1][:500]
 
     total = round(sum(timings.values()), 4)
     out = {

@@ -293,10 +293,8 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
     for t in catalog_fields:
         df = _read(ctx.spark, src_loc, t, engine=engine)
         if pg_target:
-            df = df.cache()
-            n = df.count()
-            write_pg_copy(df, target, t)
-            df.unpersist()
+            # one distributed pass: the COPY sink reports rows loaded
+            n = write_pg_copy(df, target, t)
         else:
             out = os.path.join(target or ctx.root_dir, f"{t}.parquet")
             df.write.mode("overwrite").parquet(out)
