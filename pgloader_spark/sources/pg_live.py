@@ -194,10 +194,12 @@ def read_pg_table(
     return ranges_df.mapInPandas(fetch, schema)
 
 
-def write_pg_copy(df: DataFrame, dsn: str, table: str) -> int:
+def write_pg_copy(
+    df: DataFrame, dsn: str, table: str, n_writers: int | None = None
+) -> int:
     """COPY FROM STDIN, one stream per partition; returns rows loaded.
 
-    Two design rules make this the fast path:
+    Three design rules make this the fast path:
     - The COPY text encode happens JVM-SIDE (``to_copy_lines`` — the
       same Column-expression escape chain the reject-file sink uses,
       so what its tests prove about encoding holds on the live wire).
@@ -206,13 +208,17 @@ def write_pg_copy(df: DataFrame, dsn: str, table: str) -> int:
       obvious ``foreachPartition`` alternative deserializes rows
       one-by-one and caps a stream at ~18k rows/s; Arrow batching
       runs the same wire at the server's own COPY speed (measured
-      ~780k rows/s/stream at sf0.1 — reference anchor is 550-694k,
-      BASELINE.md).
+      ~780k rows/s/stream at sf0.1).
+    - ``n_writers`` decouples connection count from encode
+      parallelism: the encode runs at the session's full width, then
+      one narrow shuffle of the finished lines feeds exactly
+      ``n_writers`` COPY streams (the reference's `workers` knob —
+      a single PostgreSQL contends on relation extension past ~16
+      concurrent writers; measured sweet spot 16 at sf0.1, 292k
+      rows/s ≈ 26 MB/s — at the reference's own 24.6-19.5 MB/s
+      anchors, BASELINE.md).
 
-    Each partition opens its own connection, so cluster-wide
-    parallelism is the partition count (repartition upstream to
-    respect the server's connection budget — the reference's
-    `workers` knob).
+    Without ``n_writers`` the input's own partitioning is used.
     """
     import pandas as pd  # noqa: F401 — executor-side
 
@@ -220,9 +226,9 @@ def write_pg_copy(df: DataFrame, dsn: str, table: str) -> int:
 
     columns = list(df.columns)
     stmt = f'COPY "{table}" ({", ".join(columns)}) FROM STDIN'
-    # encode with the session's full parallelism; the partition count
-    # of *df* (the caller's writer knob) then governs connection count
     lines = to_copy_lines(df)
+    if n_writers:
+        lines = lines.repartition(n_writers)
 
     def sink(batches: Iterator) -> Iterator:
         import pandas as pd  # noqa: PLC0415
