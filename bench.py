@@ -60,9 +60,12 @@ def bench_etl_load(spark, sf_dir: str, workdir: str) -> dict | None:
     this measures the same rows/sec for our engine end-to-end.
 
     CSV export is untimed setup (the reference bench also starts the
-    clock at COPY, not at dump time).
+    clock at COPY, not at dump time).  The sink is passed INTO the
+    executor so rows are counted during the one distributed pass
+    (Observation), the same way the reference counts during COPY.
     """
-    from pgloader_spark.plans.executor import run_command_text
+    from pgloader_spark.parsers.loadcmd import parse_load
+    from pgloader_spark.plans.executor import ExecutionContext, execute
 
     csv_dir = os.path.join(workdir, "lineitem_csv")
     if not os.path.isdir(csv_dir):
@@ -93,9 +96,13 @@ LOAD CSV
         l_shipdate timestamp)
   WITH fields terminated by '|', null if '';
 """
+    ctx = ExecutionContext(
+        spark=spark,
+        root_dir=workdir,
+        sink=lambda df, _t: df.write.mode("overwrite").parquet(sink),
+    )
     t0 = time.perf_counter()
-    report = run_command_text(spark, cmd, root_dir=workdir)
-    report.result.write.mode("overwrite").parquet(sink)
+    report = execute(ctx, parse_load(cmd))
     sec = time.perf_counter() - t0
     rows = report.loaded
     return {

@@ -50,6 +50,12 @@ class ExecutionContext:
     root_dir: str = "/tmp/pgloader_spark"
     on_error_stop: bool = False
     sql_runner: object | None = None  # callable(sql) for BEFORE/AFTER LOAD DO
+    # callable(df, table) that runs the terminal action (parquet write,
+    # COPY, ...).  When provided, execute() counts rows DURING that
+    # action via an Observation — one distributed pass, the way the
+    # reference counts while it COPYs (src/pg-copy/copy-rows-in-
+    # batch.lisp) — instead of cache + count + caller-side sink.
+    sink: object | None = None
 
 
 def _csv_options(cmd: LoadCommand) -> CsvOptions:
@@ -340,10 +346,19 @@ def execute(ctx: ExecutionContext, cmd: LoadCommand) -> LoadReport:
     else:
         good = projected
 
-    good = good.cache()
-    report.loaded = good.count()
+    if ctx.sink is not None:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        good = good.observe(obs, F.count(F.lit(1)).alias("n"))
+        ctx.sink(good, table)
+        report.loaded = int(obs.get["n"])
+        report.result = good
+    else:
+        good = good.cache()
+        report.loaded = good.count()
+        report.result = good
     report.read = report.loaded + report.errors
-    report.result = good
 
     for stmt in cmd.after_load:
         if ctx.sql_runner:

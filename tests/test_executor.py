@@ -115,3 +115,30 @@ def test_dbf_end_to_end(spark, tmp_path):
     )
     assert report.loaded == 2
     assert {r["NAME"] for r in report.result.collect()} == {"alice", "bob"}
+
+
+def test_execute_with_sink_counts_in_one_pass(spark, tmp_path):
+    """ctx.sink: rows counted DURING the sink action (Observation) —
+    no cache+count second pass; loaded matches what landed."""
+    from pgloader_spark.parsers.loadcmd import parse_load
+    from pgloader_spark.plans.executor import ExecutionContext, execute
+
+    p = tmp_path / "data.csv"
+    p.write_text("".join(f"{i};v{i}\n" for i in range(1000)))
+    out = tmp_path / "out.parquet"
+    cmd = parse_load(
+        f"""
+LOAD CSV
+  FROM '{p}' (id, val)
+  INTO postgresql:///db?t (id int, val)
+  WITH fields terminated by ';';
+"""
+    )
+    ctx = ExecutionContext(
+        spark=spark,
+        root_dir=str(tmp_path),
+        sink=lambda df, _t: df.write.mode("overwrite").parquet(str(out)),
+    )
+    report = execute(ctx, cmd)
+    assert report.loaded == 1000
+    assert spark.read.parquet(str(out)).count() == 1000
