@@ -285,7 +285,14 @@ def _prefix_candidates(items_df: DataFrame, threshold: float) -> DataFrame:
     joins against the pinned per-doc table (AQE broadcasts it while
     small, hash-joins on id beyond that).
     """
-    ex = _pin(items_df.select("id", F.explode("items").alias("item")))
+    # NOT pinned, deliberately: the exploded item table is the one
+    # intermediate BIGGER than its input (shingle explosion is ~10x
+    # the corpus).  Its two consumers (dfreq, the ordered join) each
+    # re-run the cheap narrow explode instead — two corpus scans beat
+    # materializing a corpus-multiple to memory/disk at any scale
+    # (measured ~25% faster at sf0.1; at 100 TB the pin would mean
+    # persisting ~1 PB to save one 100 TB re-scan).
+    ex = items_df.select("id", F.explode("items").alias("item"))
     dfreq = ex.groupBy("item").agg(F.count(F.lit(1)).alias("df"))
     # per-doc items ordered rarest-first under the global (df, item)
     # total order; struct sort gives exactly that ordering

@@ -127,3 +127,45 @@ def mix_to_target(
         .filter(F.col("__rn") <= F.col("__quota"))
         .drop("__rn", "__quota")
     )
+
+
+def global_shuffle_rank(
+    df: DataFrame, key_col: str, seed: int = 42, n_buckets: int = 1024
+) -> DataFrame:
+    """Deterministic global shuffle order for training-data emission:
+    every row gets a contiguous rank under the (hash, key) total
+    order — same order on any engine, any partitioning, any rerun.
+
+    The naive ``row_number() OVER (ORDER BY hash)`` is a
+    single-partition window — one task sorts the whole corpus, the
+    classic 100 TB killer.  This is the two-phase form: rows land in
+    hash-RANGE buckets (bucket boundaries follow the global order),
+    tiny per-bucket counts become running offsets on the driver-free
+    broadcast side, and each bucket ranks internally in parallel:
+    ``rank = bucket_offset + rank_within_bucket``.  Both shuffles are
+    bounded (one on the bucket key, one tiny aggregate).
+    """
+    from pyspark.sql.window import Window as W
+
+    hb = hash_bucket(key_col, seed)
+    span = 1_000_000 // n_buckets  # hash_bucket's default bucket space
+    bucketed = df.withColumn("__hb", hb).withColumn(
+        "__bkt", (F.col("__hb") / span).cast("int")
+    )
+    counts = bucketed.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__n"))
+    offsets = counts.select(
+        "__bkt",
+        (
+            F.sum("__n").over(
+                W.orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
+            )
+        ).alias("__off"),
+    ).fillna(0, ["__off"])  # first bucket has no predecessor
+    rn = F.row_number().over(
+        W.partitionBy("__bkt").orderBy(F.col("__hb"), F.col(key_col))
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), "__bkt")
+        .withColumn("shuffle_rank", (F.col("__off") + rn).cast("long"))
+        .drop("__hb", "__bkt", "__off")
+    )

@@ -458,3 +458,41 @@ def unigram_logprob(
         .otherwise(F.lit(0.0))
         .alias("avg_logprob"),
     )
+
+
+def chunk_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Token-window chunking: one row per (doc, chunk) with a content
+    digest — the context-window preparation step between cleaning and
+    sequence packing in a pretraining pipeline (overlapping windows:
+    ``window`` tokens every ``stride``).
+
+    Pure sequence + explode + slice — narrow, JVM-side, no shuffle;
+    a 100 TB corpus chunks at scan speed.  Documents with no tokens
+    emit no chunks.
+    """
+    toks = tokens(text_col)
+    # sequence() rejects start > stop with a positive step, so the
+    # empty-document case must short-circuit to an empty array
+    starts = F.when(
+        F.size(toks) >= 1,
+        F.sequence(F.lit(1), F.size(toks), F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    base = df.select(
+        F.col(id_col), toks.alias("__tk"), F.explode(starts).alias("start_tok")
+    )
+    piece = F.slice(F.col("__tk"), F.col("start_tok"), window)
+    return base.select(
+        F.col(id_col),
+        ((F.col("start_tok") - 1) / stride).cast("int").alias("chunk_ix"),
+        F.col("start_tok").cast("int"),
+        F.least(
+            F.lit(window), F.size("__tk") - F.col("start_tok") + 1
+        ).cast("int").alias("n_tok"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
+    )

@@ -608,3 +608,52 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.py:unigram_logprob)."""
     docs = read_table(spark, sf_dir, "documents", widen=True)
     return txt.unigram_logprob(docs)
+
+
+@query(
+    "text_chunk_windows",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+s AS (SELECT doc_id, tk,
+             unnest(range(1, len(tk) + 1, 48)) AS start_tok
+      FROM t)
+SELECT doc_id,
+       CAST((start_tok - 1) / 48 AS INT) AS chunk_ix,
+       CAST(start_tok AS INT) AS start_tok,
+       CAST(least(64, len(tk) - start_tok + 1) AS INT) AS n_tok,
+       md5(array_to_string(tk[start_tok:start_tok + 63], ' ')) AS chunk_md5
+FROM s
+""",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (64-token windows every 48): the
+    context-window prep step between cleaning and packing.  Narrow
+    sequence+explode+slice — chunks at scan speed
+    (operators/text.py:chunk_windows)."""
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    return txt.chunk_windows(docs, window=64, stride=48)
+
+
+@query(
+    "sample_global_shuffle",
+    oracle="""
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))
+                       AS BIGINT) % 1000000, doc_id) AS BIGINT) AS shuffle_rank
+FROM documents
+""",
+)
+def sample_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-data shuffle order.  The oracle
+    is the naive single-window ROW_NUMBER; the Spark side is the
+    scale-correct two-phase bucket rank (hash-range buckets ->
+    parallel within-bucket windows + broadcast offsets) that emits
+    the IDENTICAL ranking without ever sorting the corpus in one task
+    (operators/sampling.py:global_shuffle_rank)."""
+    from pgloader_spark.operators.sampling import global_shuffle_rank
+
+    docs = read_table(spark, sf_dir, "documents")
+    return global_shuffle_rank(docs, "doc_id", seed=42).select(
+        "doc_id", "shuffle_rank"
+    )

@@ -204,3 +204,48 @@ def test_png_payload_jvm_side_roundtrip(spark):
     assert (out[3]["width"], out[3]["height"]) == (65535, 3)
     assert all(r["mime"] == "image/png" and r["error"] is None for r in out.values())
     assert all(r["n_bytes"] == 33 for r in out.values())
+
+
+# --------------------------------------------------- chunking / shuffling
+
+
+def test_chunk_windows_boundaries(spark):
+    text = " ".join(f"w{i}" for i in range(100))  # 100 tokens
+    df = spark.createDataFrame([(1, text), (2, "only three tokens"), (3, "")],
+                               "doc_id long, text string")
+    out = {}
+    for r in __import__("pgloader_spark.operators.text", fromlist=["chunk_windows"]) \
+            .chunk_windows(df, window=64, stride=48).collect():
+        out.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(out[1], key=lambda r: r["chunk_ix"])
+    # starts at 1, 49, 97; windows 64, 64, 4 tokens
+    assert [(r["start_tok"], r["n_tok"]) for r in c1] == [(1, 64), (49, 52), (97, 4)]
+    assert out[2][0]["n_tok"] == 3
+    assert 3 not in out  # empty doc -> no chunks
+
+
+def test_global_shuffle_rank_is_contiguous_and_deterministic(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    from pgloader_spark.operators.sampling import global_shuffle_rank
+
+    a = global_shuffle_rank(df, "doc_id", seed=7).collect()
+    ranks = sorted(r["shuffle_rank"] for r in a)
+    assert ranks == list(range(1, 501))  # contiguous 1..N, no gaps/dups
+    b = global_shuffle_rank(df.repartition(13), "doc_id", seed=7).collect()
+    # identical assignment regardless of input partitioning
+    assert {r["doc_id"]: r["shuffle_rank"] for r in a} == \
+           {r["doc_id"]: r["shuffle_rank"] for r in b}
+
+
+def test_global_shuffle_rank_no_single_partition_window(spark):
+    """The scale contract: no window over an unpartitioned corpus-
+    sized frame — the only global (unpartitioned) window allowed is
+    the one over the bucket-count table, whose row bound is
+    n_buckets, not data size."""
+    from pgloader_spark.operators.sampling import global_shuffle_rank
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    plan = global_shuffle_rank(df, "doc_id")._jdf.queryExecution().toString()
+    import re
+    # rank window must be partitioned by the bucket key
+    assert re.search(r"row_number.*windowspecdefinition\(__bkt", plan, re.S)
