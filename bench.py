@@ -126,7 +126,7 @@ def bench_etl_pg_copy(spark, sf_dir: str, workdir: str) -> dict | None:
     if shutil.which("pg_ctl") is None or shutil.which("su") is None:
         return None
     base = f"{workdir}/pg_{uuid.uuid4().hex[:6]}"
-    port = 54399
+    port = 54000 + (uuid.uuid4().int % 1000)  # collision-proof scratch port
 
     def su_pg(cmd: str):
         return subprocess.run(
