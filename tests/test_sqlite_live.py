@@ -91,3 +91,26 @@ def test_migrate_whole_db(spark, db, tmp_path):
     assert counts == {"people": 4, "empty_t": 0}
     back = spark.read.parquet(str(tmp_path / "lake" / "people.parquet"))
     assert back.count() == 4
+
+
+def test_load_database_dsl_sqlite_to_parquet(spark, db, tmp_path):
+    """`LOAD DATABASE FROM sqlite://...` through the parsed-DSL
+    executor path: introspect -> cast -> distributed read -> parquet
+    lake, with including filters honored."""
+    from pgloader_spark.parsers.loadcmd import parse_load
+    from pgloader_spark.plans.executor import ExecutionContext, execute_database
+
+    cmd = parse_load(
+        f"""
+LOAD DATABASE FROM sqlite://{db}
+  INTO {tmp_path}/lake
+  INCLUDING ONLY TABLE NAMES MATCHING 'people';
+"""
+    )
+    ctx = ExecutionContext(spark=spark, root_dir=str(tmp_path))
+    reports = execute_database(ctx, cmd)
+    assert [r.table for r in reports] == ["people"]
+    assert reports[0].loaded == 4
+    back = spark.read.parquet(f"{tmp_path}/lake/people.parquet")
+    assert back.count() == 4
+    assert dict(back.dtypes)["id"] == "bigint"
