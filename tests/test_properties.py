@@ -213,3 +213,53 @@ def test_connected_components_matches_union_find(spark):
     }
     touched = {v for e in edges for v in e}
     assert got == {v: want[v] for v in touched}
+
+
+# ------------------------------------------------- round-3 operator laws
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=200), min_size=1, max_size=60),
+    st.integers(min_value=50, max_value=300),
+)
+@settings(max_examples=50, deadline=None)
+def test_pack_greedy_python_law(weights, budget):
+    """The greedy fold the Spark/oracle pair both implement: replay it
+    driver-side over arbitrary weights and check its invariants —
+    multi-doc bins fit the budget, offsets are exact running sums,
+    bin ids are dense from 0."""
+    bins, offs = [], []
+    bin_id, fill = 0, 0
+    for w in weights:
+        if fill > 0 and fill + w > budget:
+            bin_id += 1
+            fill = 0
+        bins.append(bin_id)
+        offs.append(fill)
+        fill += w
+    per_bin: dict[int, list[int]] = {}
+    for b, o, w in zip(bins, offs, weights):
+        per_bin.setdefault(b, []).append((o, w))
+    assert sorted(per_bin) == list(range(max(bins) + 1))
+    for items in per_bin.values():
+        run = 0
+        for o, w in sorted(items):
+            assert o == run
+            run += w
+        if len(items) > 1:
+            assert run <= budget
+
+
+@given(st.text(max_size=300), st.integers(min_value=2, max_value=8))
+@settings(max_examples=100, deadline=None)
+def test_chunk_windows_cover_all_tokens(text, window):
+    """Chunking with stride == window partitions the token stream
+    exactly: chunk sizes sum to the token count and every chunk but
+    the last is full."""
+    import re
+
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    starts = list(range(1, len(toks) + 1, window))
+    sizes = [min(window, len(toks) - s + 1) for s in starts]
+    assert sum(sizes) == len(toks)
+    assert all(s == window for s in sizes[:-1])
