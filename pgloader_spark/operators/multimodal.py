@@ -239,6 +239,70 @@ def png_payload(width_col, height_col):
     )
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def resize_bitmap(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "doc_id",
+    bin_col: str = "pixels",
+    w_col: str = "width",
+    h_col: str = "height",
+) -> DataFrame:
+    """Nearest-neighbor resize of raw interleaved RGB bitmaps
+    (``width*height*3`` bytes) — the resize stage of an image
+    pipeline, as real vectorized math (numpy stride gather), no image
+    libraries.  A PIL/torchvision-backed build swaps the body of
+    ``_resize_one``; batching, schema, and partitioning are final.
+
+    Narrow mapInPandas (no shuffle); wrong-size payloads land in the
+    ``error`` column, not as task failures (validate-first policy).
+    """
+
+    def _resize_one(data: bytes, w: int, h: int):
+        import numpy as np  # noqa: PLC0415
+
+        if w <= 0 or h <= 0 or len(data) != w * h * 3:
+            raise ValueError(f"bad bitmap: {len(data)} bytes for {w}x{h}x3")
+        arr = np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+        ys = (np.arange(out_h) * h) // out_h
+        xs = (np.arange(out_w) * w) // out_w
+        return arr[ys][:, xs].tobytes()
+
+    def stage(batches: Iterator) -> Iterator:
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            rows = []
+            for doc_id, data, w, h in zip(
+                pdf[id_col], pdf[bin_col], pdf[w_col], pdf[h_col]
+            ):
+                try:
+                    out = _resize_one(
+                        bytes(data) if data is not None else b"", int(w), int(h)
+                    )
+                    rows.append((doc_id, out_w, out_h, out, None))
+                except ValueError as exc:
+                    rows.append((doc_id, None, None, None, str(exc)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZE_SCHEMA.fields]
+            )
+
+    return df.select(id_col, bin_col, w_col, h_col).mapInPandas(
+        stage, RESIZE_SCHEMA
+    )
+
+
 def make_wav(sample_rate: int, n_channels: int, n_samples: int) -> bytes:
     """Canonical 44-byte-header PCM16 WAV for tests."""
     block = n_channels * 2

@@ -657,3 +657,39 @@ def sample_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_shuffle_rank(docs, "doc_id", seed=42).select(
         "doc_id", "shuffle_rank"
     )
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+SELECT doc_id,
+       CAST(4 AS INT) AS width,
+       CAST(4 AS INT) AS height,
+       lower(repeat(lpad(hex(doc_id % 256), 2, '0'), 48)) AS pixels_hex
+FROM documents
+""",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-resize stage round trip: solid-color RGB bitmaps of
+    per-doc dimensions are synthesized JVM-side (repeat/unhex), resized
+    4x4 by the numpy nearest-neighbor stage (operators/multimodal.py:
+    resize_bitmap), and the oracle states the exact output bytes a
+    solid color must produce.  Plumbing (Arrow binary in/out, batch
+    shape, error column) is fully exercised; the sampling math is
+    unit-tested on checkerboards."""
+    from pgloader_spark.operators.multimodal import resize_bitmap
+
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    w = (F.col("doc_id") % 8 + 2).cast("int")
+    h = (F.col("n_chars") % 8 + 2).cast("int")
+    color_hex = F.lpad(F.hex(F.col("doc_id") % 256), 2, "0")
+    bitmap = F.unhex(F.repeat(color_hex, w * h * 3))
+    src = docs.select(
+        "doc_id", bitmap.alias("pixels"), w.alias("width"), h.alias("height")
+    )
+    return resize_bitmap(src, 4, 4).select(
+        "doc_id",
+        "width",
+        "height",
+        F.lower(F.hex("pixels")).alias("pixels_hex"),
+    )

@@ -249,3 +249,39 @@ def test_global_shuffle_rank_no_single_partition_window(spark):
     import re
     # rank window must be partitioned by the bucket key
     assert re.search(r"row_number.*windowspecdefinition\(__bkt", plan, re.S)
+
+
+def test_resize_bitmap_nearest_neighbor(spark):
+    import numpy as np
+    from pgloader_spark.operators.multimodal import resize_bitmap
+
+    # 4x4 checkerboard -> 2x2 keeps the top-left pixel of each block
+    tile = np.zeros((4, 4, 3), dtype=np.uint8)
+    tile[::2, ::2] = 255   # white at even (y, x)
+    tile[1::2, 1::2] = 255
+    df = spark.createDataFrame(
+        [(1, bytearray(tile.tobytes()), 4, 4), (2, bytearray(b"xx"), 4, 4)],
+        "doc_id long, pixels binary, width int, height int",
+    )
+    out = {r["doc_id"]: r for r in resize_bitmap(df, 2, 2).collect()}
+    got = np.frombuffer(bytes(out[1]["pixels"]), dtype=np.uint8).reshape(2, 2, 3)
+    # sampled ys=xs=[0,2] -> all white corners of the checkerboard
+    assert (got == 255).all()
+    assert (out[1]["width"], out[1]["height"]) == (2, 2)
+    assert out[2]["error"] is not None and out[2]["pixels"] is None
+
+
+def test_resize_bitmap_upscale_deterministic(spark):
+    import numpy as np
+    from pgloader_spark.operators.multimodal import resize_bitmap
+
+    src = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    df = spark.createDataFrame(
+        [(1, bytearray(src.tobytes()), 2, 2)],
+        "doc_id long, pixels binary, width int, height int",
+    )
+    r = resize_bitmap(df, 4, 4).collect()[0]
+    got = np.frombuffer(bytes(r["pixels"]), dtype=np.uint8).reshape(4, 4, 3)
+    # each source pixel expands to a 2x2 block
+    assert (got[0:2, 0:2] == src[0, 0]).all()
+    assert (got[2:4, 2:4] == src[1, 1]).all()
