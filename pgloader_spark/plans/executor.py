@@ -296,11 +296,14 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
                 conn.query(stmt)
 
     reports: list[LoadReport] = []
+    # WITH workers = N (copy-data.lisp:64-66 / migrate-database.lisp
+    # worker-pool knob) -> concurrent COPY streams per table
+    n_writers = int(cmd.options.get("workers", 0)) or None
     for t in catalog_fields:
         df = _read(ctx.spark, src_loc, t, engine=engine)
         if pg_target:
             # one distributed pass: the COPY sink reports rows loaded
-            n = write_pg_copy(df, target, t)
+            n = write_pg_copy(df, target, t, n_writers=n_writers)
         else:
             out = os.path.join(target or ctx.root_dir, f"{t}.parquet")
             df.write.mode("overwrite").parquet(out)

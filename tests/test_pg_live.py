@@ -248,3 +248,25 @@ LOAD DATABASE FROM {seeded}
     back = spark.read.parquet(f"{tmp_path}/lake/people.parquet")
     assert back.count() == 2000
     assert dict(back.dtypes)["active"] == "boolean"
+
+
+def test_load_database_with_workers_option(seeded, spark, tmp_path):
+    """WITH workers = N flows through to the COPY stream count."""
+    from pgloader_spark.parsers.loadcmd import parse_load
+    from pgloader_spark.plans.executor import ExecutionContext, execute_database
+    from pgloader_spark.sources.pgwire import PGConn
+
+    target = seeded.rsplit("/", 1)[0] + "/migr_target"
+    cmd = parse_load(
+        f"""
+LOAD DATABASE FROM {seeded}
+  INTO {target}
+  WITH workers = 3
+  INCLUDING ONLY TABLE NAMES MATCHING 'people';
+"""
+    )
+    ctx = ExecutionContext(spark=spark, root_dir=str(tmp_path))
+    reports = execute_database(ctx, cmd)
+    assert reports[0].loaded == 2000
+    with PGConn(target) as c:
+        assert c.query("SELECT COUNT(*) FROM people")[1] == [("2000",)]
