@@ -19,6 +19,15 @@ from pgloader_spark.functions.transforms import get_transform
 from pgloader_spark.parsers.dateformat import pg_to_spark_datetime_format
 
 
+def col_ref(name: str) -> Column:
+    """Column reference that survives dots in the NAME itself:
+    plain ``F.col("CHARS.LETTERS")`` parses as struct access, so names
+    containing dots are backtick-quoted (fields-with-periods.load)."""
+    if "." in name and "`" not in name:
+        return F.col(f"`{name}`")
+    return F.col(name)
+
+
 @dataclass
 class FieldSpec:
     """Source-field read options (pgloader field clause).
@@ -36,7 +45,7 @@ class FieldSpec:
     date_format: str | None = None
 
     def expr(self) -> Column:
-        c: Column = F.col(self.name)
+        c: Column = col_ref(self.name)
         if self.trim in ("left", "both"):
             c = F.ltrim(c)
         if self.trim in ("right", "both"):

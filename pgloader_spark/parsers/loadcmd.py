@@ -699,7 +699,9 @@ def _capture_sexp(p: _P) -> str:
         elif t.kind == "rparen":
             depth -= 1
             parts.append(")")
-        elif t.kind == "string":
+        elif t.kind in ("string", "qident"):
+            # re-quote so parens/commas INSIDE the literal (a CL format
+            # control like "(~a,~a)") cannot leak into sexp structure
             parts.append('"' + t.value + '"')
         else:
             parts.append(t.value)
@@ -747,7 +749,8 @@ def _parse_with(p: _P, cmd: LoadCommand) -> None:
                 ):
                     value = f"{value} {p.next().value}"
                 break
-            if t.kind == "string":
+            if t.kind in ("string", "qident"):
+                # `null "--"` / `delimiter '\t'`: quoted option value
                 value = t.value
                 break
             # handle '=' glued to words
@@ -788,8 +791,10 @@ def _set_option(cmd: LoadCommand, key: str, value) -> None:
         cmd.options["line_sep"] = value
     elif key == "skip header":
         cmd.options["skip_lines"] = int(value)
-    elif key == "null if":
+    elif key in ("null if", "null"):
         cmd.options["null_as"] = value
+    elif key == "delimiter":
+        cmd.options["separator"] = {"\\t": "\t", "tab": "\t"}.get(value, value)
     elif key in ("encoding", "batch rows", "batch size", "prefetch rows",
                  "workers", "concurrency", "rows per range",
                  "max parallel create index"):

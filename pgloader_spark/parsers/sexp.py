@@ -130,6 +130,43 @@ def _concat(*args: Column) -> Column:
     return F.concat(*args)
 
 
+def _cl_subseq(c: Column, start: int, end: int | None = None) -> Column:
+    """CL (subseq s start [end]) — 0-based, end-exclusive."""
+    s = int(start)
+    if end is None:
+        return F.substring(c, s + 1, (1 << 30))
+    return F.substring(c, s + 1, int(end) - s)
+
+
+def _cl_format(_nil, control, *args) -> Column:
+    """Restricted CL format: the directives the reference corpus uses.
+
+    ``~a`` interpolation slots (``(format nil "(~a,~a)" lon lat)`` —
+    the point-syntax builder, csv-districts.load) and the whole-string
+    list-join form ``~{~a~^SEP~}``.  The control string must be a
+    literal; the first (stream) arg is ignored like CL's ``nil``.
+    """
+    import re as _re
+
+    if not isinstance(control, str):
+        raise SexpError("format control string must be a literal")
+    m = _re.fullmatch(r"~\{~a~\^(.*)~\}", control, _re.IGNORECASE)
+    if m:
+        return F.array_join(F.array(*args), m.group(1))
+    parts = _re.split(r"~a", control, flags=_re.IGNORECASE)
+    if len(parts) - 1 != len(args):
+        raise SexpError(
+            f"format: {len(parts) - 1} ~a slots but {len(args)} args"
+        )
+    pieces: list[Column] = []
+    for i, lit_part in enumerate(parts):
+        if lit_part:
+            pieces.append(F.lit(lit_part))
+        if i < len(args):
+            pieces.append(args[i])
+    return F.concat(*pieces) if pieces else F.lit("")
+
+
 _BUILTINS = {
     "concat": _concat,
     "upper": F.upper,
@@ -138,6 +175,9 @@ _BUILTINS = {
     "nullif": F.nullif,
     "coalesce": F.coalesce,
     "substring": lambda c, start, ln: F.substring(c, start, ln),
+    "subseq": _cl_subseq,
+    "identity": lambda c: c,
+    "format": _cl_format,
 }
 
 
@@ -180,7 +220,7 @@ def compile_sexp(node: Node, fields: dict[str, Column] | None = None) -> Column:
 
 
 # transforms whose trailing args are python-level options, not columns
-_LITERAL_ARG_FNS = {"varbinary-to-string"}
+_LITERAL_ARG_FNS = {"varbinary-to-string", "subseq", "format"}
 
 
 def compile_using(text: str, fields: dict[str, Column] | None = None) -> Column:

@@ -127,7 +127,27 @@ def read_source(spark: SparkSession, cmd: LoadCommand) -> DataFrame:
             fields=[f.name for f in cmd.fields],
             skip_lines=int(cmd.options.get("skip_lines", 0)),
         )
-        return read_copy_text(spark, _source_paths(cmd)[0], copts)
+        if cmd.source == "inline":
+            if cmd.inline_data is None:
+                raise ValueError("inline source with no inline data")
+            import tempfile
+
+            tmp = tempfile.NamedTemporaryFile(
+                "w", suffix=".copy", delete=False
+            )
+            tmp.write(cmd.inline_data)
+            tmp.close()
+            return read_copy_text(spark, tmp.name, copts)
+        # `copy://relative/path` URIs (command-parser cli sugar)
+        src = _source_paths(cmd)[0]
+        if src.startswith("copy://"):
+            src = src[len("copy://"):]
+            if src.startswith("./"):
+                src = src[2:]
+            if src.startswith("//"):
+                # a leading double slash reads as a Hadoop authority
+                src = "/" + src.lstrip("/")
+        return read_copy_text(spark, src, copts)
     if kind == "dbf":
         return read_dbf(spark, _source_paths(cmd)[0], encoding=cmd.options.get("encoding", "latin-1"))
     if kind == "ixf":
@@ -169,7 +189,9 @@ def project(df: DataFrame, cmd: LoadCommand) -> DataFrame:
             e = F.lit(col.constant)
         else:
             name = col.source or col.name
-            e = field_cols.get(name, F.col(name))
+            from pgloader_spark.operators.projection import col_ref
+
+            e = field_cols.get(name, col_ref(name))
         cast = _PG_TO_SPARK_CAST.get((col.cast_to or "").split("(")[0].strip().lower())
         if cast:
             e = e.try_cast(cast)

@@ -53,7 +53,8 @@ def _copy_partition(rows: Iterator, dsn: str, table: str, columns: list[str]) ->
     preference: psycopg (binary pipeline) > psycopg2 > the stdlib wire
     client (``sources/pgwire.py`` — always available).  All imports are
     deferred so the module loads with none of them installed."""
-    copy_stmt = f"COPY {table} ({', '.join(columns)}) FROM STDIN"
+    quoted = ", ".join('"' + c + '"' for c in columns)
+    copy_stmt = f'COPY {table} ({quoted}) FROM STDIN'
     try:
         import psycopg  # noqa: PLC0415
 

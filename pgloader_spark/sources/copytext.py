@@ -47,6 +47,46 @@ def _decode_copy_escapes(c: Column) -> Column:
     return c
 
 
+_HEX_OCT_RE = r"\\(x[0-9A-Fa-f]{1,2}|[0-7]{1,3})"
+
+
+def _decode_full_udf():
+    """Pandas UDF running PG's COMPLETE one-pass escape decode —
+    named, hex ``\\xHH`` and octal ``\\NNN`` escapes, unknown escapes
+    kept verbatim (copy-format semantics; copy-hex.load regress).
+    Single-pass matters: ``\\\\x61`` is a literal backslash then plain
+    text, which no sequence of independent replaces can express.
+    Only invoked on values containing a hex/octal escape (rlike gate),
+    so the common case never leaves codegen."""
+    import re as _re
+
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    named = {"t": "\t", "n": "\n", "r": "\r", "b": "\b",
+             "f": "\f", "v": "\x0b", "\\": "\\"}
+    pat = _re.compile(r"\\(x[0-9A-Fa-f]{1,2}|[0-7]{1,3}|.)")
+
+    def one(s: str) -> str:
+        def sub(m):
+            body = m.group(1)
+            if body[0] in "xX" and len(body) > 1:
+                return chr(int(body[1:], 16))
+            if body[0] in "01234567":
+                return chr(int(body, 8))
+            return named.get(body, "\\" + body)  # unknown stays verbatim
+
+        return pat.sub(sub, s)
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pyspark's hint introspection can't resolve the names
+    return pandas_udf(
+        lambda col: col.map(lambda v: one(v) if isinstance(v, str) else v),
+        "string",
+    )
+
+
 def read_copy_text(spark: SparkSession, path: str, opts: CopyOptions) -> DataFrame:
     """Split on the delimiter with quoting off, map ``\\N`` -> NULL,
     decode escapes."""
@@ -67,9 +107,16 @@ def read_copy_text(spark: SparkSession, path: str, opts: CopyOptions) -> DataFra
         )
     if opts.fields:
         df = df.toDF(*opts.fields)
-    return df.select(
-        *[_decode_copy_escapes(F.col(c)).alias(c) for c in df.columns]
-    )
+    fulldec = _decode_full_udf()
+
+    def decode(c: Column) -> Column:
+        # values with hex/octal escapes take the one-pass Arrow slow
+        # path; everything else stays in the codegen replace chain
+        return F.when(c.rlike(_HEX_OCT_RE), fulldec(c)).otherwise(
+            _decode_copy_escapes(c)
+        )
+
+    return df.select(*[decode(F.col(c)).alias(c) for c in df.columns])
 
 
 def encode_copy_escapes(c: Column) -> Column:
@@ -99,9 +146,13 @@ def to_copy_lines(df: DataFrame, delimiter: str = "\t") -> DataFrame:
     column — the exact bytes a PostgreSQL COPY sink (or a reject
     ``.dat`` file, src/utils/reject.lisp:12-34) wants. All Column
     expressions; distributed end to end."""
+    from pgloader_spark.operators.projection import col_ref
+
     parts = [
-        F.when(F.col(c).isNull(), F.lit(COPY_NULL)).otherwise(
-            encode_copy_escapes(F.col(c).cast("string"))
+        # col_ref backtick-quotes so a column NAME containing dots is
+        # not parsed as struct access (fields-with-periods.load)
+        F.when(col_ref(c).isNull(), F.lit(COPY_NULL)).otherwise(
+            encode_copy_escapes(col_ref(c).cast("string"))
         )
         for c in df.columns
     ]

@@ -119,9 +119,13 @@ def read_inline(spark: SparkSession, data: str, opts: CsvOptions) -> DataFrame:
         rows = rows[1:]
     if not names and rows:
         names = [f"_c{i}" for i in range(len(rows[0]))]
-    norm = [
-        tuple((None if v == opts.null_as else v) for v in r) for r in rows
-    ]
+    norm = []
+    for r in rows:
+        vals = [None if v == opts.null_as else v for v in r]
+        # pgloader pads short rows with NULLs and drops extra cells
+        # (csv-missing-col.load is the regress test for exactly this)
+        vals = (vals + [None] * len(names))[: len(names)]
+        norm.append(tuple(vals))
     df = spark.createDataFrame(norm, ", ".join(f"`{n}` string" for n in names))
     if opts.trim_both:
         df = df.select(*[F.trim(F.col(c)).alias(c) for c in df.columns])

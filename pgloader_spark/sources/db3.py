@@ -108,9 +108,13 @@ def decode_records(
             cell = rec[pos : pos + f.length].decode(encoding, errors="replace")
             pos += f.length
             if f.type_code == "M":
-                row.append(_read_memo(dbt, cell))
+                memo = _read_memo(dbt, cell)
+                row.append(memo.replace("\x00", "") if memo else memo)
             else:
-                v = cell.strip()
+                # dBase pads char cells with NULs as well as spaces;
+                # PostgreSQL text can never hold 0x00, and the
+                # reference strips them on read
+                v = cell.replace("\x00", " ").strip()
                 row.append(v if v else None)
         out.append(tuple(row))
     return out

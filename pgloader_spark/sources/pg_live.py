@@ -194,6 +194,100 @@ def read_pg_table(
     return ranges_df.mapInPandas(fetch, schema)
 
 
+def quote_qualified(table: str) -> str:
+    """schema.table -> "schema"."table" (each part quoted)."""
+    return ".".join('"' + p + '"' for p in table.split("."))
+
+
+_SPARK_TO_PG = {
+    "bigint": "bigint",
+    "int": "integer",
+    "smallint": "smallint",
+    "double": "double precision",
+    "float": "real",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+    "binary": "bytea",
+    "string": "text",
+}
+
+
+def ensure_pg_table(dsn: str, table: str, schema: T.StructType) -> None:
+    """CREATE TABLE IF NOT EXISTS from a Spark schema — what the
+    reference does for self-describing sources (DBF/IXF carry their
+    own field defs; pgloader creates the target table from them,
+    src/sources/db3/db3.lisp create-table path)."""
+    cols = ", ".join(
+        f'"{f.name}" '
+        + _SPARK_TO_PG.get(
+            f.dataType.simpleString().split("(")[0],
+            f.dataType.simpleString()
+            if f.dataType.simpleString().startswith("decimal")
+            else "text",
+        )
+        for f in schema.fields
+    )
+    with PGConn(dsn) as conn:
+        conn.query(
+            f"CREATE TABLE IF NOT EXISTS {quote_qualified(table)} ({cols})"
+        )
+
+
+def align_to_target(
+    df: DataFrame, dsn: str, table: str, date_format: str | None = None
+) -> DataFrame:
+    """Project a loaded DataFrame against the LIVE target table's
+    catalog — the reference's merge-catalogs step (it always knows the
+    target schema; src/pgsql/merge-catalogs.lisp):
+
+    - positional sources (CSV guess mode's ``_c0.._cN``) take the
+      target's column names;
+    - string columns headed for timestamp/timestamptz targets parse
+      client-side with the command's global ``WITH date format``
+      (PostgreSQL cannot parse custom formats during COPY);
+    - everything else flows through as text for the server's own
+      input functions (exactly what COPY semantics want).
+    """
+    from pyspark.sql import functions as F
+
+    from pgloader_spark.parsers.dateformat import pg_to_spark_datetime_format
+
+    tbl = table.split(".")[-1]
+    with PGConn(dsn) as conn:
+        _, rows = conn.query(
+            "SELECT column_name, data_type FROM information_schema.columns "
+            f"WHERE table_name = '{tbl}' ORDER BY ordinal_position"
+        )
+    if not rows:
+        return df
+    names = [r[0] for r in rows]
+    types = {r[0]: r[1] for r in rows}
+    if all(c.startswith("_c") for c in df.columns) and len(names) == len(
+        df.columns
+    ):
+        df = df.toDF(*names)
+    if date_format:
+        import re as _re
+
+        fmt = pg_to_spark_datetime_format(date_format)
+        # fractional seconds are optional in the data even when the
+        # format declares them (the reference's per-directive parser
+        # is lenient); try with, then without
+        fmt_nofrac = _re.sub(r"\.S+$", "", fmt)
+        for c in df.columns:
+            if types.get(c, "").startswith("timestamp") and dict(df.dtypes).get(
+                c
+            ) == "string":
+                parsed = F.coalesce(
+                    F.try_to_timestamp(df[c], F.lit(fmt)),
+                    F.try_to_timestamp(df[c], F.lit(fmt_nofrac)),
+                )
+                df = df.withColumn(c, parsed)
+    return df
+
+
 def write_pg_copy(
     df: DataFrame, dsn: str, table: str, n_writers: int | None = None
 ) -> int:
@@ -225,7 +319,12 @@ def write_pg_copy(
     from pgloader_spark.sources.copytext import to_copy_lines
 
     columns = list(df.columns)
-    stmt = f'COPY "{table}" ({", ".join(columns)}) FROM STDIN'
+    # quote identifiers: unquoted names case-fold server-side, and a
+    # projected "camelCase" column must hit the DDL's exact name
+    stmt = (
+        f"COPY {quote_qualified(table)} "
+        f'({", ".join(chr(34) + c + chr(34) for c in columns)}) FROM STDIN'
+    )
     lines = to_copy_lines(df)
     if n_writers:
         lines = lines.repartition(n_writers)
