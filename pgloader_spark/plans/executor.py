@@ -272,7 +272,9 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
     from pgloader_spark.plans.ddl import prepare_statements, table_from_fields
 
     src = cmd.source
-    if src.startswith(("sqlite://", "db3://")):
+    if src.startswith(("sqlite://", "db3://")) or src.endswith(
+        (".db", ".sqlite", ".sqlite3")
+    ):
         from pgloader_spark.sources.sqlite_live import (
             introspect_sqlite as _introspect,
         )
@@ -280,7 +282,7 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
             read_sqlite_table as _read,
         )
 
-        src_loc = src.split("://", 1)[1]
+        src_loc = src.split("://", 1)[1] if "://" in src else src
         engine = CastEngine("sqlite", user_rules=_user_rules(cmd))
     elif src.startswith(("postgresql://", "pgsql://", "postgres://")):
         from pgloader_spark.sources.pg_live import introspect_pg as _introspect
@@ -299,11 +301,39 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
         for t, f in _introspect(src_loc).items()
         if _match_filters(t, cmd.including, cmd.excluding)
     }
+    # ALTER TABLE NAMES MATCHING ... RENAME TO ... — catalog-level
+    # renames applied before any DDL or data movement
+    # (plans/alter_rules.py; alter-table.lisp:10-158)
+    from pgloader_spark.plans.alter_rules import AlterRule
+
+    rename_rules = [
+        AlterRule(
+            kind=d["kind"],
+            match=d["match"],
+            is_regex=d.get("is_regex", False),
+            value=d.get("value"),
+        )
+        for d in cmd.alter_rules
+        if d.get("scope") == "table" and d.get("kind") == "rename"
+    ]
+    target_names = {}
+    for t in catalog_fields:
+        name = t
+        for r in rename_rules:
+            if r.matches(name):
+                name = r.value
+        target_names[t] = name
+
     cat = Catalog(src.split(":", 1)[0])
     sch = Schema("public")
     cat.schemas.append(sch)
-    for t, fields in catalog_fields.items():
-        table_from_fields(t, fields, engine, sch)
+    # the catalog applies identifier folding (downcase by default —
+    # the reference's `downcase identifiers`); the DATA path must
+    # address the folded table/column names the DDL actually created
+    tables = {
+        t: table_from_fields(target_names[t], fields, engine, sch)
+        for t, fields in catalog_fields.items()
+    }
 
     target = cmd.target or ""
     pg_target = target.startswith(("postgresql://", "pgsql://", "postgres://"))
@@ -322,15 +352,17 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
     # worker-pool knob) -> concurrent COPY streams per table
     n_writers = int(cmd.options.get("workers", 0)) or None
     for t in catalog_fields:
+        tbl = tables[t]
         df = _read(ctx.spark, src_loc, t, engine=engine)
+        df = df.toDF(*[c.name for c in tbl.columns])
         if pg_target:
             # one distributed pass: the COPY sink reports rows loaded
-            n = write_pg_copy(df, target, t, n_writers=n_writers)
+            n = write_pg_copy(df, target, tbl.name, n_writers=n_writers)
         else:
-            out = os.path.join(target or ctx.root_dir, f"{t}.parquet")
+            out = os.path.join(target or ctx.root_dir, f"{tbl.name}.parquet")
             df.write.mode("overwrite").parquet(out)
             n = ctx.spark.read.parquet(out).count()
-        reports.append(LoadReport(table=t, read=n, loaded=n, result=df))
+        reports.append(LoadReport(table=tbl.name, read=n, loaded=n, result=df))
 
     if pg_target and cmd.after_load:
         from pgloader_spark.sources.pgwire import PGConn

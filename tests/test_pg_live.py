@@ -407,3 +407,71 @@ def test_reference_negative_scenario_fails_like_reference(seeded, spark, tmp_pat
         assert "42703" in str(exc.value) or "PGError" in str(type(exc.value).__mro__)
     finally:
         runner.close()
+
+
+def _run_ref_db_scenario(name, dsn, spark, tmp_path):
+    from pgloader_spark.parsers.loadcmd import parse_load
+    from pgloader_spark.plans.executor import ExecutionContext, execute_database
+
+    ref = f"/root/reference/test/{name}.load"
+    if not os.path.exists(ref):
+        pytest.skip("reference corpus not available")
+    text = open(ref, encoding="utf-8", errors="replace").read()
+    text = text.replace("postgresql:///pgloader", dsn)
+    text = text.replace("'sqlite/", "'/root/reference/test/sqlite/")
+    cmd = parse_load(text)
+    ctx = ExecutionContext(spark=spark, root_dir=str(tmp_path))
+    return execute_database(ctx, cmd)
+
+
+def test_reference_sqlite_chinook_migration(seeded, spark, tmp_path):
+    """The reference's flagship LOAD DATABASE scenario: the Chinook
+    SQLite database migrated into a live PostgreSQL verbatim —
+    introspection, cast rules, DDL (include drop), the ALTER TABLE
+    rename rule (Employee -> staff), WITH workers, and per-table
+    distributed COPY."""
+    reports = _run_ref_db_scenario("sqlite-chinook", seeded, spark, tmp_path)
+    got = {r.table: r.loaded for r in reports}
+    # Chinook's published row counts; identifiers downcased (the
+    # reference's default folding)
+    assert got["album"] == 347
+    assert got["track"] == 3503
+    assert got["customer"] == 59
+    assert "staff" in got and "employee" not in got  # rename applied
+    assert got["staff"] == 8
+    with PGConn(seeded) as c:
+        _, rows = c.query("SELECT COUNT(*) FROM track")
+        assert rows == [("3503",)]
+        _, rows = c.query("SELECT COUNT(*) FROM staff")
+        assert rows == [("8",)]
+        _, rows = c.query("SELECT name FROM genre ORDER BY genreid LIMIT 1")
+        assert rows == [("Rock",)]
+
+
+def test_reference_sqlite_bad_utf8_recovery(seeded, spark, tmp_path):
+    """GitHub issue #1250 regress: an invalid-UTF-8 text cell loads as
+    NULL while the rest of the row and table survive."""
+    reports = _run_ref_db_scenario("sqlite-bad-utf8", seeded, spark, tmp_path)
+    got = {r.table: r.loaded for r in reports}
+    assert got["files"] == 3
+    with PGConn(seeded) as c:
+        _, rows = c.query(
+            'SELECT id, filename FROM "files" ORDER BY id'
+        )
+    assert rows[0] == ("1", "valid-file.txt")
+    assert rows[1] == ("2", None)  # invalid byte sequence -> NULL
+    assert rows[2] == ("3", "another-valid.txt")
+
+
+def test_reference_sqlite_testpk_migration(seeded, spark, tmp_path):
+    """test_pk.db's tables are empty — the scenario proves the SCHEMA
+    migrates (DDL lands on the target) even with no rows to move."""
+    reports = _run_ref_db_scenario("sqlite-testpk", seeded, spark, tmp_path)
+    assert {r.table for r in reports} == {"division_kind", "division"}
+    assert all(r.loaded == 0 for r in reports)
+    with PGConn(seeded) as c:
+        _, rows = c.query(
+            "SELECT COUNT(*) FROM information_schema.tables "
+            "WHERE table_name IN ('division_kind', 'division')"
+        )
+    assert rows == [("2",)]
