@@ -334,6 +334,10 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
         t: table_from_fields(target_names[t], fields, engine, sch)
         for t, fields in catalog_fields.items()
     }
+    # fail fast BEFORE any DDL or data movement when folded/truncated
+    # identifiers collide (issue #353 regress, sqlite-collision.load:
+    # no table may be created, no row copied)
+    cat.check_identifier_collisions()
 
     target = cmd.target or ""
     pg_target = target.startswith(("postgresql://", "pgsql://", "postgres://"))

@@ -475,3 +475,22 @@ def test_reference_sqlite_testpk_migration(seeded, spark, tmp_path):
             "WHERE table_name IN ('division_kind', 'division')"
         )
     assert rows == [("2",)]
+
+
+def test_reference_sqlite_collision_fails_fast(seeded, spark, tmp_path):
+    """Issue #353 regress: two column names truncating to the same
+    63-byte PostgreSQL identifier must abort BEFORE any DDL or data
+    movement, naming the collision."""
+    from pgloader_spark.catalog import IdentifierCollision
+    from pgloader_spark.sources.pgwire import PGConn
+
+    with PGConn(seeded) as c:
+        c.query("DROP TABLE IF EXISTS products")
+    with pytest.raises(IdentifierCollision, match="col_very_long_name"):
+        _run_ref_db_scenario("sqlite-collision", seeded, spark, tmp_path)
+    with PGConn(seeded) as c:
+        _, rows = c.query(
+            "SELECT COUNT(*) FROM information_schema.tables "
+            "WHERE table_name = 'products'"
+        )
+    assert rows == [("0",)]  # nothing was created
