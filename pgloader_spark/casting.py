@@ -429,4 +429,24 @@ def _normalize_default(default: str | None) -> str | None:
         return "CURRENT_TIMESTAMP"
     if d in _ZERO_DATE_DEFAULTS:
         return None
-    return f"'{d}'" if not d.replace(".", "").lstrip("-").isdigit() else d
+    # sqlite PRAGMA hands back defaults with their source quoting
+    # intact — sometimes layered ('0', "0", '"0"').  Peel every
+    # matched quote pair, then re-render once: numerics bare,
+    # everything else single-quoted.
+    while len(d) >= 2 and d[0] == d[-1] and d[0] in "'\"":
+        d = d[1:-1].strip()
+    if not d:
+        return "''"
+    # datetime keywords can arrive quoted by the source's catalog
+    if d.upper() in ("CURRENT_TIMESTAMP", "CURRENT_TIMESTAMP()", "NOW()"):
+        return "CURRENT_TIMESTAMP"
+    if d.upper() in ("CURRENT_DATE", "CURRENT_TIME"):
+        return d.upper()
+    # sqlite now-expression defaults (DATETIME('now'[, ...]),
+    # strftime(fmt, 'now')) -> the portable CURRENT_TIMESTAMP
+    # (sqlite-cast-rules.lisp datetime handling)
+    if re.match(r"(?i)^\(?\s*(datetime|strftime)\s*\(.*'now'", d):
+        return "CURRENT_TIMESTAMP"
+    if d.replace(".", "").lstrip("-").isdigit():
+        return d
+    return "'" + d.replace("'", "''") + "'"

@@ -117,8 +117,15 @@ class Column:
         parts = [quote_ident(self.name), self.ddl_type()]
         if not self.nullable:
             parts.append("NOT NULL")
-        if self.default is not None:
-            parts.append(f"DEFAULT {self.default}")
+        default = self.default
+        if default is not None and self.type_name.startswith("timestamp"):
+            # a bare numeric default on a timestamp column (sqlite
+            # DATETIME DEFAULT 0) is the zero-date family — dropped,
+            # like the reference's zero-date default handling
+            if default.strip("'").replace(".", "").lstrip("-").isdigit():
+                default = None
+        if default is not None:
+            parts.append(f"DEFAULT {default}")
         return " ".join(parts)
 
     def to_struct_field(self) -> T.StructField:

@@ -719,6 +719,7 @@ _WITH_FLAGS = {
     "truncate", "drop indexes", "create tables", "create indexes",
     "reset sequences", "data only", "schema only", "include drop",
     "no truncate", "disable triggers", "quote identifiers",
+    "snake_case identifiers", "downcase identifiers",
     "on error stop", "on error resume next", "multiple readers per thread",
     "preserve index names", "uniquify index names", "downcase identifiers",
 }

@@ -408,11 +408,14 @@ def table_from_fields(
     fields: list,
     engine,
     schema: Schema,
+    case_mode: str = "downcase",
 ) -> Table:
     """Apply the cast engine to source fields and produce a target
     Table, registering enum/set SqlTypes on ``schema`` and flagging
     on-update-current-timestamp triggers (the reference does this
-    during CAST — mysql-cast-rules.lisp:260-310)."""
+    during CAST — mysql-cast-rules.lisp:260-310).  ``case_mode``:
+    downcase (default) | quote | snake_case — quoting.lisp:10-60 /
+    the WITH snake_case identifiers option."""
     cols: list[Column] = []
     for f, res in engine.cast_fields(fields):
         extra: dict = {}
@@ -435,7 +438,7 @@ def table_from_fields(
             type_mod = None
         cols.append(
             Column(
-                name=apply_identifier_case(f.name),
+                name=apply_identifier_case(f.name, case_mode),
                 type_name=type_name,
                 type_mod=type_mod,
                 nullable=f.nullable,
@@ -446,6 +449,6 @@ def table_from_fields(
                 extra=extra,
             )
         )
-    table = Table(name=apply_identifier_case(table_name), columns=cols)
+    table = Table(name=apply_identifier_case(table_name, case_mode), columns=cols)
     schema.tables.append(table)
     return table

@@ -327,11 +327,18 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
     cat = Catalog(src.split(":", 1)[0])
     sch = Schema("public")
     cat.schemas.append(sch)
-    # the catalog applies identifier folding (downcase by default —
-    # the reference's `downcase identifiers`); the DATA path must
-    # address the folded table/column names the DDL actually created
+    # the catalog applies identifier folding (downcase by default; WITH
+    # quote identifiers / snake_case identifiers switch the mode); the
+    # DATA path must address the folded names the DDL actually created
+    case_mode = "downcase"
+    if cmd.options.get("quote_identifiers"):
+        case_mode = "quote"
+    elif cmd.options.get("snake_case_identifiers"):
+        case_mode = "snake_case"
     tables = {
-        t: table_from_fields(target_names[t], fields, engine, sch)
+        t: table_from_fields(
+            target_names[t], fields, engine, sch, case_mode=case_mode
+        )
         for t, fields in catalog_fields.items()
     }
     # fail fast BEFORE any DDL or data movement when folded/truncated

@@ -148,12 +148,20 @@ def to_copy_lines(df: DataFrame, delimiter: str = "\t") -> DataFrame:
     expressions; distributed end to end."""
     from pgloader_spark.operators.projection import col_ref
 
-    parts = [
+    dtypes = dict(df.dtypes)
+
+    def enc(c: str) -> Column:
         # col_ref backtick-quotes so a column NAME containing dots is
         # not parsed as struct access (fields-with-periods.load)
-        F.when(col_ref(c).isNull(), F.lit(COPY_NULL)).otherwise(
-            encode_copy_escapes(col_ref(c).cast("string"))
-        )
-        for c in df.columns
-    ]
+        col = col_ref(c)
+        if dtypes.get(c) == "binary":
+            # bytea rides COPY text as \x<hex> (one literal backslash,
+            # escaped to two on the wire) — raw bytes would smuggle
+            # NULs PostgreSQL text parsing rejects
+            payload = F.concat(F.lit("\\\\x"), F.lower(F.hex(col)))
+        else:
+            payload = encode_copy_escapes(col.cast("string"))
+        return F.when(col.isNull(), F.lit(COPY_NULL)).otherwise(payload)
+
+    parts = [enc(c) for c in df.columns]
     return df.select(F.concat_ws(delimiter, *parts).alias("line"))

@@ -51,8 +51,10 @@ def introspect_sqlite(db_path: str) -> dict[str, list[SourceField]]:
         out: dict[str, list[SourceField]] = {}
         for t in tables:
             fields = []
+            # quote: table names can be SQL keywords ("references",
+            # "def", "user" — the reference's sqlite.db type zoo)
             for _cid, name, decl, notnull, dflt, _pk in con.execute(
-                f"PRAGMA table_info({t})"
+                f'PRAGMA table_info("{t}")'
             ):
                 m = re.match(r"\s*(\w+)\s*(\([^)]*\))?", decl or "text")
                 base, mod = (m.group(1), m.group(2)) if m else ("text", None)
@@ -90,7 +92,9 @@ def _schema_for(fields: list[SourceField], engine: CastEngine) -> T.StructType:
 def _rowid_ranges(db_path: str, table: str, rows_per_range: int) -> list[tuple[int, int]]:
     con = sqlite3.connect(f"file:{db_path}?mode=ro", uri=True)
     try:
-        row = con.execute(f"SELECT MIN(rowid), MAX(rowid) FROM {table}").fetchone()
+        row = con.execute(
+            f'SELECT MIN(rowid), MAX(rowid) FROM "{table}"'
+        ).fetchone()
     finally:
         con.close()
     lo, hi = row
@@ -179,6 +183,10 @@ def read_sqlite_table(
                 return float(v)
             except ValueError:
                 return None
+        # ...and the mirror image: a declared-TEXT column can hold an
+        # int/float (same dynamic typing) — stringify for Arrow
+        if isinstance(typ, T.StringType) and not isinstance(v, str):
+            return str(v)
         return v
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -494,3 +494,18 @@ def test_reference_sqlite_collision_fails_fast(seeded, spark, tmp_path):
             "WHERE table_name = 'products'"
         )
     assert rows == [("0",)]  # nothing was created
+
+
+def test_reference_sqlite_full_type_zoo(seeded, spark, tmp_path):
+    """sqlite.load verbatim: the reference's SQLite type-zoo database
+    (blobs, reals, unsigned, timestamps, mixed-case `def`/`user`
+    keyword table names) with WITH snake_case identifiers."""
+    reports = _run_ref_db_scenario("sqlite", seeded, spark, tmp_path)
+    got = {r.table: r.loaded for r in reports}
+    assert got["blobs"] == 1
+    assert got["reals"] == 3
+    assert got["stamps"] == 3
+    assert "def" in got and "user" in got  # keyword names survive quoting
+    with PGConn(seeded) as c:
+        _, rows = c.query('SELECT COUNT(*) FROM "def"')
+        assert rows == [(str(got["def"]),)]
