@@ -197,7 +197,24 @@ class _P:
         return t.value
 
 
+def expand_template_vars(text: str) -> str:
+    """``{{VAR}}`` mustache expansion from the environment — the
+    reference's template-variable support (sqlite-env.load;
+    ``--context`` ini files and env both feed the same braces).
+    Unset variables stay verbatim: a bare parse must not require the
+    execution environment; the unexpanded braces then fail loudly at
+    execution time (file-not-found naming the variable)."""
+    import os as _os
+
+    return re.sub(
+        r"\{\{(\w+)\}\}",
+        lambda m: _os.environ.get(m.group(1), m.group(0)),
+        text,
+    )
+
+
 def parse_load(text: str) -> LoadCommand:
+    text = expand_template_vars(text)
     # split inline data: everything after the final ';' of the command
     toks = tokenize(text)
     p = _P(toks)

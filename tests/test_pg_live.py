@@ -509,3 +509,24 @@ def test_reference_sqlite_full_type_zoo(seeded, spark, tmp_path):
     with PGConn(seeded) as c:
         _, rows = c.query('SELECT COUNT(*) FROM "def"')
         assert rows == [(str(got["def"]),)]
+
+
+def test_reference_sqlite_env_template(seeded, spark, tmp_path, monkeypatch):
+    """sqlite-env.load verbatim: the {{DBPATH}} template variable
+    expands from the environment (the reference's mustache support)."""
+    monkeypatch.setenv("DBPATH", "/root/reference/test/sqlite/sqlite.db")
+    reports = _run_ref_db_scenario("sqlite-env", seeded, spark, tmp_path)
+    got = {r.table: r.loaded for r in reports}
+    assert got.get("reals") == 3
+
+
+def test_reference_sqlite_base64_storage(seeded, spark, tmp_path):
+    reports = _run_ref_db_scenario("sqlite-base64", seeded, spark, tmp_path)
+    assert sum(r.loaded for r in reports) > 0
+
+
+def test_template_var_unset_stays_verbatim():
+    from pgloader_spark.parsers.loadcmd import expand_template_vars
+
+    out = expand_template_vars("from '{{NOPE_UNSET}}' into x;")
+    assert "{{NOPE_UNSET}}" in out  # parse-time lenient; fails at exec
