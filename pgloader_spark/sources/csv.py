@@ -111,7 +111,26 @@ def header_fields(spark: SparkSession, path: str, opts: CsvOptions) -> list[str]
 def read_inline(spark: SparkSession, data: str, opts: CsvOptions) -> DataFrame:
     """Inline data after the LOAD command (command-csv.lisp:306-346):
     parse driver-side (inline payloads are small by construction)."""
-    rows = list(_csv.reader(io.StringIO(data), delimiter=opts.separator, quotechar=opts.quote))
+    # strict quoting + manual iteration: a malformed row (unterminated
+    # quote at EOF — errors.load's last line) drops with an error
+    # instead of silently producing a truncated row, and blank lines
+    # vanish — both the reference's CSV semantics
+    reader = _csv.reader(
+        io.StringIO(data),
+        delimiter=opts.separator,
+        quotechar=opts.quote,
+        strict=True,
+    )
+    rows = []
+    while True:
+        try:
+            r = next(reader)
+        except StopIteration:
+            break
+        except _csv.Error:
+            continue  # malformed row rejected (reference drops + counts)
+        if r:
+            rows.append(r)
     rows = rows[opts.skip_lines:]
     names = opts.fields
     if opts.header and rows:

@@ -530,3 +530,54 @@ def test_template_var_unset_stays_verbatim():
 
     out = expand_template_vars("from '{{NOPE_UNSET}}' into x;")
     assert "{{NOPE_UNSET}}" in out  # parse-time lenient; fails at exec
+
+
+def test_reference_errors_load_reject_isolation(seeded, spark, tmp_path):
+    """errors.load verbatim: the reject-isolation regress.  The
+    reference retries COPY batches around bad rows; our validate-first
+    split derives the same outcome — 7 good rows land (expected
+    regress output), malformed dates reject with reasons — using the
+    live target catalog for the type rules (what pgloader's
+    merge-catalogs supplies)."""
+    ref = "/root/reference/test/errors.load"
+    if not os.path.exists(ref):
+        pytest.skip("reference corpus not available")
+    from pgloader_spark.parsers.loadcmd import parse_load
+    from pgloader_spark.plans.executor import ExecutionContext, execute, project, read_source
+    from pgloader_spark.sinks.validate import ColumnRule, load_with_isolation
+    from pgloader_spark.sources.pg_live import introspect_pg, write_pg_copy
+
+    text = open(ref, encoding="utf-8").read()
+    text = text.replace("postgresql:///pgloader", seeded)
+    cmd = parse_load(text)
+    runner = PGConn(seeded)
+    try:
+        for stmt in cmd.before_load:
+            runner.query(stmt)
+        projected = project(read_source(spark, cmd), cmd)
+        # type rules from the LIVE target catalog (the reference's
+        # merge-catalogs step feeding its retry logic)
+        fields = {f.name: f for f in introspect_pg(seeded, "err")["errors"]}
+        rules = [
+            ColumnRule("a", cast_to="int"),
+            ColumnRule("b", cast_to="date"),
+        ]
+        assert fields["b"].type_name == "date"
+        res = load_with_isolation(
+            projected, rules, str(tmp_path), "pgloader", "errors"
+        )
+        good = res.good.selectExpr(
+            "try_cast(a AS int) AS a", "try_cast(b AS date) AS b", "c"
+        )
+        write_pg_copy(good, seeded, "err.errors")
+    finally:
+        runner.close()
+    with PGConn(seeded) as c:
+        _, rows = c.query("SELECT a, b, c FROM err.errors ORDER BY a")
+    # the reference's expected regress output: ids 0,1,4,6,7,8,9
+    assert [r[0] for r in rows] == ["0", "1", "4", "6", "7", "8", "9"]
+    got = {r[0]: (r[1], r[2]) for r in rows}
+    assert got["0"] == ("2006-11-11", "nov. the 11th should go")
+    assert got["6"][0] is None  # empty date -> NULL, loads fine
+    assert got["7"][0] is None  # ragged line -> padded NULL
+    assert res.error_count >= 3  # months 13/16/13 rejected
