@@ -121,6 +121,7 @@ _TOKEN_RE = re.compile(
 class Tok:
     kind: str
     value: str
+    end: int = -1  # character offset just past this token in the source
 
 
 def tokenize(text: str) -> list[Tok]:
@@ -138,7 +139,7 @@ def tokenize(text: str) -> list[Tok]:
             v = v[2:-1]
         elif kind == "dollar":
             v = v[2:-2].strip()
-        out.append(Tok(kind, v))
+        out.append(Tok(kind, v, m.end()))
     return out
 
 
@@ -215,15 +216,20 @@ def expand_template_vars(text: str) -> str:
 
 def parse_load(text: str) -> LoadCommand:
     text = expand_template_vars(text)
-    # split inline data: everything after the final ';' of the command
     toks = tokenize(text)
     p = _P(toks)
     cmd = _parse_one_command(p)
-    # inline data = raw text after the terminating semicolon
-    semi = text.rfind(";")
-    if cmd.source == "inline" and semi != -1:
-        data = text[semi + 1 :]
-        cmd.inline_data = data.lstrip("\n")
+    if cmd.source == "inline":
+        # inline data = raw text after the COMMAND's terminating
+        # semicolon — found by token position, because the data itself
+        # may contain ';' (serial.load's ;-separated fields)
+        semi_end = -1
+        for t in toks[: p.i]:
+            if t.kind == "semi":
+                semi_end = t.end
+        if semi_end == -1:
+            semi_end = text.rfind(";") + 1 or len(text)
+        cmd.inline_data = text[semi_end:].lstrip("\n")
     return cmd
 
 
@@ -693,8 +699,14 @@ def _parse_columns(p: _P) -> list[ColumnSpec]:
             cur = ColumnSpec(name=t.value)
             continue
         if t.kind == "word" and t.value.lower() == "using":
-            # capture the parenthesized sexp verbatim
-            cur.transform = _capture_sexp(p)
+            nxt = p.peek()
+            if nxt is not None and nxt.kind in ("string", "qident"):
+                # `using "constant value"` — a constant column
+                # (udc.load's user-defined-column form)
+                cur.constant = p.next().value
+            else:
+                # capture the parenthesized sexp verbatim
+                cur.transform = _capture_sexp(p)
         else:
             type_words.append(t.value)
     return out

@@ -289,7 +289,11 @@ def align_to_target(
 
 
 def write_pg_copy(
-    df: DataFrame, dsn: str, table: str, n_writers: int | None = None
+    df: DataFrame,
+    dsn: str,
+    table: str,
+    n_writers: int | None = None,
+    settings: dict | None = None,
 ) -> int:
     """COPY FROM STDIN, one stream per partition; returns rows loaded.
 
@@ -349,6 +353,11 @@ def write_pg_copy(
                 b = next(it, None)
 
         with PGConn(dsn) as conn:
+            # the command's SET clause applies per session — pgloader
+            # runs the GUCs on every connection it opens (datestyle
+            # changes how the server parses COPY date text)
+            for k, v in (settings or {}).items():
+                conn.query(f"SET {k} TO '{v}'")
             conn.copy_in(stmt, chunks())
         yield pd.DataFrame({"n": [total]})
 

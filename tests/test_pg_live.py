@@ -357,7 +357,9 @@ def test_reference_scenario_runs_live(name, seeded, spark, tmp_path):
         )
         with PGConn(seeded) as c:
             c.query(f"DELETE FROM {'.'.join(chr(34)+p+chr(34) for p in table.split('.'))}")
-        write_pg_copy(df, seeded, table)
+        # the command's SET clause (datestyle etc.) applies on every
+        # COPY connection, like the reference's per-connection GUCs
+        write_pg_copy(df, seeded, table, settings=cmd.gucs)
         loaded_tables.append(table)
 
     runner = PGConn(seeded)
@@ -581,3 +583,8 @@ def test_reference_errors_load_reject_isolation(seeded, spark, tmp_path):
     assert got["6"][0] is None  # empty date -> NULL, loads fine
     assert got["7"][0] is None  # ragged line -> padded NULL
     assert res.error_count >= 3  # months 13/16/13 rejected
+
+
+# seven more self-contained inline scenarios
+for _name in ("fixed", "partial", "reformat", "serial", "simple", "udc", "xzero"):
+    REF_RUNNABLE.append(_name)
