@@ -801,26 +801,42 @@ def _parse_with(p: _P, cmd: LoadCommand) -> None:
         break
 
 
+def _decode_char(s: str) -> str:
+    """`0x02`-style hex separators (csv-json.load) and escape words."""
+    if len(s) >= 3 and s[:2].lower() == "0x":
+        try:
+            return chr(int(s[2:], 16))
+        except ValueError:
+            return s
+    return s
+
+
 def _set_option(cmd: LoadCommand, key: str, value) -> None:
     key = key.strip()
     if key.startswith("fields optionally enclosed by") or key.startswith(
         "fields enclosed by"
     ):
-        cmd.options["quote"] = value if value is not None else key.rsplit(None, 1)[-1]
+        q = value if value is not None else key.rsplit(None, 1)[-1]
+        cmd.options["quote"] = _decode_char(q)
     elif key.startswith("fields escaped by"):
         esc = value if value is not None else key.rsplit(None, 1)[-1]
         cmd.options["escape"] = {
             "double-quote": '"',
             "backslash-quote": "\\",
             "backslash": "\\",
-        }.get(esc, esc)
+        }.get(esc, _decode_char(esc))
     elif key.startswith("fields terminated by") or key.startswith("terminated by"):
         sep = value if value is not None else key.rsplit(None, 1)[-1]
-        cmd.options["separator"] = {"\\t": "\t", "tab": "\t"}.get(sep, sep)
+        cmd.options["separator"] = {"\\t": "\t", "tab": "\t"}.get(
+            sep, _decode_char(sep)
+        )
     elif key.startswith("lines terminated by"):
         cmd.options["line_sep"] = value
     elif key == "skip header":
         cmd.options["skip_lines"] = int(value)
+    elif key == "csv header":
+        # first line names the fields (csv-header.load, csv-guess.load)
+        cmd.options["header"] = True
     elif key in ("null if", "null"):
         cmd.options["null_as"] = value
     elif key == "delimiter":

@@ -152,7 +152,11 @@ def _cl_format(_nil, control, *args) -> Column:
         raise SexpError("format control string must be a literal")
     m = _re.fullmatch(r"~\{~a~\^(.*)~\}", control, _re.IGNORECASE)
     if m:
-        return F.array_join(F.array(*args), m.group(1))
+        # CL's ~{...~} iterates a LIST argument: a single arg is an
+        # array column (the split-sequence composition in
+        # csv-using-sexp.load); several args join as a literal list
+        lst = args[0] if len(args) == 1 else F.array(*args)
+        return F.array_join(lst, m.group(1))
     parts = _re.split(r"~a", control, flags=_re.IGNORECASE)
     if len(parts) - 1 != len(args):
         raise SexpError(
@@ -181,6 +185,33 @@ _BUILTINS = {
 }
 
 
+def _cl_split_sequence(node: list, fields: dict[str, Column] | None) -> Column:
+    """(split-sequence #\\Space s :remove-empty-subseqs cl:t) —
+    csv-using-sexp.load (reference issue #965).  Returns an array
+    column; composes with the ``~{~a~^ ~}`` format join.  The char
+    literal already became a plain string in ``_atom``."""
+    import re as _re
+
+    if len(node) < 3:
+        raise SexpError("split-sequence needs (split-sequence char seq ...)")
+    sep = node[1] if isinstance(node[1], str) else None
+    if sep is None:
+        raise SexpError(f"split-sequence: bad separator {node[1]!r}")
+    col = compile_sexp(node[2], fields)
+    remove_empty = False
+    rest = node[3:]
+    for k, v in zip(rest[::2], rest[1::2]):
+        if isinstance(k, Sym) and k.name.lower() == ":remove-empty-subseqs":
+            remove_empty = isinstance(v, Sym) and v.name.lower() in (
+                "t",
+                "cl:t",
+            )
+    arr = F.split(col, _re.escape(sep))
+    if remove_empty:
+        arr = F.filter(arr, lambda x: x != F.lit(""))
+    return arr
+
+
 def compile_sexp(node: Node, fields: dict[str, Column] | None = None) -> Column:
     """AST -> Column. ``fields`` maps field names to their (already
     option-processed) Column expressions; bare symbols default to
@@ -201,6 +232,8 @@ def compile_sexp(node: Node, fields: dict[str, Column] | None = None) -> Column:
             if len(node) != 3:
                 raise SexpError("lambda needs exactly (lambda (params) body)")
             return compile_sexp(node[2], fields)
+        if fname.lower() == "split-sequence":
+            return _cl_split_sequence(node, fields)
         fn = TRANSFORMS.get(fname) or _BUILTINS.get(fname.lower())
         if fn is None:
             raise SexpError(

@@ -60,16 +60,28 @@ class ExecutionContext:
 
 def _csv_options(cmd: LoadCommand) -> CsvOptions:
     o = cmd.options
+    fields = [f.name for f in cmd.fields]
+    if not fields and cmd.columns:
+        # FROM INLINE with no source field list: fields default to the
+        # plain target columns, positionally (csv-newline.load,
+        # csv-trim-extra-blanks.load name only the target list)
+        fields = [
+            c.source or c.name
+            for c in cmd.columns
+            if c.constant is None and not c.transform
+        ]
     return CsvOptions(
         separator=o.get("separator", ","),
-        quote=o.get("quote", '"'),
+        quote=None if o.get("fields_not_enclosed") else o.get("quote", '"'),
         escape=o.get("escape"),
         header=bool(o.get("header", False)),
         skip_lines=int(o.get("skip_lines", 0)),
         null_as=o.get("null_as", ""),
         trim_both=bool(o.get("trim_both", False)),
         encoding=o.get("encoding", "UTF-8"),
-        fields=[f.name for f in cmd.fields],
+        fields=fields,
+        line_sep=o.get("line_sep"),
+        keep_unquoted_blanks=bool(o.get("keep_unquoted_blanks", False)),
     )
 
 
@@ -94,10 +106,21 @@ def read_source(spark: SparkSession, cmd: LoadCommand) -> DataFrame:
         paths = _source_paths(cmd)
         return read_csv(spark, ",".join(paths) if len(paths) == 1 else paths, opts)  # type: ignore[arg-type]
     if kind == "fixed":
-        fopts = FixedOptions(
-            fields=cmd.fixed_fields,
-            skip_lines=int(cmd.options.get("skip_lines", 0)),
-        )
+        if (
+            not cmd.fixed_fields
+            and cmd.options.get("fixed_header")
+            and cmd.source != "inline"
+        ):
+            # WITH fixed header: guess the specs + names from the
+            # header line (fixed-guess.load, fixed-guess.lisp:30-78)
+            from pgloader_spark.sources.fixed import guess_fixed_specs
+
+            fopts = guess_fixed_specs(spark, _source_paths(cmd)[0], header=True)
+        else:
+            fopts = FixedOptions(
+                fields=cmd.fixed_fields,
+                skip_lines=int(cmd.options.get("skip_lines", 0)),
+            )
         if cmd.source == "inline":
             if cmd.inline_data is None:
                 raise ValueError("inline source with no inline data")
@@ -384,12 +407,34 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
     return reports
 
 
+def _target_table_name(cmd: LoadCommand) -> str:
+    """Target table from the command or the URI query part.
+
+    The reference accepts ``?tname``, ``?tablename=tname``,
+    ``?"Quoted"`` and ``?schema."Quoted"`` (command-db-uri.lisp
+    pgsql-connection-string) — quotes select exact case and are not
+    part of the name.
+    """
+    import re
+
+    t = cmd.target_table
+    if not t:
+        t = (cmd.target or "result").rsplit("?", 1)[-1]
+        if t.startswith("tablename="):
+            t = t.split("=", 1)[1]
+    parts = [
+        p[1:-1] if p.startswith('"') and p.endswith('"') and len(p) > 1 else p
+        for p in re.findall(r'"[^"]*"|[^.]+', t)
+    ]
+    return ".".join(parts)
+
+
 def execute(ctx: ExecutionContext, cmd: LoadCommand) -> LoadReport:
     """parse result -> report. BEFORE/AFTER LOAD DO statements run
     through ctx.sql_runner when provided (JDBC in production; DuckDB
     or a recorder in tests)."""
     spark = ctx.spark
-    table = cmd.target_table or (cmd.target or "result").rsplit("?", 1)[-1]
+    table = _target_table_name(cmd)
     report = LoadReport(table=table)
 
     for stmt in cmd.before_load:
@@ -419,8 +464,16 @@ def execute(ctx: ExecutionContext, cmd: LoadCommand) -> LoadReport:
 
         obs = Observation()
         good = good.observe(obs, F.count(F.lit(1)).alias("n"))
-        ctx.sink(good, table)
-        report.loaded = int(obs.get["n"])
+        ret = ctx.sink(good, table)
+        n_seen = int(obs.get["n"])
+        if isinstance(ret, int):
+            # a counting sink (write_pg_copy with reject isolation)
+            # reports what the server actually accepted; the delta is
+            # server-side rejects (fk-reject.load, overflow.load)
+            report.loaded = ret
+            report.errors += n_seen - ret
+        else:
+            report.loaded = n_seen
         report.result = good
     else:
         good = good.cache()

@@ -28,7 +28,7 @@ class CsvOptions:
     """The WITH-option surface of LOAD CSV (command-csv.lisp:56-179)."""
 
     separator: str = ","
-    quote: str = '"'
+    quote: str | None = '"'
     escape: str | None = None  # None => doubled quotes (escape-mode quote)
     header: bool = False
     skip_lines: int = 0
@@ -37,6 +37,10 @@ class CsvOptions:
     encoding: str = "UTF-8"
     multi_line: bool = False
     fields: list[str] = field(default_factory=list)  # declared field names
+    line_sep: str | None = None  # `lines terminated by` (csv-newline.load)
+    # `trim unquoted blanks` is the reference default; `keep unquoted
+    # blanks` preserves them (docs/ref/csv.rst:204-214)
+    keep_unquoted_blanks: bool = False
 
 
 def read_csv(spark: SparkSession, path: str, opts: CsvOptions) -> DataFrame:
@@ -108,39 +112,179 @@ def header_fields(spark: SparkSession, path: str, opts: CsvOptions) -> list[str]
     )
 
 
+def _parse_csv_records(data: str, opts: CsvOptions) -> list[list[tuple[str, bool]]]:
+    """State-machine CSV parse tracking per-field quoted-ness.
+
+    Mirrors cl-csv as the reference drives it
+    (src/sources/csv/csv.lisp:79,122): quotes are only recognized at
+    field start (after outer blanks when `trim unquoted blanks`, the
+    default); a quote character appearing inside an unquoted field, or
+    data after a closing quote, or EOF inside a quoted field all
+    signal an error — the reference drops (rejects) that row.
+    Returns records as lists of (raw_text, was_quoted).
+    """
+    sep = opts.separator
+    quote = opts.quote if opts.quote else None
+    esc = opts.escape
+    eol = opts.line_sep or "\n"
+    trim_outer = not opts.keep_unquoted_blanks
+
+    records: list[list[tuple[str, bool]]] = []
+    fields: list[tuple[str, bool]] = []
+    buf: list[str] = []
+    i, n = 0, len(data)
+    state = "start"  # start | unquoted | quoted | post_quote | error
+    quoted_flag = False
+
+    def end_field():
+        nonlocal buf, quoted_flag, state
+        fields.append(("".join(buf), quoted_flag))
+        buf = []
+        quoted_flag = False
+        state = "start"
+
+    def end_record(drop_if_error: bool):
+        nonlocal fields
+        if not drop_if_error and (fields or buf):
+            end_field()
+            if any(v for v, _ in fields) or len(fields) > 1:
+                records.append(fields)
+        fields = []
+
+    while i < n:
+        c = data[i]
+        if state == "start":
+            if c == eol or (eol == "\n" and c == "\r" and data[i : i + 2] == "\r\n"):
+                end_record(False)
+                i += 2 if c == "\r" else 1
+                continue
+            if c == sep:
+                end_field()
+                i += 1
+                continue
+            if quote and c == quote:
+                state = "quoted"
+                quoted_flag = True
+                i += 1
+                continue
+            if trim_outer and c in " \t":
+                # outer blank: look ahead — blanks before a quote are
+                # skipped in trim mode; otherwise they are data that a
+                # later trim pass removes
+                j = i
+                while j < n and data[j] in " \t":
+                    j += 1
+                if quote and j < n and data[j] == quote:
+                    i = j
+                    continue
+            state = "unquoted"
+            buf.append(c)
+            i += 1
+        elif state == "unquoted":
+            if c == eol or (eol == "\n" and data[i : i + 2] == "\r\n"):
+                end_record(False)
+                i += 2 if c == "\r" else 1
+                continue
+            if c == sep:
+                end_field()
+                i += 1
+                continue
+            if quote and c == quote:
+                # quote inside unquoted data: reference signals a CSV
+                # parse error and rejects the row
+                # (csv-keep-extra-blanks.load's last line)
+                state = "error"
+                continue
+            buf.append(c)
+            i += 1
+        elif state == "quoted":
+            if esc and esc != quote and c == esc and i + 1 < n:
+                nxt = data[i + 1]
+                if nxt == quote or nxt == esc:
+                    buf.append(nxt)
+                    i += 2
+                    continue
+            if c == quote:
+                if esc == quote and data[i + 1 : i + 2] == quote:
+                    buf.append(quote)
+                    i += 2
+                    continue
+                state = "post_quote"
+                i += 1
+                continue
+            buf.append(c)
+            i += 1
+        elif state == "post_quote":
+            if c == eol or (eol == "\n" and data[i : i + 2] == "\r\n"):
+                end_record(False)
+                i += 2 if c == "\r" else 1
+                continue
+            if c == sep:
+                end_field()
+                i += 1
+                continue
+            if trim_outer and c in " \t":
+                i += 1
+                continue
+            state = "error"
+        elif state == "error":
+            # skip to end of record, dropping it
+            if c == eol or (eol == "\n" and data[i : i + 2] == "\r\n"):
+                end_record(True)
+                buf = []
+                quoted_flag = False
+                state = "start"
+                i += 2 if c == "\r" else 1
+                continue
+            i += 1
+    # EOF: inside quotes = unterminated quote error (errors.load's
+    # last line) — drop; otherwise flush the final record
+    if state == "quoted" or state == "error":
+        pass
+    elif fields or buf:
+        end_record(False)
+    return records
+
+
 def read_inline(spark: SparkSession, data: str, opts: CsvOptions) -> DataFrame:
     """Inline data after the LOAD command (command-csv.lisp:306-346):
     parse driver-side (inline payloads are small by construction)."""
-    # strict quoting + manual iteration: a malformed row (unterminated
-    # quote at EOF — errors.load's last line) drops with an error
-    # instead of silently producing a truncated row, and blank lines
-    # vanish — both the reference's CSV semantics
-    reader = _csv.reader(
-        io.StringIO(data),
-        delimiter=opts.separator,
-        quotechar=opts.quote,
-        strict=True,
-    )
-    rows = []
-    while True:
-        try:
-            r = next(reader)
-        except StopIteration:
-            break
-        except _csv.Error:
-            continue  # malformed row rejected (reference drops + counts)
-        if r:
-            rows.append(r)
-    rows = rows[opts.skip_lines:]
+    records = _parse_csv_records(data, opts)
+    records = records[opts.skip_lines :]
+    # a declared source encoding narrower than the data rejects the
+    # rows it cannot represent (csv-error.load: WITH ENCODING ascii +
+    # a latin row — the reference drops that row)
+    codec = (opts.encoding or "UTF-8").replace("-", "").lower()
+    if codec in ("ascii", "usascii"):
+        records = [
+            rec
+            for rec in records
+            if all(v.isascii() for v, _ in rec)
+        ]
     names = opts.fields
-    if opts.header and rows:
-        names = names or rows[0]
-        rows = rows[1:]
-    if not names and rows:
-        names = [f"_c{i}" for i in range(len(rows[0]))]
+    if opts.header and records:
+        names = names or [v for v, _ in records[0]]
+        records = records[1:]
+    if not names and records:
+        names = [f"_c{i}" for i in range(len(records[0]))]
+    trim_outer = not opts.keep_unquoted_blanks
     norm = []
-    for r in rows:
-        vals = [None if v == opts.null_as else v for v in r]
+    for rec in records:
+        vals: list[str | None] = []
+        for v, was_quoted in rec:
+            if not was_quoted:
+                if trim_outer:
+                    v = v.strip(" \t")
+                if opts.null_as != "":
+                    if v == opts.null_as:
+                        v = None
+                elif v == "":
+                    # unquoted empty = NULL; quoted empty = '' — the
+                    # distinction csv-keep-extra-blanks.out pins
+                    v = None
+            elif opts.null_as != "" and v == opts.null_as:
+                v = None
+            vals.append(v)
         # pgloader pads short rows with NULLs and drops extra cells
         # (csv-missing-col.load is the regress test for exactly this)
         vals = (vals + [None] * len(names))[: len(names)]

@@ -6,6 +6,18 @@ as a pure-Python parser of the public PC/IXF interchange format
 decimal length followed by a 1-byte type — ``H`` header, ``T`` table,
 ``C`` column descriptor, ``D`` data, ``A`` application.
 
+C-record layout (per the public PC/IXF spec, offsets within the
+payload after the 1-byte record type — verified against the
+reference's own DB2-exported fixtures ``test/data/nsitra.test*.ixf``):
+IXFCNAML(3) IXFCNAME(256) IXFCNULL(1) IXFCDEF(1) IXFCSLCT(1)
+IXFCKPOS(2) IXFCCLAS(1) IXFCTYPE(3) IXFCSBCP(5) IXFCDBCP(5)
+IXFCLENG(5) IXFCDRID(3) IXFCPOSN(6) IXFCNDIM(2).
+
+D-record payload: IXFDRID(3) + 4 filler bytes, then column data at
+each column's IXFCPOSN (1-based).  Nullable columns carry a 2-byte
+null indicator AT the position (``FFFF`` = null), with the value
+following at position+2.
+
 Supported column types (the set the reference's ixf lib handles,
 ``ixf-cast-rules.lisp:7-31``): CHAR(452), VARCHAR(448), SMALLINT(500),
 INTEGER(496), BIGINT(492), DECIMAL(484), FLOAT(480), DATE(384),
@@ -49,14 +61,28 @@ TYPE_NAMES = {
     IXF_TIMESTAMP: "timestamp",
 }
 
+# fixed on-disk widths for types whose IXFCLENG is blank
+_FIXED_LEN = {
+    IXF_SMALLINT: 2,
+    IXF_INTEGER: 4,
+    IXF_BIGINT: 8,
+    IXF_FLOAT: 8,
+    IXF_DATE: 10,
+    IXF_TIME: 8,
+    IXF_TIMESTAMP: 26,
+}
+
 
 @dataclass
 class IxfColumn:
     name: str
     type_code: int
-    length: int  # for DECIMAL: precision*256 + scale packed per spec
-    position: int  # 1-based offset of the value within the D record data
-    nullable: bool
+    length: int = 0  # CHAR/VARCHAR length; 0 for fixed-width types
+    position: int = 0  # 1-based IXFCPOSN (0 = writer computes)
+    nullable: bool = True
+    precision: int = 0  # DECIMAL
+    scale: int = 0  # DECIMAL
+    drid: str = "001"  # D-record id this column's data lives in
 
 
 def iter_records(data: bytes):
@@ -75,26 +101,41 @@ def iter_records(data: bytes):
         off += 6 + length
 
 
+def _ascii_int(raw: bytes, default: int = 0) -> int:
+    s = raw.decode("ascii", "replace").strip("\x00 ")
+    return int(s) if s.isdigit() else default
+
+
 def parse_columns(data: bytes) -> list[IxfColumn]:
     cols: list[IxfColumn] = []
     for rtype, payload in iter_records(data):
         if rtype != "C":
             continue
-        # C record layout (fixed ASCII fields, public spec):
-        # name(255) nullable(1) has_default(1) default(254) ... we use
-        # a compact subset written by our writer and tolerated lenient.
-        name = payload[0:255].split(b" ", 1)[0].decode("ascii").strip("\x00 ")
-        nullable = payload[255:256] == b"Y"
-        type_code = int(payload[256:259])
-        length = int(payload[259:264])
-        position = int(payload[264:270])
-        cols.append(IxfColumn(name, type_code, length, position, nullable))
+        naml = _ascii_int(payload[0:3], 0)
+        name = payload[3 : 3 + (naml or 256)].decode("latin-1").strip("\x00 ")
+        nullable = payload[259:260] == b"Y"
+        type_code = _ascii_int(payload[265:268])
+        leng_raw = payload[278:283].decode("ascii", "replace")
+        drid = payload[283:286].decode("ascii", "replace").strip() or "001"
+        position = _ascii_int(payload[286:292])
+        precision = scale = 0
+        length = 0
+        if type_code == IXF_DECIMAL:
+            # IXFCLENG for DECIMAL is PPPSS
+            precision = _ascii_int(leng_raw[:3].encode())
+            scale = _ascii_int(leng_raw[3:5].encode())
+        else:
+            length = _FIXED_LEN.get(type_code) or _ascii_int(leng_raw.encode())
+        cols.append(
+            IxfColumn(
+                name, type_code, length, position, nullable, precision, scale, drid
+            )
+        )
     return cols
 
 
-def _decode_value(col: IxfColumn, data: bytes) -> object:
-    """Decode one value at col.position (1-based) inside a D record."""
-    pos = col.position - 1
+def _decode_value(col: IxfColumn, data: bytes, pos: int) -> object:
+    """Decode one value at 0-based offset ``pos`` inside a D record."""
     t = col.type_code
     if t in (IXF_CHAR, IXF_DATE, IXF_TIME, IXF_TIMESTAMP):
         raw = data[pos : pos + col.length]
@@ -113,8 +154,7 @@ def _decode_value(col: IxfColumn, data: bytes) -> object:
         return struct.unpack_from("<d", data, pos)[0]
     if t == IXF_DECIMAL:
         # packed BCD: precision digits, last nibble is the sign
-        precision = col.length // 256
-        scale = col.length % 256
+        precision, scale = col.precision, col.scale
         nbytes = (precision + 2) // 2
         raw = data[pos : pos + nbytes]
         digits = []
@@ -135,23 +175,41 @@ def _decode_value(col: IxfColumn, data: bytes) -> object:
     return None
 
 
+def _decode_row(cols: list[IxfColumn], bodies: dict[str, bytes]) -> tuple:
+    row = []
+    for c in cols:
+        body = bodies.get(c.drid)
+        if body is None:
+            row.append(None)
+            continue
+        pos = c.position - 1
+        if c.nullable:
+            if body[pos : pos + 2] == b"\xff\xff":
+                row.append(None)
+                continue
+            pos += 2
+        row.append(_decode_value(c, body, pos))
+    return tuple(row)
+
+
 def read_ixf(spark: SparkSession, path: str) -> DataFrame:
     with open(path, "rb") as fh:
         data = fh.read()
     cols = parse_columns(data)
     rows: list[tuple] = []
+    # rows may span several D records (distinct IXFDRIDs); a repeated
+    # drid starts the next row
+    bodies: dict[str, bytes] = {}
     for rtype, payload in iter_records(data):
         if rtype != "D":
             continue
-        body = payload[4:]  # D record: 4 reserved/ident bytes, then data
-        row = []
-        for c in cols:
-            null_flag = body[c.position - 3 : c.position - 1]
-            if c.nullable and null_flag == b"\xff\xff":
-                row.append(None)
-            else:
-                row.append(_decode_value(c, body))
-        rows.append(tuple(row))
+        drid = payload[0:3].decode("ascii", "replace").strip() or "001"
+        if drid in bodies:
+            rows.append(_decode_row(cols, bodies))
+            bodies = {}
+        bodies[drid] = payload[7:]  # 3-byte drid + 4 filler bytes
+    if bodies:
+        rows.append(_decode_row(cols, bodies))
 
     spark_types = {
         IXF_SMALLINT: "smallint",
@@ -178,7 +236,8 @@ def ixf_source_fields(path: str):
 
 # ---------------------------------------------------------------------------
 # Writer (used by tests to produce fixture files — the reference reads
-# IXF produced by DB2; we need self-generated fixtures)
+# IXF produced by DB2; we emit the same spec layout the DB2 fixtures
+# carry so reader and real files share one code path)
 # ---------------------------------------------------------------------------
 
 
@@ -187,46 +246,70 @@ def _record(rtype: bytes, payload: bytes) -> bytes:
     return str(len(body)).zfill(6).encode() + body
 
 
+def _value_width(c: IxfColumn) -> int:
+    t = c.type_code
+    if t == IXF_VARCHAR:
+        return c.length + 2
+    if t == IXF_DECIMAL:
+        return (c.precision + 2) // 2
+    return _FIXED_LEN.get(t, c.length)
+
+
 def write_ixf(path: str, columns: list[IxfColumn], rows: list[tuple]) -> None:
-    out = [_record(b"H", b"IXF   0002"), _record(b"T", b"T".ljust(10))]
+    # lay out data positions sequentially (null indicator precedes
+    # the value for nullable columns)
+    cur = 0
     for c in columns:
+        c.position = cur + 1
+        cur += (2 if c.nullable else 0) + _value_width(c)
+    width = cur
+
+    out = [
+        _record(b"H", b"IXF0002DB2    02.00" + b"0" * 20 + b" " * 5),
+        _record(
+            b"T",
+            b"008" + b"table.ixf".ljust(256) + b" " * 100,
+        ),
+    ]
+    for c in columns:
+        if c.type_code == IXF_DECIMAL:
+            leng = f"{c.precision:03d}{c.scale:02d}"
+        elif c.type_code in _FIXED_LEN:
+            leng = "     "
+        else:
+            leng = str(c.length).zfill(5)
         payload = (
-            c.name.encode("ascii").ljust(255)
+            str(len(c.name)).zfill(3).encode()
+            + c.name.encode("ascii").ljust(256)
             + (b"Y" if c.nullable else b"N")
+            + b"N"  # IXFCDEF
+            + b"Y"  # IXFCSLCT
+            + b"N\x00"  # IXFCKPOS
+            + b"R"  # IXFCCLAS
             + str(c.type_code).zfill(3).encode()
-            + str(c.length).zfill(5).encode()
+            + b"00000"  # IXFCSBCP
+            + b"00000"  # IXFCDBCP
+            + leng.encode()
+            + c.drid.encode()
             + str(c.position).zfill(6).encode()
+            + b"00"  # IXFCNDIM
+            + b" " * 8
         )
         out.append(_record(b"C", payload))
     for row in rows:
-        width = 4
-        for c in columns:
-            t = c.type_code
-            vlen = c.length
-            if t == IXF_VARCHAR:
-                vlen = c.length + 2
-            elif t == IXF_SMALLINT:
-                vlen = 2
-            elif t == IXF_INTEGER:
-                vlen = 4
-            elif t == IXF_BIGINT:
-                vlen = 8
-            elif t == IXF_FLOAT:
-                vlen = 8
-            elif t == IXF_DECIMAL:
-                vlen = (c.length // 256 + 2) // 2
-            width = max(width, 4 + (c.position - 1) + vlen)
         body = bytearray(b"\x00" * width)
-        data = memoryview(body)[4:]
+        data = memoryview(body)
         for c, v in zip(columns, row):
             pos = c.position - 1
             if c.nullable:
-                data[pos - 2 : pos] = b"\xff\xff" if v is None else b"\x00\x00"
+                data[pos : pos + 2] = b"\xff\xff" if v is None else b"\x00\x00"
+                pos += 2
             if v is None:
                 continue
             t = c.type_code
             if t in (IXF_CHAR, IXF_DATE, IXF_TIME, IXF_TIMESTAMP):
-                data[pos : pos + c.length] = str(v).encode("latin-1").ljust(c.length)
+                ln = _value_width(c)
+                data[pos : pos + ln] = str(v).encode("latin-1").ljust(ln)
             elif t == IXF_VARCHAR:
                 b = str(v).encode("latin-1")
                 struct.pack_into("<H", data, pos, len(b))
@@ -240,8 +323,7 @@ def write_ixf(path: str, columns: list[IxfColumn], rows: list[tuple]) -> None:
             elif t == IXF_FLOAT:
                 struct.pack_into("<d", data, pos, float(v))
             elif t == IXF_DECIMAL:
-                precision = c.length // 256
-                scale = c.length % 256
+                precision, scale = c.precision, c.scale
                 text = str(v)
                 neg = text.startswith("-")
                 text = text.lstrip("-")
@@ -255,9 +337,10 @@ def write_ixf(path: str, columns: list[IxfColumn], rows: list[tuple]) -> None:
                 if len(nibbles) % 2:
                     nibbles.append(0)
                 packed = bytes(
-                    (nibbles[i] << 4) | nibbles[i + 1] for i in range(0, len(nibbles), 2)
+                    (nibbles[i] << 4) | nibbles[i + 1]
+                    for i in range(0, len(nibbles), 2)
                 )
                 data[pos : pos + len(packed)] = packed
-        out.append(_record(b"D", bytes(body)))
+        out.append(_record(b"D", b"001    " + bytes(body)))
     with open(path, "wb") as fh:
         fh.write(b"".join(out))

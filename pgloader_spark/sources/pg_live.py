@@ -34,7 +34,7 @@ from pyspark.sql import types as T
 
 from pgloader_spark.casting import CastEngine, SourceField
 from pgloader_spark.sources.jdbc import pg_columns_sql
-from pgloader_spark.sources.pgwire import PGConn
+from pgloader_spark.sources.pgwire import PGConn, PGError
 
 PAGES_PER_RANGE = 1000  # matches plan_ctid_partitions
 
@@ -268,6 +268,15 @@ def align_to_target(
         df.columns
     ):
         df = df.toDF(*names)
+    else:
+        # unquoted DDL identifiers case-fold server-side; match the
+        # loaded columns to the catalog case-insensitively
+        # (fixed-guess.load: uppercase header vs lowercase DDL)
+        lower_map = {n.lower(): n for n in names}
+        if len(lower_map) == len(names) and all(
+            c.lower() in lower_map for c in df.columns
+        ):
+            df = df.toDF(*[lower_map[c.lower()] for c in df.columns])
     if date_format:
         import re as _re
 
@@ -288,12 +297,56 @@ def align_to_target(
     return df
 
 
+def _copy_batch_isolating(
+    conn: PGConn, stmt: str, lines: list[str]
+) -> tuple[int, list[tuple[str, str]]]:
+    """COPY a batch; on failure isolate the bad rows and load the rest.
+
+    The reference's retry-batch logic (src/pg-copy/retry-batch.lisp):
+    when the server annotates the error with ``line N`` (COPY parse
+    errors do), drop exactly that row and retry; when it does not
+    (FK violations — GitHub issue #1333, test/fk-reject.load), bisect
+    the batch until single rows isolate.  Each COPY here is one
+    statement = one transaction, so a failed attempt loads nothing and
+    a retry re-sends the survivors.
+    """
+    import re as _re
+
+    loaded = 0
+    rejects: list[tuple[str, str]] = []
+    todo = lines
+    while todo:
+        try:
+            conn.copy_in(stmt, [("\n".join(todo) + "\n").encode("utf-8")])
+            loaded += len(todo)
+            break
+        except PGError as e:
+            m = _re.search(r"line (\d+)", getattr(e, "context", "") or "")
+            if m and 1 <= int(m.group(1)) <= len(todo):
+                k = int(m.group(1)) - 1
+                rejects.append((todo[k], str(e)))
+                todo = todo[:k] + todo[k + 1 :]
+            elif len(todo) == 1:
+                rejects.append((todo[0], str(e)))
+                break
+            else:
+                mid = len(todo) // 2
+                n1, r1 = _copy_batch_isolating(conn, stmt, todo[:mid])
+                n2, r2 = _copy_batch_isolating(conn, stmt, todo[mid:])
+                loaded += n1 + n2
+                rejects.extend(r1 + r2)
+                break
+    return loaded, rejects
+
+
 def write_pg_copy(
     df: DataFrame,
     dsn: str,
     table: str,
     n_writers: int | None = None,
     settings: dict | None = None,
+    reject_dir: str | None = None,
+    on_error_stop: bool = False,
 ) -> int:
     """COPY FROM STDIN, one stream per partition; returns rows loaded.
 
@@ -333,15 +386,44 @@ def write_pg_copy(
     if n_writers:
         lines = lines.repartition(n_writers)
 
+    isolate = reject_dir is not None or on_error_stop
+
     def sink(batches: Iterator) -> Iterator:
         import pandas as pd  # noqa: PLC0415
 
         it = iter(batches)
         first = next(it, None)
         if first is None or len(first) == 0:
-            yield pd.DataFrame({"n": [0]})
+            yield pd.DataFrame({"n": [0], "rejects": [[]], "errs": [[]]})
             return
         total = 0
+
+        if isolate:
+            # per-batch COPY (the reference's own batching: one COPY
+            # per ~25k-row batch, src/pg-copy/copy-rows-in-batch.lisp)
+            # so a failed batch can retry with row isolation
+            rej: list[str] = []
+            errs: list[str] = []
+            with PGConn(dsn) as conn:
+                for k, v in (settings or {}).items():
+                    conn.query(f"SET {k} TO '{v}'")
+                b = first
+                while b is not None:
+                    if len(b):
+                        n, r = _copy_batch_isolating(
+                            conn, stmt, list(b["line"])
+                        )
+                        total += n
+                        if r and on_error_stop:
+                            raise RuntimeError(
+                                f"on error stop: {r[0][1]}"
+                            )
+                        for line, e in r:
+                            rej.append(line)
+                            errs.append(e)
+                    b = next(it, None)
+            yield pd.DataFrame({"n": [total], "rejects": [rej], "errs": [errs]})
+            return
 
         def chunks():
             nonlocal total
@@ -359,12 +441,29 @@ def write_pg_copy(
             for k, v in (settings or {}).items():
                 conn.query(f"SET {k} TO '{v}'")
             conn.copy_in(stmt, chunks())
-        yield pd.DataFrame({"n": [total]})
+        yield pd.DataFrame({"n": [total], "rejects": [[]], "errs": [[]]})
 
     from pyspark.sql import functions as F
 
-    out = lines.mapInPandas(sink, "n long")
-    return out.agg(F.sum("n")).collect()[0][0] or 0
+    out = lines.mapInPandas(
+        sink, "n long, rejects array<string>, errs array<string>"
+    )
+    if not isolate:
+        return out.agg(F.sum("n")).collect()[0][0] or 0
+    rows = out.collect()
+    loaded = sum(r["n"] for r in rows)
+    all_rej = [x for r in rows for x in (r["rejects"] or [])]
+    all_errs = [x for r in rows for x in (r["errs"] or [])]
+    if reject_dir is not None and all_rej:
+        import os as _os
+
+        _os.makedirs(reject_dir, exist_ok=True)
+        base = table.replace(".", "_")
+        with open(_os.path.join(reject_dir, f"{base}.dat"), "a") as fh:
+            fh.write("\n".join(all_rej) + "\n")
+        with open(_os.path.join(reject_dir, f"{base}.log"), "a") as fh:
+            fh.write("\n".join(all_errs) + "\n")
+    return loaded
 
 
 def migrate_pg_to_parquet(

@@ -100,7 +100,13 @@ class PGConn:
 
     def _raise_error(self, payload: bytes) -> None:
         f = self._error_fields(payload)
-        raise PGError(f"{f.get('C', '?????')}: {f.get('M', 'unknown error')}")
+        err = PGError(f"{f.get('C', '?????')}: {f.get('M', 'unknown error')}")
+        err.sqlstate = f.get("C", "")
+        # W = error context; for COPY parse errors it carries
+        # "COPY tbl, line N[, column c]" — the retry path uses the
+        # line number to isolate the bad row without bisecting
+        err.context = f.get("W", "")
+        raise err
 
     # ----------------------------------------------------------- startup
 

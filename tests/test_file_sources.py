@@ -184,10 +184,10 @@ def test_dbf_read_skips_deleted(spark, dbf_file):
 
 def test_ixf_roundtrip(spark, tmp_path):
     cols = [
-        IxfColumn("id", IXF_INTEGER, 4, 3, nullable=True),
-        IxfColumn("name", IXF_VARCHAR, 20, 9, nullable=True),
-        IxfColumn("grade", IXF_CHAR, 2, 33, nullable=True),
-        IxfColumn("amount", IXF_DECIMAL, 10 * 256 + 2, 37, nullable=True),
+        IxfColumn("id", IXF_INTEGER, nullable=True),
+        IxfColumn("name", IXF_VARCHAR, 20, nullable=True),
+        IxfColumn("grade", IXF_CHAR, 2, nullable=True),
+        IxfColumn("amount", IXF_DECIMAL, nullable=True, precision=10, scale=2),
     ]
     rows = [
         (1, "alice", "A", "10.50"),

@@ -317,50 +317,59 @@ def test_reference_csv_load_file_runs_verbatim(seeded, spark, tmp_path):
     assert {r[2] for r in rows} == {"GB", "US", "CA"}
 
 
-REF_RUNNABLE = [
-    # self-contained reference scenarios (inline data or local files)
-    "allcols", "copy-hex", "csv-escape-mode",
-    "csv-non-printable", "csv-parse-date", "csv-temp",
-    "fields-with-periods", "csv-districts", "dbf-31", "dbf-8b",
-    "copy", "csv-guess",
-]
-
-
-@pytest.mark.parametrize("name", REF_RUNNABLE)
-def test_reference_scenario_runs_live(name, seeded, spark, tmp_path):
+def _run_ref_scenario(name, seeded, spark, tmp_path):
     """Execute the reference's own test/<name>.load against a live
     PostgreSQL, verbatim except (a) the connection string points at
     the test server (what PGHOST does for the reference) and (b)
     relative data paths resolve against the reference checkout.
-    Loaded counts must match what lands in PG."""
-    ref = f"/root/reference/test/{name}.load"
-    if not os.path.exists(ref):
-        pytest.skip("reference corpus not available")
+    Returns (report, first loaded table name)."""
+    import re as _re
+
     from pgloader_spark.parsers.loadcmd import parse_load
     from pgloader_spark.plans.executor import ExecutionContext, execute
-    from pgloader_spark.sources.pg_live import ensure_pg_table, write_pg_copy
+    from pgloader_spark.sources.pg_live import (
+        align_to_target,
+        ensure_pg_table,
+        write_pg_copy,
+    )
     from pgloader_spark.sources.pgwire import PGConn
 
+    ref = f"/root/reference/test/{name}.load"
     text = open(ref, encoding="utf-8", errors="replace").read()
-    text = text.replace("postgresql:///pgloader", seeded)
+    for pat in (
+        "postgresql:///pgloader",
+        "postgres:///pgloader",
+        "postgresql://dim@localhost/pgloader",
+    ):
+        text = text.replace(pat, seeded)
     text = text.replace("data/", "/root/reference/test/data/")
+    text = _re.sub(
+        r"(FROM\s+)((?!/|inline|INLINE|http|stdin)\S+\.(?:dat|csv|dbf|ixf|fixed))",
+        r"\1/root/reference/test/\2",
+        text,
+    )
     cmd = parse_load(text)
 
     loaded_tables: list[str] = []
 
     def sink(df, table):
-        from pgloader_spark.sources.pg_live import align_to_target
-
         ensure_pg_table(seeded, table, df.schema)
         df = align_to_target(
             df, seeded, table, date_format=cmd.options.get("date_format")
         )
         with PGConn(seeded) as c:
-            c.query(f"DELETE FROM {'.'.join(chr(34)+p+chr(34) for p in table.split('.'))}")
+            c.query(
+                "DELETE FROM "
+                + ".".join('"' + p + '"' for p in table.split("."))
+            )
         # the command's SET clause (datestyle etc.) applies on every
-        # COPY connection, like the reference's per-connection GUCs
-        write_pg_copy(df, seeded, table, settings=cmd.gucs)
+        # COPY connection, like the reference's per-connection GUCs;
+        # reject_dir turns on the per-batch retry-with-isolation path
+        n = write_pg_copy(
+            df, seeded, table, settings=cmd.gucs, reject_dir=str(tmp_path)
+        )
         loaded_tables.append(table)
+        return n
 
     runner = PGConn(seeded)
     try:
@@ -373,11 +382,159 @@ def test_reference_scenario_runs_live(name, seeded, spark, tmp_path):
         report = execute(ctx, cmd)
     finally:
         runner.close()
+    return report, (loaded_tables[0] if loaded_tables else None)
+
+
+def _pg_table_rows(seeded, table, order_by=None):
+    from pgloader_spark.sources.pgwire import PGConn
+
+    q = ".".join('"' + p + '"' for p in table.split("."))
+    with PGConn(seeded) as c:
+        _, rows = c.query(
+            f"SELECT * FROM {q}" + (f" ORDER BY {order_by}" if order_by else "")
+        )
+    return rows
+
+
+REF_RUNNABLE = [
+    # self-contained reference scenarios (inline data or local files)
+    "allcols", "copy-hex", "csv-escape-mode",
+    "csv-non-printable", "csv-parse-date", "csv-temp",
+    "fields-with-periods", "csv-districts", "dbf-31", "dbf-8b",
+    "copy", "csv-guess",
+    # round-3 additions: the remaining self-contained corpus
+    "simple", "partial", "pkey", "serial", "udc", "xzero", "reformat",
+    "csv-nulls", "csv-null-if", "csv-newline", "csv-header",
+    "csv-json", "csv-hstore", "csv-keep-extra-blanks",
+    "csv-trim-extra-blanks", "csv-using-sexp",
+    "fixed", "fixed-guess", "dbf", "dbf-memo", "ixf",
+]
+
+
+@pytest.mark.parametrize("name", REF_RUNNABLE)
+def test_reference_scenario_runs_live(name, seeded, spark, tmp_path):
+    ref = f"/root/reference/test/{name}.load"
+    if not os.path.exists(ref):
+        pytest.skip("reference corpus not available")
+    report, table = _run_ref_scenario(name, seeded, spark, tmp_path)
     assert report.loaded > 0, f"{name}: nothing loaded"
     with PGConn(seeded) as c:
-        q = ".".join('"' + p + '"' for p in loaded_tables[0].split("."))
+        q = ".".join('"' + p + '"' for p in table.split("."))
         _, rows = c.query(f"SELECT COUNT(*) FROM {q}")
     assert int(rows[0][0]) == report.loaded, f"{name}: PG count mismatch"
+
+
+def test_reference_fk_reject_isolates_bad_rows(seeded, spark, tmp_path):
+    """fk-reject.load (reference issue #1333): a batch with an FK
+    violation — the server cannot annotate a line number, so the
+    writer bisects the batch; valid rows commit, the bad row lands in
+    the reject file.  Expected output test/regress/expected/
+    fk-reject.out: rows (1,1) and (3,2)."""
+    if not os.path.exists("/root/reference/test/fk-reject.load"):
+        pytest.skip("reference corpus not available")
+    report, table = _run_ref_scenario("fk-reject", seeded, spark, tmp_path)
+    assert report.loaded == 2
+    assert report.errors == 1
+    rows = _pg_table_rows(seeded, table, order_by="id")
+    assert [(int(a), int(b)) for a, b in rows] == [(1, 1), (3, 2)]
+    rejects = (tmp_path / "fk_reject.dat").read_text().strip().splitlines()
+    assert rejects == ["2\t99"]
+    log = (tmp_path / "fk_reject.log").read_text()
+    assert "23503" in log  # foreign_key_violation sqlstate
+
+
+def test_reference_overflow_rejects_everything(seeded, spark, tmp_path):
+    """overflow.load: an int wider than int4 and a NULL into NOT NULL
+    — the reference's expected output is EMPTY (both rows rejected,
+    test/regress/expected/overflow.out)."""
+    if not os.path.exists("/root/reference/test/overflow.load"):
+        pytest.skip("reference corpus not available")
+    report, table = _run_ref_scenario("overflow", seeded, spark, tmp_path)
+    assert report.loaded == 0
+    assert report.errors == 2
+    assert _pg_table_rows(seeded, table) == []
+
+
+def test_reference_csv_error_encoding_and_length_rejects(
+    seeded, spark, tmp_path
+):
+    """csv-error.load: WITH ENCODING ascii drops the latin row at
+    read time; the over-length char(20) value rejects server-side.
+    Expected (test/regress/expected/csv-error.out): 3 rows."""
+    if not os.path.exists("/root/reference/test/csv-error.load"):
+        pytest.skip("reference corpus not available")
+    report, table = _run_ref_scenario("csv-error", seeded, spark, tmp_path)
+    assert report.loaded == 3
+    rows = _pg_table_rows(seeded, table)
+    assert {r[0].strip() for r in rows} == {"BORDET", "LASTNAME"}
+
+
+def test_reference_csv_using_sexp_split_join(seeded, spark, tmp_path):
+    """csv-using-sexp.load (issue #965): (format nil "~{~a~^ ~}"
+    (split-sequence #\\Space f1 :remove-empty-subseqs cl:t)) —
+    whitespace-normalization via split + join.  Expected rows from
+    test/regress/expected/csv-using-sexp.out."""
+    if not os.path.exists("/root/reference/test/csv-using-sexp.load"):
+        pytest.skip("reference corpus not available")
+    report, table = _run_ref_scenario(
+        "csv-using-sexp", seeded, spark, tmp_path
+    )
+    assert report.loaded == 3
+    rows = _pg_table_rows(seeded, table, order_by="id, f1")
+    assert [(int(i), s) for i, s in rows] == [
+        (1, "Hello World"),
+        (2, "Hello World"),
+        (2, "foobar foobaz"),
+    ]
+
+
+def test_reference_ixf_real_db2_fixture(seeded, spark, tmp_path):
+    """ixf.load over the reference's DB2-exported nsitra.test1.ixf:
+    spec-layout C records, null indicators, CHAR/VARCHAR/INTEGER.
+    Expected values from test/regress/expected/ixf.out."""
+    if not os.path.exists("/root/reference/test/ixf.load"):
+        pytest.skip("reference corpus not available")
+    report, table = _run_ref_scenario("ixf", seeded, spark, tmp_path)
+    assert report.loaded == 4
+    rows = _pg_table_rows(seeded, table, order_by="1")
+    got = [(int(r[0]), r[1] if r[1] is None else int(r[1]), r[5]) for r in rows]
+    assert got == [
+        (1, 77, "baz"),
+        (2, None, None),
+        (3, 179, "BAZ"),
+        (4, None, None),
+    ]
+
+
+def test_reference_trim_vs_keep_unquoted_blanks(seeded, spark, tmp_path):
+    """csv-trim-extra-blanks vs csv-keep-extra-blanks: same data, the
+    WITH flag flips whether unquoted blanks survive.  Pinned to
+    test/regress/expected/csv-{trim,keep}-extra-blanks.out."""
+    if not os.path.exists(
+        "/root/reference/test/csv-trim-extra-blanks.load"
+    ):
+        pytest.skip("reference corpus not available")
+    report, table = _run_ref_scenario(
+        "csv-trim-extra-blanks", seeded, spark, tmp_path
+    )
+    assert report.loaded == 7
+    rows = _pg_table_rows(seeded, table, order_by="id")
+    by_f1 = {r[1]: r[2] for r in rows}
+    assert by_f1["unquoted blanks"] is None  # trimmed to NULL
+    assert by_f1["quoted blanks"] == "    "  # quoted blanks survive
+    assert by_f1["trim extra blanks"] == "test string"
+    assert by_f1["quoted empty string"] == ""  # quoted '' is not NULL
+    assert by_f1["no value between separators"] is None
+
+    report, table = _run_ref_scenario(
+        "csv-keep-extra-blanks", seeded, spark, tmp_path
+    )
+    # the last line's field starts with blanks then a quote: in keep
+    # mode that's a stray quote inside unquoted data = rejected row
+    assert report.loaded == 6
+    rows = _pg_table_rows(seeded, table, order_by="id")
+    by_f1 = {r[1]: r[2] for r in rows}
+    assert by_f1["unquoted blanks"] == "    "  # kept verbatim
 
 
 def test_reference_negative_scenario_fails_like_reference(seeded, spark, tmp_path):
