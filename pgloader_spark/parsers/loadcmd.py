@@ -104,7 +104,7 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<comment>--[^\n]*|/\*.*?\*/)
   | (?P<dollar>\$\$.*?\$\$)
-  | (?P<regex>~/(?:[^/\\]|\\.)*/)
+  | (?P<regex>~/(?:[^/\\]|\\.)*/|~<(?:[^>\\]|\\.)*>|~\[(?:[^\]\\]|\\.)*\])
   | (?P<string>'(?:[^'\\]|\\.|'')*')
   | (?P<qident>"(?:[^"]|"")*")
   | (?P<lparen>\()

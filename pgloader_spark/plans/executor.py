@@ -103,6 +103,20 @@ def read_source(spark: SparkSession, cmd: LoadCommand) -> DataFrame:
             if cmd.inline_data is None:
                 raise ValueError("inline source with no inline data")
             return read_inline(spark, cmd.inline_data, opts)
+        if cmd.source == "stdin":
+            # FROM STDIN (csv-districts-stdin.load): drain the pipe to
+            # a temp file, then the normal distributed file read —
+            # stdin is one stream either way, but the parse stays
+            # distributed and option-complete
+            import sys
+            import tempfile
+
+            tmp = tempfile.NamedTemporaryFile(
+                "w", suffix=".csv", delete=False
+            )
+            tmp.write(sys.stdin.read())
+            tmp.close()
+            return read_csv(spark, tmp.name, opts)
         paths = _source_paths(cmd)
         return read_csv(spark, ",".join(paths) if len(paths) == 1 else paths, opts)  # type: ignore[arg-type]
     if kind == "fixed":
@@ -324,6 +338,39 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
         for t, f in _introspect(src_loc).items()
         if _match_filters(t, cmd.including, cmd.excluding)
     }
+
+    # MATERIALIZE VIEWS name AS $$ sql $$ — the reference creates the
+    # views on the SOURCE, migrates them like tables, drops them after
+    # (src/sources/common/matviews.lisp:14-60).  The distributed
+    # reader wants ctid/rowid ranges, so we materialize to a source
+    # table rather than a view; same lifecycle, same result.
+    # Matviews bypass including/excluding (the user named them).
+    mv_list = cmd.options.get("materialize_views")
+    mv_names: list[str] = []
+    if isinstance(mv_list, list) and mv_list:
+        if src.startswith(("postgresql://", "pgsql://", "postgres://")):
+            from pgloader_spark.sources.pgwire import PGConn as _AdminConn
+
+            with _AdminConn(src_loc) as _admin:
+                for vname, vsql in mv_list:
+                    if not vsql:
+                        continue
+                    _admin.query(f'DROP TABLE IF EXISTS "{vname}"')
+                    _admin.query(f'CREATE TABLE "{vname}" AS {vsql}')
+                    mv_names.append(vname)
+        else:  # sqlite
+            import sqlite3 as _sq3
+
+            with _sq3.connect(src_loc) as _db:
+                for vname, vsql in mv_list:
+                    if not vsql:
+                        continue
+                    _db.execute(f'DROP TABLE IF EXISTS "{vname}"')
+                    _db.execute(f'CREATE TABLE "{vname}" AS {vsql}')
+                    mv_names.append(vname)
+        fresh = _introspect(src_loc)
+        for vname in mv_names:
+            catalog_fields[vname] = fresh[vname]
     # ALTER TABLE NAMES MATCHING ... RENAME TO ... — catalog-level
     # renames applied before any DDL or data movement
     # (plans/alter_rules.py; alter-table.lisp:10-158)
@@ -404,6 +451,22 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
         with PGConn(target) as conn:
             for stmt in cmd.after_load:
                 conn.query(stmt)
+
+    # drop the materialized-view staging tables on the source, like
+    # the reference drops its views once migrated
+    if mv_names:
+        if src.startswith(("postgresql://", "pgsql://", "postgres://")):
+            from pgloader_spark.sources.pgwire import PGConn as _AdminConn
+
+            with _AdminConn(src_loc) as _admin:
+                for vname in mv_names:
+                    _admin.query(f'DROP TABLE IF EXISTS "{vname}"')
+        else:
+            import sqlite3 as _sq3
+
+            with _sq3.connect(src_loc) as _db:
+                for vname in mv_names:
+                    _db.execute(f'DROP TABLE IF EXISTS "{vname}"')
     return reports
 
 

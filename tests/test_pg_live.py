@@ -343,6 +343,7 @@ def _run_ref_scenario(name, seeded, spark, tmp_path):
     ):
         text = text.replace(pat, seeded)
     text = text.replace("data/", "/root/reference/test/data/")
+    text = text.replace("in directory 'data'", "in directory '/root/reference/test/data'")
     text = _re.sub(
         r"(FROM\s+)((?!/|inline|INLINE|http|stdin)\S+\.(?:dat|csv|dbf|ixf|fixed))",
         r"\1/root/reference/test/\2",
@@ -422,6 +423,146 @@ def test_reference_scenario_runs_live(name, seeded, spark, tmp_path):
         q = ".".join('"' + p + '"' for p in table.split("."))
         _, rows = c.query(f"SELECT COUNT(*) FROM {q}")
     assert int(rows[0][0]) == report.loaded, f"{name}: PG count mismatch"
+
+
+def test_reference_csv_districts_stdin(seeded, spark, tmp_path, monkeypatch):
+    """csv-districts-stdin.load: FROM STDIN — the reference's
+    Makefile pipes data/2013_Gaz_113CDs_national.txt in; we feed the
+    same file through sys.stdin."""
+    import io
+
+    ref = "/root/reference/test/csv-districts-stdin.load"
+    if not os.path.exists(ref):
+        pytest.skip("reference corpus not available")
+    data = open(
+        "/root/reference/test/data/2013_Gaz_113CDs_national.txt",
+        encoding="latin-1",
+    ).read()
+    monkeypatch.setattr("sys.stdin", io.StringIO(data))
+    report, table = _run_ref_scenario(
+        "csv-districts-stdin", seeded, spark, tmp_path
+    )
+    assert report.loaded == 440  # 441 lines - 1 header
+    rows = _pg_table_rows(seeded, table, order_by="geoid LIMIT 1")
+    assert rows[0][0] == "AL"
+    assert rows[0][6] is not None  # the point built by (format nil ...)
+
+
+def test_reference_csv_districts_env_template(
+    seeded, spark, tmp_path, monkeypatch
+):
+    """csv-districts-env.load: the {{SOURCEFILE}} template variable
+    names the input file via the environment."""
+    ref = "/root/reference/test/csv-districts-env.load"
+    if not os.path.exists(ref):
+        pytest.skip("reference corpus not available")
+    monkeypatch.setenv(
+        "SOURCEFILE",
+        "/root/reference/test/data/2013_Gaz_113CDs_national.txt",
+    )
+    report, table = _run_ref_scenario(
+        "csv-districts-env", seeded, spark, tmp_path
+    )
+    assert report.loaded == 440
+
+
+def test_reference_nofile_fails_cleanly(seeded, spark, tmp_path):
+    """nofile.load: the source file does not exist — the load must
+    fail (the reference reports the missing file), not silently load
+    zero rows."""
+    ref = "/root/reference/test/nofile.load"
+    if not os.path.exists(ref):
+        pytest.skip("reference corpus not available")
+    with pytest.raises(Exception, match="(?i)not exist|no such file|path"):
+        _run_ref_scenario("nofile", seeded, spark, tmp_path)
+
+
+def test_reference_csv_filename_pattern(seeded, spark, tmp_path):
+    """csv-filename-pattern.load: ALL FILENAMES MATCHING
+    ~<matching.*csv$> IN DIRECTORY 'data' + TARGET TABLE.  Expected
+    rows from test/regress/expected/csv-filename-pattern.out."""
+    ref = "/root/reference/test/csv-filename-pattern.load"
+    if not os.path.exists(ref):
+        pytest.skip("reference corpus not available")
+    report, table = _run_ref_scenario(
+        "csv-filename-pattern", seeded, spark, tmp_path
+    )
+    assert report.loaded == 3
+    rows = _pg_table_rows(seeded, table, order_by="id")
+    assert [(int(a), b) for a, b in rows] == [
+        (1, "foo"),
+        (2, "bar"),
+        (3, "baz"),
+    ]
+
+
+def test_reference_pgsql_source_live_pg_to_pg(seeded, spark, tmp_path):
+    """pgsql-source.load verbatim: LOAD DATABASE from a live PG into
+    a second live PG with `including only table names matching
+    ~/geolocations/` and `MATERIALIZE VIEWS some_usps AS $$..$$`.
+    The matview SQL runs against the SOURCE, migrates like a table,
+    and its staging relation is dropped afterwards
+    (src/sources/common/matviews.lisp:14-60)."""
+    ref = "/root/reference/test/pgsql-source.load"
+    if not os.path.exists(ref):
+        pytest.skip("reference corpus not available")
+    from pgloader_spark.parsers.loadcmd import parse_load
+    from pgloader_spark.plans.executor import (
+        ExecutionContext,
+        execute_database,
+    )
+
+    base = seeded.rsplit("/", 1)[0]
+    with PGConn(seeded) as c:
+        for db in ("src_pgloader", "tgt_copy"):
+            c.query(f"DROP DATABASE IF EXISTS {db}")
+            c.query(f"CREATE DATABASE {db}")
+    src = f"{base}/src_pgloader"
+    tgt = f"{base}/tgt_copy"
+    with PGConn(src) as c:
+        c.query(
+            "CREATE TABLE districts (usps text, geoid text, aland bigint,"
+            " awater bigint, aland_sqmi double precision,"
+            " awater_sqmi double precision, location text)"
+        )
+        c.copy_in(
+            "COPY districts FROM STDIN",
+            [
+                b"MT\t3001\t1000\t10\t1.5\t0.1\t(1,2)\n"
+                b"DE\t1001\t2000\t20\t2.5\t0.2\t(3,4)\n"
+                b"CA\t0601\t3000\t30\t3.5\t0.3\t(5,6)\n"
+                b"TX\t4801\t4000\t40\t4.5\t0.4\t(7,8)\n"
+            ],
+        )
+        c.query("CREATE TABLE geolocations (id integer, name text)")
+        c.copy_in(
+            "COPY geolocations FROM STDIN",
+            [b"1\tparis\n2\ttokyo\n3\tlima\n4\toslo\n5\tcairo\n"],
+        )
+        c.query("CREATE TABLE unrelated (id integer)")
+        c.copy_in("COPY unrelated FROM STDIN", [b"1\n2\n"])
+
+    text = open(ref, encoding="utf-8").read()
+    text = text.replace("pgsql://localhost/pgloader", src)
+    text = text.replace("pgsql://localhost/copy", tgt)
+    cmd = parse_load(text)
+    ctx = ExecutionContext(spark=spark, root_dir=str(tmp_path))
+    reports = execute_database(ctx, cmd)
+    got = {r.table: r.loaded for r in reports}
+    # the include filter keeps geolocations only; the matview adds
+    # some_usps; districts/unrelated stay behind
+    assert got == {"geolocations": 5, "some_usps": 2}
+    with PGConn(tgt) as c:
+        _, rows = c.query("SELECT COUNT(*) FROM geolocations")
+        assert rows == [("5",)]
+        _, rows = c.query("SELECT usps FROM some_usps ORDER BY usps")
+        assert [r[0] for r in rows] == ["DE", "MT"]
+        _, rows = c.query("SELECT to_regclass('districts')")
+        assert rows[0][0] is None
+    with PGConn(src) as c:
+        # the staging table was dropped from the source
+        _, rows = c.query("SELECT to_regclass('some_usps')")
+        assert rows[0][0] is None
 
 
 def test_reference_fk_reject_isolates_bad_rows(seeded, spark, tmp_path):

@@ -71,6 +71,7 @@ def run_scenario(name, dsn, spark, tmp_path):
     ):
         text = text.replace(pat, dsn)
     text = text.replace("data/", "/root/reference/test/data/")
+    text = text.replace("in directory 'data'", "in directory '/root/reference/test/data'")
     # relative paths resolve against the .load file's directory, like
     # the reference's Makefile-driven runs
     import re as _re
