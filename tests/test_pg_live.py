@@ -748,6 +748,38 @@ def test_reference_sqlite_chinook_migration(seeded, spark, tmp_path):
         assert rows == [("Rock",)]
 
 
+def test_reference_sqlite_chinook_noseq_migration(seeded, spark, tmp_path):
+    """sqlite-chinook-noseq.load verbatim: the plain-PK Chinook
+    database (no AUTOINCREMENT sequences), no WITH clause — defaults
+    drive the whole migration."""
+    reports = _run_ref_db_scenario(
+        "sqlite-chinook-noseq", seeded, spark, tmp_path
+    )
+    got = {r.table: r.loaded for r in reports}
+    assert got["album"] == 347
+    assert got["track"] == 3503
+    assert got["invoiceline"] == 2240
+    # no rename rule in this variant: employee keeps its name
+    assert "employee" in got and "staff" not in got
+
+
+def test_reference_sqlite_on_error_stop_type_mismatch(
+    seeded, spark, tmp_path
+):
+    """sqlite-on-error-stop.load (issue #1622): TEXT in an INTEGER
+    column under `on error stop` — must fail cleanly (raise), not
+    hang and not silently load."""
+    with pytest.raises(Exception) as exc:
+        _run_ref_db_scenario(
+            "sqlite-on-error-stop", seeded, spark, tmp_path
+        )
+    # the failing column must be the mismatched one: either the raw
+    # text rejected by int input (22P02) or the recovered NULL hitting
+    # NOT NULL (23502) — both are the server refusing qty's bad value
+    msg = str(exc.value)
+    assert '"qty"' in msg or "lots-of-it" in msg or "22P02" in msg
+
+
 def test_reference_sqlite_bad_utf8_recovery(seeded, spark, tmp_path):
     """GitHub issue #1250 regress: an invalid-UTF-8 text cell loads as
     NULL while the rest of the row and table survive."""
