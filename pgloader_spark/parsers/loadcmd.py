@@ -105,7 +105,7 @@ _TOKEN_RE = re.compile(
     (?P<comment>--[^\n]*|/\*.*?\*/)
   | (?P<dollar>\$\$.*?\$\$)
   | (?P<regex>~/(?:[^/\\]|\\.)*/|~<(?:[^>\\]|\\.)*>|~\[(?:[^\]\\]|\\.)*\])
-  | (?P<string>'(?:[^'\\]|\\.|'')*')
+  | (?P<string>'(?:[^']|'')*')
   | (?P<qident>"(?:[^"]|"")*")
   | (?P<lparen>\()
   | (?P<rparen>\))
@@ -132,7 +132,9 @@ def tokenize(text: str) -> list[Tok]:
             continue
         v = m.group()
         if kind == "string":
-            v = v[1:-1].replace("''", "'").replace("\\'", "'")
+            # backslash is LITERAL in DSL strings ('\' is an escape
+            # char spec, '\N' a null marker); only '' doubles a quote
+            v = v[1:-1].replace("''", "'")
         elif kind == "qident":
             v = v[1:-1].replace('""', '"')
         elif kind == "regex":

@@ -82,6 +82,9 @@ def _csv_options(cmd: LoadCommand) -> CsvOptions:
         fields=fields,
         line_sep=o.get("line_sep"),
         keep_unquoted_blanks=bool(o.get("keep_unquoted_blanks", False)),
+        escape_mode=(
+            "following" if o.get("csv_escape_mode_following") else "quote"
+        ),
     )
 
 
@@ -223,7 +226,11 @@ def project(df: DataFrame, cmd: LoadCommand) -> DataFrame:
         if col.transform:
             e = compile_using(col.transform, field_cols)
         elif col.constant is not None:
-            e = F.lit(col.constant)
+            # `USING "Some-Field"`: a double-quoted USING value that
+            # names a declared FIELD is a field reference
+            # (csv-non-printable.load); anything else is the constant
+            # (udc.load's `using "constant value"`)
+            e = field_cols.get(col.constant, F.lit(col.constant))
         else:
             name = col.source or col.name
             from pgloader_spark.operators.projection import col_ref
@@ -234,6 +241,36 @@ def project(df: DataFrame, cmd: LoadCommand) -> DataFrame:
             e = e.try_cast(cast)
         exprs.append(e.alias(col.name))
     return df.select(*exprs)
+
+
+def apply_column_casts(df: DataFrame, cmd: LoadCommand) -> DataFrame:
+    """``CAST column t.c to <type> [using fn]`` on FILE loads —
+    dbf-memo.load casts dnordoc.doctype through
+    db3-numeric-to-pgsql-integer and normdocid through a lambda
+    (command-cast-rules.lisp column rules).  Database sources apply
+    these through the cast engine instead."""
+    from pgloader_spark.parsers.sexp import compile_using
+
+    lower = {c.lower(): c for c in df.columns}
+    out = df
+    for rule in cmd.cast_rules:
+        if not rule.column or not rule.using:
+            continue
+        col = lower.get(rule.column[1].lower())
+        if col is None:
+            continue
+        fields = {c: out[c] for c in out.columns}
+        # lambda params and bare symbols resolve case-insensitively
+        # (DBF headers are uppercase, the DSL writes lowercase)
+        for c in out.columns:
+            fields.setdefault(c.lower(), out[c])
+        using = rule.using.strip()
+        if not using.startswith("("):
+            # bare transform name: apply to the column being cast
+            fields["__cast_col__"] = out[col]
+            using = f"({using} __cast_col__)"
+        out = out.withColumn(col, compile_using(using, fields))
+    return out
 
 
 def validation_rules(cmd: LoadCommand) -> list[ColumnRule]:
@@ -506,6 +543,8 @@ def execute(ctx: ExecutionContext, cmd: LoadCommand) -> LoadReport:
 
     df = read_source(spark, cmd)
     projected = project(df, cmd)
+    if cmd.cast_rules:
+        projected = apply_column_casts(projected, cmd)
 
     rules = validation_rules(cmd)
     if rules:

@@ -41,6 +41,10 @@ class CsvOptions:
     # `trim unquoted blanks` is the reference default; `keep unquoted
     # blanks` preserves them (docs/ref/csv.rst:204-214)
     keep_unquoted_blanks: bool = False
+    # `csv escape mode quote` (default: the escape char only escapes
+    # quote/escape) vs `following` (it escapes whatever follows) —
+    # command-csv.lisp escape-mode, csv-escape-mode.load
+    escape_mode: str = "quote"
 
 
 def read_csv(spark: SparkSession, path: str, opts: CsvOptions) -> DataFrame:
@@ -200,7 +204,11 @@ def _parse_csv_records(data: str, opts: CsvOptions) -> list[list[tuple[str, bool
         elif state == "quoted":
             if esc and esc != quote and c == esc and i + 1 < n:
                 nxt = data[i + 1]
-                if nxt == quote or nxt == esc:
+                if (
+                    nxt == quote
+                    or nxt == esc
+                    or opts.escape_mode == "following"
+                ):
                     buf.append(nxt)
                     i += 2
                     continue

@@ -65,24 +65,100 @@ def parse_header(data: bytes) -> DbfHeader:
     return DbfHeader(record_count, header_size, record_size, fields)
 
 
-def _read_memo(dbt: bytes | None, block_text: str) -> str | None:
-    """Resolve a 10-char memo block number against .dbt contents
-    (dBase III memo: 512-byte blocks, text ends at 0x1A)."""
+def _read_memo(
+    dbt: bytes | None, block_text: str, encoding: str = "latin-1"
+) -> str | None:
+    """Resolve a 10-char memo block number against .dbt contents.
+
+    dBase III memo: 512-byte blocks, text ends at 0x1A.  dBase IV
+    blocks open with FF FF 08 00 + a 4-byte LE total length (header
+    included) — dbase_8b.dbt carries that layout."""
     s = block_text.strip()
+    # an absent memo comes out as the literal string NIL in the
+    # reference (its Lisp nil prints through to the COPY stream —
+    # pinned by test/regress/expected/dbf-8b.out and dbf-memo.out)
     if not s or dbt is None:
-        return None
+        return "NIL"
     try:
         block = int(s)
     except ValueError:
-        return None
+        return "NIL"
     start = block * DBT_BLOCK_SIZE
-    if start >= len(dbt):
-        return None
+    if block <= 0 or start >= len(dbt):
+        return "NIL"
     chunk = dbt[start:]
-    end = chunk.find(b"\x1a")
-    if end != -1:
-        chunk = chunk[:end]
-    return chunk.decode("latin-1", errors="replace")
+    if chunk[:4] == b"\xff\xff\x08\x00":
+        # dBase IV block: 8-byte header, text runs to the 0x1F/0x1A
+        # soft terminator (the header length over-counts in the
+        # reference's own dbase_8b.dbt fixture; the terminator is
+        # what its loaded output follows)
+        chunk = chunk[8:]
+        for term in (b"\x1f", b"\x1a"):
+            end = chunk.find(term)
+            if end != -1:
+                chunk = chunk[:end]
+    else:  # dBase III: 512-byte blocks, text ends at 0x1A
+        end = chunk.find(b"\x1a")
+        if end != -1:
+            chunk = chunk[:end]
+    return chunk.decode(encoding, errors="replace")
+
+
+def _decode_cell(
+    f: DbfField, raw: bytes, encoding: str, dbt: bytes | None
+) -> str | None:
+    """One cell -> the COPY-ready string the reference's db3 cast
+    rules produce (db3-cast-rules.lisp:10-49 + transforms.lisp:
+    588-619): C right-trimmed (empty stays ''), N/F trimmed text
+    ('' -> NULL), I/Y binary little-endian integers as decimal text,
+    L 't'/'f' (? and blank -> NULL), D YYYYMMDD -> ISO, M memo-block
+    lookup, 0 (_NullFlags) -> bit-string."""
+    t = f.type_code
+    if t == "I":  # FoxPro 4-byte LE integer (dbase_31.dbf)
+        if len(raw) < 4:
+            return None
+        return str(struct.unpack("<i", raw[:4])[0])
+    if t == "Y":  # FoxPro currency: 8-byte LE int, loaded as bigint
+        if len(raw) < 8:
+            return None
+        return str(struct.unpack("<q", raw[:8])[0])
+    if t == "0":  # _NullFlags byte(s) -> PostgreSQL bit(8*n) string
+        return "".join(f"{b:08b}" for b in raw)
+    cell = raw.decode(encoding, errors="replace")
+    if t == "M":
+        memo = _read_memo(dbt, cell, encoding)
+        return memo.replace("\x00", "") if memo else memo
+    if t == "L":
+        v = cell.replace("\x00", " ").strip()
+        if v in ("", "?"):
+            return None
+        return "t" if v in ("T", "t", "Y", "y") else "f"
+    if t == "D":
+        v = cell.replace("\x00", " ").strip()
+        if len(v) == 8 and v.isdigit():
+            return f"{v[0:4]}-{v[4:6]}-{v[6:8]}"
+        return v or None
+    if t == "C":
+        # right-trim only; an all-blank C cell is '' not NULL
+        # (db3-trim-string; DNORDOC's empty DOCIMGID regress)
+        return cell.replace("\x00", "").rstrip(" ")
+    if t == "F":
+        # the reference lands F in a double precision column; match
+        # PostgreSQL's float8 output (shortest round-trip, no
+        # trailing .0) so text-level parity holds (dbase_8b regress)
+        v = cell.replace("\x00", " ").strip()
+        if not v:
+            return None
+        try:
+            fval = float(v)
+        except ValueError:
+            return v
+        if fval == int(fval) and abs(fval) < 1e16:
+            return str(int(fval))
+        return repr(fval)
+    # N and anything else: trimmed text, blank -> NULL
+    v = cell.replace("\x00", " ").strip()
+    return v if v else None
 
 
 def decode_records(
@@ -94,8 +170,7 @@ def decode_records(
     dbt: bytes | None = None,
 ) -> list[tuple]:
     """Decode records [start_rec, end_rec); skip deleted rows
-    (db3.lisp:13-18). Values come out as raw strings (or None);
-    the cast engine's db3 transforms do the typing."""
+    (db3.lisp:13-18)."""
     out: list[tuple] = []
     for i in range(start_rec, end_rec):
         off = header.header_size + i * header.record_size
@@ -105,17 +180,8 @@ def decode_records(
         pos = 1  # first byte is the deletion flag
         row = []
         for f in header.fields:
-            cell = rec[pos : pos + f.length].decode(encoding, errors="replace")
+            row.append(_decode_cell(f, rec[pos : pos + f.length], encoding, dbt))
             pos += f.length
-            if f.type_code == "M":
-                memo = _read_memo(dbt, cell)
-                row.append(memo.replace("\x00", "") if memo else memo)
-            else:
-                # dBase pads char cells with NULs as well as spaces;
-                # PostgreSQL text can never hold 0x00, and the
-                # reference strips them on read
-                v = cell.replace("\x00", " ").strip()
-                row.append(v if v else None)
         out.append(tuple(row))
     return out
 
@@ -141,7 +207,15 @@ def read_dbf(
     names = [f.name for f in header.fields]
     schema = ", ".join(f"`{n}` string" for n in names)
 
-    dbt_path = os.path.splitext(path)[0] + ".dbt"
+    base = os.path.splitext(path)[0]
+    dbt_path = next(
+        (
+            base + ext
+            for ext in (".dbt", ".DBT", ".fpt", ".FPT")
+            if os.path.exists(base + ext)
+        ),
+        base + ".dbt",
+    )
     has_dbt = os.path.exists(dbt_path)
 
     n = header.record_count

@@ -138,9 +138,12 @@ def _decode_value(col: IxfColumn, data: bytes, pos: int) -> object:
     """Decode one value at 0-based offset ``pos`` inside a D record."""
     t = col.type_code
     if t in (IXF_CHAR, IXF_DATE, IXF_TIME, IXF_TIMESTAMP):
+        # CHAR keeps its blank padding (the reference loads the fixed
+        # 15-char value; a char(n) target re-pads anyway and the
+        # regress expected output carries the blanks — ixf.out)
         raw = data[pos : pos + col.length]
-        s = raw.decode("latin-1").rstrip()
-        return s or None
+        s = raw.decode("latin-1").rstrip("\x00")
+        return s if s.strip() else None
     if t == IXF_VARCHAR:
         (ln,) = struct.unpack_from("<H", data, pos)
         return data[pos + 2 : pos + 2 + ln].decode("latin-1")

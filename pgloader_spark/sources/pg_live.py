@@ -257,13 +257,26 @@ def align_to_target(
     tbl = table.split(".")[-1]
     with PGConn(dsn) as conn:
         _, rows = conn.query(
-            "SELECT column_name, data_type FROM information_schema.columns "
+            "SELECT column_name, data_type, column_default"
+            " FROM information_schema.columns "
             f"WHERE table_name = '{tbl}' ORDER BY ordinal_position"
         )
     if not rows:
         return df
     names = [r[0] for r in rows]
     types = {r[0]: r[1] for r in rows}
+    # a serial/identity column the load does NOT provide gets its
+    # values from the sequence in COPY arrival order — the reference
+    # streams one ordered COPY, so ids follow input order
+    # (serial.load's regress expected output pins this); collapse to
+    # one ordered stream only in that case
+    lower_df = {c.lower() for c in df.columns}
+    implicit_serial = any(
+        (r[2] or "").startswith("nextval(") and r[0].lower() not in lower_df
+        for r in rows
+    )
+    if implicit_serial and df.rdd.getNumPartitions() > 1:
+        df = df.coalesce(1)
     if all(c.startswith("_c") for c in df.columns) and len(names) == len(
         df.columns
     ):
@@ -398,6 +411,18 @@ def write_pg_copy(
             return
         total = 0
 
+        # the command's SET clause applies per COPY session like the
+        # reference's per-connection GUCs — EXCEPT client_encoding:
+        # that GUC describes the bytes on the wire, and ours are
+        # always UTF-8 (the reference re-encodes its stream to the
+        # declared encoding; we normalize to UTF-8 at read time)
+        gucs = {
+            k: v
+            for k, v in (settings or {}).items()
+            if k.lower() != "client_encoding"
+        }
+        gucs["client_encoding"] = "UTF8"
+
         if isolate:
             # per-batch COPY (the reference's own batching: one COPY
             # per ~25k-row batch, src/pg-copy/copy-rows-in-batch.lisp)
@@ -405,7 +430,7 @@ def write_pg_copy(
             rej: list[str] = []
             errs: list[str] = []
             with PGConn(dsn) as conn:
-                for k, v in (settings or {}).items():
+                for k, v in gucs.items():
                     conn.query(f"SET {k} TO '{v}'")
                 b = first
                 while b is not None:
@@ -435,10 +460,7 @@ def write_pg_copy(
                 b = next(it, None)
 
         with PGConn(dsn) as conn:
-            # the command's SET clause applies per session — pgloader
-            # runs the GUCs on every connection it opens (datestyle
-            # changes how the server parses COPY date text)
-            for k, v in (settings or {}).items():
+            for k, v in gucs.items():
                 conn.query(f"SET {k} TO '{v}'")
             conn.copy_in(stmt, chunks())
         yield pd.DataFrame({"n": [total], "rejects": [[]], "errs": [[]]})

@@ -174,7 +174,9 @@ def test_dbf_read_skips_deleted(spark, dbf_file):
     rows = {r["ID"]: r for r in df.collect()}
     assert set(rows) == {"1", "2", "4"}  # record 3 deleted
     assert rows["1"]["NAME"] == "alice"
-    assert rows["4"]["NAME"] is None  # blank -> NULL
+    # an all-blank C cell right-trims to '' — NOT NULL
+    # (db3-trim-string; pinned by the DNORDOC regress expected file)
+    assert rows["4"]["NAME"] == ""
 
 
 # --------------------------------------------------------------------------

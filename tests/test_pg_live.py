@@ -412,6 +412,47 @@ REF_RUNNABLE = [
 ]
 
 
+def _regress_compare(seeded, table, name):
+    """The reference's own regress check (src/regress/regress.lisp:
+    80-112): COPY the expected .out into ``expected.<table> (LIKE
+    <table>)`` and demand ``expected EXCEPT actual`` be empty (point
+    columns compare as text).  Returns None when the scenario ships no
+    expected file, else the diff count."""
+    out = f"/root/reference/test/regress/expected/{name}.out"
+    if not os.path.exists(out):
+        return None
+    data = open(out, "rb").read()
+    sch, _, bare = table.rpartition(".")
+    sch = sch or "public"
+    q = ".".join('"' + p + '"' for p in table.split("."))
+    with PGConn(seeded) as c:
+        c.query("CREATE SCHEMA IF NOT EXISTS expected")
+        c.query(f'DROP TABLE IF EXISTS expected."{bare}"')
+        c.query(f'CREATE TABLE expected."{bare}" (LIKE {q})')
+        if data.strip():
+            c.copy_in(f'COPY expected."{bare}" FROM STDIN', [data])
+        _, cols = c.query(
+            "SELECT column_name, data_type FROM information_schema.columns"
+            f" WHERE table_schema = '{sch}' AND table_name = '{bare}'"
+            " ORDER BY ordinal_position"
+        )
+        exprs = ", ".join(
+            f'"{n}"::text' if t in ("point", "json", "xml") else f'"{n}"'
+            for n, t in cols
+        )
+        _, diff = c.query(
+            f"SELECT COUNT(*) FROM (SELECT {exprs} FROM expected.\"{bare}\""
+            f" EXCEPT SELECT {exprs} FROM {q}) ss"
+        )
+        _, counts = c.query(
+            f'SELECT (SELECT COUNT(*) FROM expected."{bare}"),'
+            f" (SELECT COUNT(*) FROM {q})"
+        )
+    n_exp, n_act = int(counts[0][0]), int(counts[0][1])
+    assert n_exp == n_act, f"{name}: {n_act} rows loaded, expected {n_exp}"
+    return int(diff[0][0])
+
+
 @pytest.mark.parametrize("name", REF_RUNNABLE)
 def test_reference_scenario_runs_live(name, seeded, spark, tmp_path):
     ref = f"/root/reference/test/{name}.load"
@@ -423,6 +464,8 @@ def test_reference_scenario_runs_live(name, seeded, spark, tmp_path):
         q = ".".join('"' + p + '"' for p in table.split("."))
         _, rows = c.query(f"SELECT COUNT(*) FROM {q}")
     assert int(rows[0][0]) == report.loaded, f"{name}: PG count mismatch"
+    diff = _regress_compare(seeded, table, name)
+    assert diff in (None, 0), f"{name}: {diff} rows differ from expected"
 
 
 def test_reference_csv_districts_stdin(seeded, spark, tmp_path, monkeypatch):

@@ -119,7 +119,46 @@ def run_scenario(name, dsn, spark, tmp_path):
     assert int(rows[0][0]) == report.loaded, (
         f"{name}: PG count {rows[0][0]} != report {report.loaded}"
     )
+    _dump_regress_diff(dsn, loaded_tables[0], name)
     return f"{report.loaded} (rejected {report.errors})"
+
+
+def _dump_regress_diff(dsn, table, name):
+    out = f"/root/reference/test/regress/expected/{name}.out"
+    if not os.path.exists(out):
+        return
+    data = open(out, "rb").read()
+    sch, _, bare = table.rpartition(".")
+    sch = sch or "public"
+    q = ".".join('"' + p + '"' for p in table.split("."))
+    with PGConn(dsn) as c:
+        c.query("CREATE SCHEMA IF NOT EXISTS expected")
+        c.query(f'DROP TABLE IF EXISTS expected."{bare}"')
+        c.query(f'CREATE TABLE expected."{bare}" (LIKE {q})')
+        if data.strip():
+            c.copy_in(f'COPY expected."{bare}" FROM STDIN', [data])
+        _, cols = c.query(
+            "SELECT column_name, data_type FROM information_schema.columns"
+            f" WHERE table_schema = '{sch}' AND table_name = '{bare}'"
+            " ORDER BY ordinal_position"
+        )
+        exprs = ", ".join(
+            f'"{n}"::text' if t in ("point", "json", "xml") else f'"{n}"'
+            for n, t in cols
+        )
+        _, miss = c.query(
+            f"SELECT {exprs} FROM expected.\"{bare}\" EXCEPT SELECT {exprs} FROM {q} LIMIT 5"
+        )
+        _, extra = c.query(
+            f"SELECT {exprs} FROM {q} EXCEPT SELECT {exprs} FROM expected.\"{bare}\" LIMIT 5"
+        )
+    if miss or extra:
+        print(f"--- {name}: expected-but-missing:")
+        for r in miss:
+            print("   ", r)
+        print(f"--- {name}: loaded-but-unexpected:")
+        for r in extra:
+            print("   ", r)
 
 
 def main():
