@@ -63,15 +63,26 @@ def md5_hash64(col: Column, seed: int = 0) -> Column:
 
 
 def shingles(text_col: Column | str, k: int = SHINGLE_K) -> Column:
-    """k-word shingles of the token stream (order-preserving)."""
-    toks = tokens(text_col)
-    n = F.size(toks)
-    return F.when(n < k, F.array(F.array_join(toks, " "))).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.array_join(F.slice(toks, i, k), " "),
+    """k-word shingles of the token stream (order-preserving).
+
+    The token array is LET-BOUND via a single-element outer
+    ``transform`` so the inner per-shingle lambda sees a lambda
+    VARIABLE, not the tokenization expression: higher-order functions
+    are interpreted without common-subexpression elimination, so a
+    naive ``slice(tokens(text), i, k)`` re-tokenizes the whole
+    document once per shingle — O(t^2) per doc, measured 7x slower
+    at sf0.1."""
+
+    def body(tk: Column) -> Column:
+        n = F.size(tk)
+        return F.when(n < k, F.array(F.array_join(tk, " "))).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.array_join(F.slice(tk, i, k), " "),
+            )
         )
-    )
+
+    return F.flatten(F.transform(F.array(tokens(text_col)), body))
 
 
 def _seeded_hash(seed: int):

@@ -181,13 +181,21 @@ def ngrams_of(toks: Column, n: int) -> Column:
     dedup.shingles, which falls back to the whole stream — repetition
     metrics must not fabricate a pseudo-n-gram).
     """
-    cnt = F.size(toks)
-    return F.when(cnt < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), cnt - (n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+    # let-bind the (possibly expensive) token expression through a
+    # single-element transform: HOF lambdas are interpreted with no
+    # common-subexpression elimination, so slicing the raw expression
+    # re-evaluates it once PER n-gram — O(t^2) per doc when the
+    # caller passes tokens(text) directly (decontam, word_ngrams)
+    def body(tk: Column) -> Column:
+        cnt = F.size(tk)
+        return F.when(cnt < n, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), cnt - (n - 1)),
+                lambda i: F.array_join(F.slice(tk, i, n), " "),
+            )
         )
-    )
+
+    return F.flatten(F.transform(F.array(toks), body))
 
 
 def word_ngrams(col: Column | str, n: int) -> Column:
