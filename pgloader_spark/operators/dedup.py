@@ -243,6 +243,13 @@ def simhash60(text_col: Column | str, bits: int = SIMHASH_BITS) -> Column:
     DuckDB-reproducible md5-prefix hash (15 hex digits; bit 63
     would overflow a signed int64 on both engines).
     """
+    # NB: no let-binding here, deliberately — the 60 sibling
+    # aggregates share the `hashes` subtree through whole-stage
+    # codegen subexpression elimination already (measured 0.6s warm
+    # at sf0.1; a let-bound variant was 2x SLOWER because the whole
+    # signature then runs interpreted).  Contrast shingles()/lang_id()
+    # where the re-evaluation happens INSIDE a lambda and codegen
+    # cannot reach it.
     toks = F.array_distinct(tokens(text_col))
     hashes = F.transform(toks, lambda t: md5_hash64(t, seed=99))
 

@@ -111,14 +111,31 @@ def lang_scores(
 
 def lang_id(text_col: Column | str, dtk: Column | None = None) -> Column:
     """argmax over lang_scores; ties broken by language-code order."""
-    scores = lang_scores(text_col, dtk=dtk)
-    pairs = F.array(
-        *[F.struct(scores[lang].alias("s"), F.lit(lang).alias("l")) for lang in sorted(STOPWORDS)]
-    )
-    # max score; tie -> lexicographically-smallest code wins because we
-    # pick the first element reaching the max in sorted order.
-    best = F.array_max(F.transform(pairs, lambda p: p["s"]))
-    return F.filter(pairs, lambda p: p["s"] == best)[0]["l"]
+    from pgloader_spark.operators.hof import let
+
+    toks = F.array_distinct(tokens(text_col)) if dtk is None else dtk
+
+    def score_pairs(tk: Column) -> Column:
+        # tk is let-bound: the per-language intersects share one
+        # tokenize+distinct pass (17 re-evaluations otherwise)
+        scores = lang_scores(text_col, dtk=tk)
+        return F.array(
+            *[
+                F.struct(scores[lang].alias("s"), F.lit(lang).alias("l"))
+                for lang in sorted(STOPWORDS)
+            ]
+        )
+
+    def pick(pairs: Column) -> Column:
+        # max score; tie -> lexicographically-smallest code wins
+        # because we pick the first element reaching the max in
+        # sorted order.  pairs is let-bound too: `best` inside the
+        # filter lambda re-evaluates per element, so it must reduce
+        # over an attribute, not the score expressions.
+        best = F.array_max(F.transform(pairs, lambda p: p["s"]))
+        return F.filter(pairs, lambda p: p["s"] == best)[0]["l"]
+
+    return let(toks, lambda tk: let(score_pairs(tk), pick))
 
 
 def fingerprint(text_col: Column | str) -> Column:
