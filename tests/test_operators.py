@@ -209,3 +209,19 @@ def test_fingerprint_order_invariant(spark):
     )
     fps = [r["fp"] for r in df.select(txt.fingerprint("text").alias("fp")).collect()]
     assert fps[0] == fps[1]
+
+
+def test_hof_let_binds_once(spark):
+    """hof.let: body sees the bound value; scalar and array results."""
+    from pyspark.sql import functions as F
+
+    from pgloader_spark.operators.hof import let
+
+    df = spark.createDataFrame([(1, "a b c")], "id long, s string")
+    toks = F.split("s", " ")
+    scalar = df.select(let(toks, lambda t: F.size(t)).alias("n")).collect()
+    assert scalar[0]["n"] == 3
+    arr = df.select(
+        let(toks, lambda t: F.transform(t, F.upper)).alias("u")
+    ).collect()
+    assert arr[0]["u"] == ["A", "B", "C"]
