@@ -407,9 +407,26 @@ class CastEngine:
                 res = rule.target(f)
                 if res.default is None and not res.drop_default:
                     res.default = _normalize_default(f.default)
-                return res
+                return self._serialize_serial(f, res)
         res = CastResult(pg_type=_FALLBACK.pg_type, spark_type=_FALLBACK.spark_type)
         res.default = _normalize_default(f.default)
+        return self._serialize_serial(f, res)
+
+    @staticmethod
+    def _serialize_serial(f: SourceField, res: CastResult) -> CastResult:
+        """A PG source column defaulting to nextval(...) is a serial:
+        the target must get its OWN sequence via the serial
+        pseudo-types — copying the nextval expression references a
+        sequence that does not exist on the target
+        (citus/company.sql's bigserial PKs)."""
+        if (f.default or "").strip().lower().startswith("nextval("):
+            res.default = None
+            res.pg_type = {
+                "bigint": "bigserial",
+                "integer": "serial",
+                "int": "serial",
+                "smallint": "smallserial",
+            }.get(res.pg_type, res.pg_type)
         return res
 
     def cast_fields(self, fields: list[SourceField]):
@@ -429,6 +446,14 @@ def _normalize_default(default: str | None) -> str | None:
         return "CURRENT_TIMESTAMP"
     if d in _ZERO_DATE_DEFAULTS:
         return None
+    if re.match(r"(?i)^\(?\s*(datetime|strftime)\s*\(.*'now'", d):
+        return "CURRENT_TIMESTAMP"
+    # an unquoted function-call default is a SQL expression — PG
+    # catalogs hand back nextval('seq'::regclass) for serials
+    # (citus/company.sql bigserial PKs); quoting it would make the
+    # CREATE TABLE cast a string literal to bigint and fail
+    if re.match(r"(?i)^[a-z_][\w$.]*\s*\(", d) and d.rstrip().endswith(")"):
+        return d
     # sqlite PRAGMA hands back defaults with their source quoting
     # intact — sometimes layered ('0', "0", '"0"').  Peel every
     # matched quote pair, then re-render once: numerics bare,

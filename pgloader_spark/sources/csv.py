@@ -47,8 +47,48 @@ class CsvOptions:
     escape_mode: str = "quote"
 
 
+# the charsets Spark's CSV reader accepts (CSVOptions); anything else
+# (iso-8859-2 for bossa.load's stooq files, cp866, ...) transcodes to
+# UTF-8 first
+_SPARK_CSV_CHARSETS = {
+    "iso-8859-1", "us-ascii", "utf-16", "utf-16be", "utf-16le",
+    "utf-32", "utf-8",
+}
+
+
+def _normalize_encoding(enc: str) -> str:
+    e = enc.strip().lower().replace("_", "-")
+    return {"latin1": "iso-8859-1", "latin-1": "iso-8859-1",
+            "ascii": "us-ascii", "utf8": "utf-8"}.get(e, e)
+
+
+def _transcode_to_utf8(path: str, encoding: str) -> str:
+    """Driver-side streaming transcode to a UTF-8 temp file — the
+    fallback for charsets Spark's reader rejects.  Unsupported-charset
+    CSVs are legacy one-host files; the distributed parse still runs
+    on the transcoded copy."""
+    import tempfile
+
+    out = tempfile.NamedTemporaryFile(
+        "w", encoding="utf-8", suffix=".csv", delete=False
+    )
+    with open(path, encoding=encoding, errors="replace") as fh:
+        for chunk in iter(lambda: fh.read(1 << 20), ""):
+            out.write(chunk)
+    out.close()
+    return out.name
+
+
 def read_csv(spark: SparkSession, path: str, opts: CsvOptions) -> DataFrame:
     """One declarative read; Catalyst prunes/pushes into the scan."""
+    enc = _normalize_encoding(opts.encoding or "utf-8")
+    if enc not in _SPARK_CSV_CHARSETS:
+        if isinstance(path, list):
+            path = [_transcode_to_utf8(p, enc) for p in path]
+        else:
+            path = _transcode_to_utf8(path, enc)
+        enc = "utf-8"
+    opts = CsvOptions(**{**opts.__dict__, "encoding": enc})
     reader = (
         spark.read.option("sep", opts.separator)
         .option("quote", opts.quote or "\u0000")

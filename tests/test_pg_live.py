@@ -608,6 +608,183 @@ def test_reference_pgsql_source_live_pg_to_pg(seeded, spark, tmp_path):
         assert rows[0][0] is None
 
 
+def test_reference_bossa_archive_live_http(seeded, spark, tmp_path):
+    """bossa.load verbatim: LOAD ARCHIVE from an http zip with TWO
+    nested CSV loads selected by filename regex (~/ALIOR/ and the
+    derivatives pattern).  The reference fetches bossa.pl; the
+    sandbox has no network, so a local HTTP server serves a zip with
+    the same member names — the command text only swaps host."""
+    import http.server
+    import socketserver
+    import threading
+    import zipfile
+
+    ref = "/root/reference/test/bossa.load"
+    if not os.path.exists(ref):
+        pytest.skip("reference corpus not available")
+    from pgloader_spark.parsers.loadcmd import parse_load
+    from pgloader_spark.plans.executor import ExecutionContext, execute_archive
+    from pgloader_spark.sources.pg_live import align_to_target, ensure_pg_table
+    from pgloader_spark.sources.pg_live import write_pg_copy
+
+    # the reference's Makefile preloads bossa.sql into the target
+    with PGConn(seeded) as c:
+        for stmt in [
+            "DROP TABLE IF EXISTS intf_derivatives, intf_stocks",
+            "CREATE TABLE intf_stocks (ticker text, quote_date date,"
+            " open numeric, high numeric, low numeric, close numeric,"
+            " volume bigint)",
+            "CREATE TABLE intf_derivatives (ticker text, quote_date date,"
+            " open numeric, high numeric, low numeric, close numeric,"
+            " volume bigint, openint bigint)",
+        ]:
+            c.query(stmt)
+
+    hdr = "ticker,date,open,high,low,close,vol"
+    zpath = tmp_path / "mstall.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        z.writestr(
+            "ALIOR.mst",
+            f"{hdr}\nALIOR,2015-01-02,37.0,37.8,36.9,37.5,1000\n"
+            "ALIOR,2015-01-05,37.5,38.0,37.2,37.9,1200\n",
+        )
+        z.writestr(
+            # contains ALIOR -> matched by the ~/ALIOR/ stock pattern
+            # (cl-ppcre scan = substring), NOT by F[A-Z]{4}1[456]
+            "FALIOR14.mst",
+            f"{hdr}\nFALIOR14,2015-01-02,10,11,9,10.5,50\n",
+        )
+        z.writestr(
+            "FWABC14.mst",  # F[A-Z]{4}1[456] -> derivatives
+            f"{hdr},openint\nFWABC14,2015-01-02,10,11,9,10.5,50,7\n",
+        )
+        z.writestr(
+            "OW20X1450.mst",
+            f"{hdr},openint\nOW20X1450,2015-01-02,5,6,4,5.5,20,3\n",
+        )
+        z.writestr("WIG20.mst", f"{hdr}\nWIG20,2015-01-02,1,2,1,2,9\n")
+
+    class Quiet(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(tmp_path), **kw)
+
+        def log_message(self, *a):
+            pass
+
+    httpd = socketserver.TCPServer(("127.0.0.1", 0), Quiet)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        text = open(ref, encoding="utf-8").read()
+        text = text.replace(
+            "http://bossa.pl/pub/metastock/mstock/mstall.zip",
+            f"http://127.0.0.1:{port}/mstall.zip",
+        )
+        text = text.replace("postgresql:///stocks", seeded)
+        cmd = parse_load(text)
+
+        def sink(df, table):
+            ensure_pg_table(seeded, table, df.schema)
+            df = align_to_target(df, seeded, table)
+            return write_pg_copy(df, seeded, table, reject_dir=str(tmp_path))
+
+        runner = PGConn(seeded)
+        try:
+            ctx = ExecutionContext(
+                spark=spark,
+                root_dir=str(tmp_path),
+                sql_runner=lambda sql: runner.query(sql),
+                sink=sink,
+            )
+            reports = execute_archive(ctx, cmd)
+        finally:
+            runner.close()
+    finally:
+        httpd.shutdown()
+    got = {r.table: r.loaded for r in reports}
+    # ~/ALIOR/ matches ALIOR.mst AND FALIOR14.mst (regex substring,
+    # like the reference's cl-ppcre scan); the derivatives pattern
+    # matches FALIOR14 + OW20; WIG20 matches neither command
+    assert got["intf_stocks"] == 3
+    assert got["intf_derivatives"] == 2
+    with PGConn(seeded) as c:
+        _, rows = c.query(
+            "SELECT ticker, volume FROM intf_stocks ORDER BY ticker, quote_date"
+        )
+        assert rows[0] == ("ALIOR", "1000")
+        _, rows = c.query(
+            "SELECT ticker, openint FROM intf_derivatives ORDER BY ticker"
+        )
+        assert [r[0] for r in rows] == ["FWABC14", "OW20X1450"]
+
+
+def test_reference_citus_company_migration(seeded, spark, tmp_path):
+    """citus/company.load verbatim against plain PostgreSQL: PG->PG
+    LOAD DATABASE with a `cast column impressions.seen_at to
+    "timestamp with time zone"` rule and a `distribute companies
+    using id` clause (the citus DDL itself needs a Citus server; the
+    migration + cast surface runs live)."""
+    ref = "/root/reference/test/citus/company.load"
+    if not os.path.exists(ref):
+        pytest.skip("reference corpus not available")
+    from pgloader_spark.parsers.loadcmd import parse_load
+    from pgloader_spark.plans.executor import (
+        ExecutionContext,
+        execute_database,
+    )
+
+    base = seeded.rsplit("/", 1)[0]
+    with PGConn(seeded) as c:
+        for db in ("hackathon", "citus_target"):
+            c.query(f"DROP DATABASE IF EXISTS {db}")
+            c.query(f"CREATE DATABASE {db}")
+    src = f"{base}/hackathon"
+    tgt = f"{base}/citus_target"
+    ddl = open("/root/reference/test/citus/company.sql").read()
+    with PGConn(src) as c:
+        for stmt in ddl.split(";"):
+            if stmt.strip():
+                c.query(stmt)
+        c.query(
+            "INSERT INTO companies (name, created_at, updated_at) "
+            "SELECT 'co_' || i, now(), now() FROM generate_series(1, 20) i"
+        )
+        c.query(
+            "INSERT INTO campaigns (company_id, name, cost_model, state,"
+            " created_at, updated_at) SELECT i, 'camp', 'cpc', 'live',"
+            " now(), now() FROM generate_series(1, 20) i"
+        )
+        c.query(
+            "INSERT INTO ads (campaign_id, name, created_at, updated_at)"
+            " SELECT i, 'ad', now(), now() FROM generate_series(1, 20) i"
+        )
+        c.query(
+            "INSERT INTO impressions (ad_id, seen_at, site_url,"
+            " cost_per_impression_usd, user_ip, user_data)"
+            " SELECT i, now(), 's', 0.01, '10.0.0.1'::inet, '{}'::jsonb"
+            " FROM generate_series(1, 20) i"
+        )
+
+    text = open(ref, encoding="utf-8").read()
+    text = text.replace("pgsql:///hackathon", src)
+    text = text.replace("pgsql://localhost:9700/dim", tgt)
+    cmd = parse_load(text)
+    assert cmd.options.get("distribute")  # the clause parsed
+    ctx = ExecutionContext(spark=spark, root_dir=str(tmp_path))
+    reports = execute_database(ctx, cmd)
+    got = {r.table: r.loaded for r in reports}
+    assert got["companies"] == 20
+    assert got["impressions"] == 20
+    with PGConn(tgt) as c:
+        _, rows = c.query(
+            "SELECT data_type FROM information_schema.columns WHERE"
+            " table_name = 'impressions' AND column_name = 'seen_at'"
+        )
+        assert rows == [("timestamp with time zone",)]
+        _, rows = c.query("SELECT COUNT(*) FROM clicks")
+        assert rows == [("0",)]
+
+
 def test_reference_fk_reject_isolates_bad_rows(seeded, spark, tmp_path):
     """fk-reject.load (reference issue #1333): a batch with an FK
     violation — the server cannot annotate a line number, so the
