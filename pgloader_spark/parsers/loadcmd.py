@@ -638,6 +638,17 @@ def _parse_fixed_fields(p: _P) -> list[FixedField]:
             cur = None
 
     bdepth = 0
+
+    def take() -> str:
+        # every token consumed inside an option branch must count its
+        # glued [ ] toward bdepth, or a trailing `whitespace]` leaves
+        # the depth stuck >0 and later commas stop flushing fields
+        # (census-places.load's [trim right whitespace] regress)
+        nonlocal bdepth
+        t2 = p.next()
+        bdepth += _bracket_delta(t2)
+        return t2.value
+
     while True:
         t = p.next()
         bdepth += _bracket_delta(t)
@@ -654,22 +665,23 @@ def _parse_fixed_fields(p: _P) -> list[FixedField]:
             continue
         w = t.value.strip("[]").lower()
         if w == "from":
-            cur["start"] = int(p.next().value)
+            cur["start"] = int(take().strip("[]"))
         elif w == "for":
-            cur["length"] = int(p.next().value.rstrip("]"))
+            cur["length"] = int(take().strip("[]"))
         elif w == "null":
             p.eat_word("if")
-            v = p.next().value.strip("[]")
+            v = take().strip("[]")
             if v.lower() == "blanks":
                 cur["null_if_blanks"] = True
         elif w == "trim":
-            cur["trim"] = p.next().value.strip("[]").lower()
-            if p.at_word("whitespace"):
-                p.next()
-            else:
-                nxt = p.peek()
-                if nxt and nxt.kind == "word" and nxt.value.strip("[]").lower() == "whitespace":
-                    p.next()
+            cur["trim"] = take().strip("[]").lower()
+            nxt = p.peek()
+            if (
+                nxt
+                and nxt.kind == "word"
+                and nxt.value.strip("[]").lower() == "whitespace"
+            ):
+                take()
     return out
 
 

@@ -718,6 +718,156 @@ def test_reference_bossa_archive_live_http(seeded, spark, tmp_path):
         assert [r[0] for r in rows] == ["FWABC14", "OW20X1450"]
 
 
+def _serve_dir(tmp_path):
+    import http.server
+    import socketserver
+    import threading
+
+    class Quiet(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(tmp_path), **kw)
+
+        def log_message(self, *a):
+            pass
+
+    httpd = socketserver.TCPServer(("127.0.0.1", 0), Quiet)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    return httpd, httpd.server_address[1]
+
+
+def test_reference_census_places_archive_fixed(seeded, spark, tmp_path):
+    """census-places.load verbatim: LOAD ARCHIVE over http with a
+    NESTED FIXED load — explicit from/for column specs, a quoted
+    \"LocationName\" target column, [trim right whitespace].  A local
+    server serves a places2k.zip with the fixed-width layout the
+    command declares."""
+    import zipfile
+
+    ref = "/root/reference/test/census-places.load"
+    if not os.path.exists(ref):
+        pytest.skip("reference corpus not available")
+    from pgloader_spark.parsers.loadcmd import parse_load
+    from pgloader_spark.plans.executor import ExecutionContext, execute_archive
+    from pgloader_spark.sources.pg_live import align_to_target, ensure_pg_table
+    from pgloader_spark.sources.pg_live import write_pg_copy
+
+    def fixed_line(usps, fips, code, name, lat, lon):
+        # layout per the command: name at 9 width 64, numerics after
+        return (
+            f"{usps:<2}{fips:<2}{code:<5}{name:<64}"
+            f"{1234:>9}{567:>9}{100:>14}{2:>14}{100.0:>14}{0.1:>12}"
+            f"{lat:>10}{lon:>11}"
+        )
+
+    lines = [
+        fixed_line("AL", "01", "00124", "Abbeville city", "31.56", "-85.25"),
+        fixed_line("AK", "02", "00065", "Adak city", "51.87", "-176.63"),
+        fixed_line("WY", "56", "00105", "Afton town", "42.72", "-110.93"),
+    ]
+    zpath = tmp_path / "places2k.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        z.writestr("places2k.txt", "\n".join(lines) + "\n")
+
+    httpd, port = _serve_dir(tmp_path)
+    try:
+        text = open(ref, encoding="utf-8").read()
+        text = text.replace(
+            "http://www2.census.gov/geo/docs/maps-data/data/gazetteer/places2k.zip",
+            f"http://127.0.0.1:{port}/places2k.zip",
+        )
+        text = text.replace("postgresql:///pgloader", seeded)
+        cmd = parse_load(text)
+
+        def sink(df, table):
+            ensure_pg_table(seeded, table, df.schema)
+            df = align_to_target(df, seeded, table)
+            return write_pg_copy(df, seeded, table, reject_dir=str(tmp_path))
+
+        runner = PGConn(seeded)
+        try:
+            ctx = ExecutionContext(
+                spark=spark,
+                root_dir=str(tmp_path),
+                sql_runner=lambda sql: runner.query(sql),
+                sink=sink,
+            )
+            reports = execute_archive(ctx, cmd)
+        finally:
+            runner.close()
+    finally:
+        httpd.shutdown()
+    assert sum(r.loaded for r in reports) == 3
+    with PGConn(seeded) as c:
+        _, rows = c.query(
+            'SELECT usps, "LocationName" FROM places ORDER BY usps'
+        )
+    assert rows[0] == ("AK", "Adak city")  # trailing blanks trimmed
+    assert {r[0] for r in rows} == {"AK", "AL", "WY"}
+
+
+def test_reference_bossa_all_single_table(seeded, spark, tmp_path):
+    """bossa-all.load verbatim: every archive member (~/./) lands in
+    ONE target table."""
+    import zipfile
+
+    ref = "/root/reference/test/bossa-all.load"
+    if not os.path.exists(ref):
+        pytest.skip("reference corpus not available")
+    from pgloader_spark.parsers.loadcmd import parse_load
+    from pgloader_spark.plans.executor import ExecutionContext, execute_archive
+    from pgloader_spark.sources.pg_live import align_to_target, ensure_pg_table
+    from pgloader_spark.sources.pg_live import write_pg_copy
+
+    with PGConn(seeded) as c:
+        c.query("DROP TABLE IF EXISTS intf_derivatives")
+        c.query(
+            "CREATE TABLE intf_derivatives (ticker text, quote_date date,"
+            " open numeric, high numeric, low numeric, close numeric,"
+            " volume bigint, openint bigint)"
+        )
+    hdr = "ticker,date,open,high,low,close,vol,openint"
+    zpath = tmp_path / "mstfut.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        z.writestr("FW20H14.mst", f"{hdr}\nFW20H14,2014-01-02,1,2,1,2,10,5\n")
+        z.writestr(
+            "FW20M15.mst",
+            f"{hdr}\nFW20M15,2015-01-02,1,2,1,2,11,6\n"
+            "FW20M15,2015-01-03,2,3,2,3,12,7\n",
+        )
+    httpd, port = _serve_dir(tmp_path)
+    try:
+        text = open(ref, encoding="utf-8").read()
+        text = text.replace(
+            "http://bossa.pl/pub/futures/mstock/mstfut.zip",
+            f"http://127.0.0.1:{port}/mstfut.zip",
+        )
+        text = text.replace("postgresql:///stocks", seeded)
+        cmd = parse_load(text)
+
+        def sink(df, table):
+            ensure_pg_table(seeded, table, df.schema)
+            df = align_to_target(df, seeded, table)
+            return write_pg_copy(df, seeded, table, reject_dir=str(tmp_path))
+
+        runner = PGConn(seeded)
+        try:
+            ctx = ExecutionContext(
+                spark=spark,
+                root_dir=str(tmp_path),
+                sql_runner=lambda sql: runner.query(sql),
+                sink=sink,
+            )
+            reports = execute_archive(ctx, cmd)
+        finally:
+            runner.close()
+    finally:
+        httpd.shutdown()
+    assert sum(r.loaded for r in reports) == 3
+    with PGConn(seeded) as c:
+        _, rows = c.query("SELECT COUNT(*), COUNT(DISTINCT ticker) FROM intf_derivatives")
+        assert rows == [("3", "2")]
+
+
 def test_reference_citus_company_migration(seeded, spark, tmp_path):
     """citus/company.load verbatim against plain PostgreSQL: PG->PG
     LOAD DATABASE with a `cast column impressions.seen_at to
