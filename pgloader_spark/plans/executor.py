@@ -189,7 +189,18 @@ def read_source(spark: SparkSession, cmd: LoadCommand) -> DataFrame:
                 src = "/" + src.lstrip("/")
         return read_copy_text(spark, src, copts)
     if kind == "dbf":
-        return read_dbf(spark, _source_paths(cmd)[0], encoding=cmd.options.get("encoding", "latin-1"))
+        src = _source_paths(cmd)[0]
+        if src.lower().endswith(".zip"):
+            # LOAD DBF FROM http://...zip (dbf-zip.load): fetch is
+            # already done by _source_paths; expand and take the
+            # .dbf member
+            from pgloader_spark.sources.files import expand_archive
+
+            files = expand_archive(src)
+            src = next(
+                f for f in files if f.lower().endswith(".dbf")
+            )
+        return read_dbf(spark, src, encoding=cmd.options.get("encoding", "latin-1"))
     if kind == "ixf":
         return read_ixf(spark, _source_paths(cmd)[0])
     raise ValueError(f"database sources need a JDBC url + live server: {kind}")

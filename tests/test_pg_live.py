@@ -868,6 +868,61 @@ def test_reference_bossa_all_single_table(seeded, spark, tmp_path):
         assert rows == [("3", "2")]
 
 
+def test_reference_dbf_zip_over_http(seeded, spark, tmp_path):
+    """dbf-zip.load verbatim: LOAD DBF straight from an http zip —
+    fetch, expand, read the .dbf member.  The INSEE download is not
+    reachable from the sandbox; a local server serves a zip of the
+    reference's own reg2013.dbf fixture."""
+    import zipfile
+
+    ref = "/root/reference/test/dbf-zip.load"
+    if not os.path.exists(ref):
+        pytest.skip("reference corpus not available")
+    zpath = tmp_path / "france2016-dbf.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        z.write("/root/reference/test/data/reg2013.dbf", "france2016.dbf")
+    httpd, port = _serve_dir(tmp_path)
+    try:
+        from pgloader_spark.parsers.loadcmd import parse_load
+        from pgloader_spark.plans.executor import ExecutionContext, execute
+        from pgloader_spark.sources.pg_live import (
+            align_to_target,
+            ensure_pg_table,
+            write_pg_copy,
+        )
+
+        text = open(ref, encoding="utf-8").read()
+        text = text.replace(
+            "https://www.insee.fr/fr/statistiques/fichier/2114819/"
+            "france2016-dbf.zip",
+            f"http://127.0.0.1:{port}/france2016-dbf.zip",
+        )
+        text = text.replace("postgresql:///pgloader", seeded)
+        cmd = parse_load(text)
+
+        def sink(df, table):
+            ensure_pg_table(seeded, table, df.schema)
+            df = align_to_target(df, seeded, table)
+            return write_pg_copy(df, seeded, table, reject_dir=str(tmp_path))
+
+        runner = PGConn(seeded)
+        try:
+            ctx = ExecutionContext(
+                spark=spark,
+                root_dir=str(tmp_path),
+                sql_runner=lambda sql: runner.query(sql),
+                sink=sink,
+            )
+            report = execute(ctx, cmd)
+        finally:
+            runner.close()
+    finally:
+        httpd.shutdown()
+    assert report.loaded == 27  # reg2013's 27 French regions
+    rows = _pg_table_rows(seeded, "dbf.france2016", order_by="1 LIMIT 1")
+    assert rows[0][3] == "GUADELOUPE"
+
+
 def test_reference_citus_company_migration(seeded, spark, tmp_path):
     """citus/company.load verbatim against plain PostgreSQL: PG->PG
     LOAD DATABASE with a `cast column impressions.seen_at to
