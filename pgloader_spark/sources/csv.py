@@ -188,12 +188,19 @@ def _parse_csv_records(data: str, opts: CsvOptions) -> list[list[tuple[str, bool
         state = "start"
 
     def end_record(drop_if_error: bool):
-        nonlocal fields
-        if not drop_if_error and (fields or buf):
+        nonlocal fields, buf, quoted_flag, state
+        # quoted_flag alone means the record was exactly one quoted
+        # empty field — still a field, and the state machine must
+        # reset either way or the NEXT record parses in post_quote
+        # state (found by the round-trip property test)
+        if not drop_if_error and (fields or buf or quoted_flag):
             end_field()
             if any(v for v, _ in fields) or len(fields) > 1:
                 records.append(fields)
         fields = []
+        buf = []
+        quoted_flag = False
+        state = "start"
 
     while i < n:
         c = data[i]

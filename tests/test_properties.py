@@ -263,3 +263,75 @@ def test_chunk_windows_cover_all_tokens(text, window):
     sizes = [min(window, len(toks) - s + 1) for s in starts]
     assert sum(sizes) == len(toks)
     assert all(s == window for s in sizes[:-1])
+
+
+# --------------------------------------------------------------------------
+# inline CSV state machine (sources/csv.py:_parse_csv_records)
+# --------------------------------------------------------------------------
+
+_cell = st.text(
+    alphabet=st.characters(
+        blacklist_characters='",\n\r', min_codepoint=32, max_codepoint=0x2FF
+    ),
+    max_size=12,
+)
+
+
+@given(st.lists(st.lists(_cell, min_size=1, max_size=6), min_size=1, max_size=8))
+@settings(max_examples=150, deadline=None)
+def test_csv_state_machine_roundtrips_quoted_rows(rows):
+    """Rows written fully quoted by Python's csv module parse back
+    value-for-value: every field flagged quoted, quoted empties kept
+    as '' (never NULL)."""
+    import csv as _csv
+    import io
+
+    from pgloader_spark.sources.csv import CsvOptions, _parse_csv_records
+
+    buf = io.StringIO()
+    w = _csv.writer(buf, quoting=_csv.QUOTE_ALL, lineterminator="\n")
+    for r in rows:
+        w.writerow(r)
+    opts = CsvOptions(separator=",", quote='"', escape='"')
+    got = _parse_csv_records(buf.getvalue(), opts)
+    # rows of only-empty cells are dropped (blank-line rule) unless
+    # they have 2+ fields
+    expected = [r for r in rows if any(v for v in r) or len(r) > 1]
+    assert [[v for v, _ in rec] for rec in got] == expected
+    assert all(q for rec in got for _, q in rec)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    # unquoted mode: no separators/quotes/EOLs in data,
+                    # no leading/trailing blanks (trim mode strips them)
+                    blacklist_characters='",\n\r \t',
+                    min_codepoint=33,
+                    max_codepoint=0x2FF,
+                ),
+                min_size=1,
+                max_size=10,
+            ),
+            min_size=2,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_csv_state_machine_unquoted_trim_mode(rows):
+    """Unquoted non-blank fields survive trim mode verbatim even with
+    outer blanks injected around them."""
+    from pgloader_spark.sources.csv import CsvOptions, _parse_csv_records
+
+    data = "\n".join(",".join(f"  {v} " for v in r) for r in rows) + "\n"
+    opts = CsvOptions(separator=",", quote='"', escape='"')
+    got = _parse_csv_records(data, opts)
+    assert len(got) == len(rows)
+    for rec, r in zip(got, rows):
+        vals = [v.strip(" \t") for v, _ in rec]
+        assert vals == r
