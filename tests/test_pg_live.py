@@ -1009,6 +1009,45 @@ def test_reference_fk_reject_isolates_bad_rows(seeded, spark, tmp_path):
     assert "23503" in log  # foreign_key_violation sqlstate
 
 
+def test_copy_isolation_randomized_bad_rows(seeded, spark, tmp_path):
+    """Randomized check of the retry-with-isolation writer: random
+    subsets of rows violate a CHECK constraint the validator cannot
+    see; the server must end up with exactly the good rows and the
+    reject file with exactly the bad ones — under both error shapes
+    (CHECK violations carry no line annotation -> bisection)."""
+    import random
+
+    from pgloader_spark.sources.pg_live import write_pg_copy
+
+    with PGConn(seeded) as c:
+        c.query("DROP TABLE IF EXISTS iso_t")
+        c.query("CREATE TABLE iso_t (id int, v int CHECK (v >= 0))")
+    rng = random.Random(1234)
+    for trial in range(4):
+        n = rng.choice([1, 7, 100, 500])
+        bad = {i for i in range(n) if rng.random() < rng.choice([0.02, 0.3, 0.9])}
+        rows = [(i, -1 if i in bad else i) for i in range(n)]
+        df = spark.createDataFrame(rows, "id int, v int").repartition(3)
+        with PGConn(seeded) as c:
+            c.query("TRUNCATE iso_t")
+        rej_dir = tmp_path / f"rej{trial}"
+        loaded = write_pg_copy(
+            df, seeded, "iso_t", reject_dir=str(rej_dir)
+        )
+        assert loaded == n - len(bad)
+        with PGConn(seeded) as c:
+            _, got = c.query("SELECT COUNT(*), COALESCE(MIN(v), 0) FROM iso_t")
+            assert int(got[0][0]) == n - len(bad)
+            assert int(got[0][1]) >= 0
+        dat = rej_dir / "iso_t.dat"
+        if bad:
+            rejected = dat.read_text().strip().splitlines()
+            assert len(rejected) == len(bad)
+            assert {int(line.split("\t")[0]) for line in rejected} == bad
+        else:
+            assert not dat.exists()
+
+
 def test_reference_overflow_rejects_everything(seeded, spark, tmp_path):
     """overflow.load: an int wider than int4 and a NULL into NOT NULL
     — the reference's expected output is EMPTY (both rows rejected,
