@@ -459,3 +459,47 @@ def token_jaccard_pairs(
     return _jaccard_pairs_ppjoin(
         df.select(F.col(id_col).alias("id"), toks.alias("items")), threshold
     )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 20,
+) -> DataFrame:
+    """Per-document duplicated-SPAN statistics (ExactSubstr-style —
+    Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better").  Set-based Jaccard misses verbatim substrings
+    embedded in otherwise-different documents; this catches them:
+    every w-token window is hashed, and a window whose hash occurs
+    >= 2 times corpus-wide is a duplicated-span occurrence.
+
+    100 TB shape: one narrow shingle map (let-bound, O(t) per doc),
+    one posexplode, one groupBy on 8-byte hashes (map-side combine),
+    one equi-join where each row matches exactly ONE frequency row —
+    no hot-key fanout is possible, so corpus-scale boilerplate
+    (license headers, navigation chrome) costs its row count, not
+    its square.  Returns (id, n_windows, n_dup_windows, dup_frac).
+    """
+    hashed = F.transform(shingles(text_col, w), _seeded_hash(7))
+    base = df.select(F.col(id_col).alias("id"), hashed.alias("ws"))
+    ex = base.select("id", F.explode("ws").alias("h"))
+    freq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        ex.join(freq, "h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(
+                F.when(F.col("cnt") >= 2, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_dup_windows"),
+        )
+        .select(
+            "id",
+            "n_windows",
+            "n_dup_windows",
+            F.round(
+                F.col("n_dup_windows") / F.col("n_windows").cast("double"), 6
+            ).alias("dup_frac"),
+        )
+    )

@@ -911,6 +911,31 @@ def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_dup_spans",
+    oracle=f"""
+WITH {_duck_shingles_cte(k=20).strip().lstrip(",")},
+ex AS (SELECT doc_id, {_duck_hash64("s", 7)} AS h
+       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+freq AS (SELECT h, COUNT(*) AS cnt FROM ex GROUP BY h)
+SELECT ex.doc_id AS id,
+       COUNT(*) AS n_windows,
+       SUM(CASE WHEN freq.cnt >= 2 THEN 1 ELSE 0 END) AS n_dup_windows,
+       round(CAST(SUM(CASE WHEN freq.cnt >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS dup_frac
+FROM ex JOIN freq USING (h)
+GROUP BY ex.doc_id
+""",
+)
+def dedup_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span fractions (Lee et al. 2022):
+    w=20-token windows hashed corpus-wide; a window occurring twice
+    anywhere is a duplicated span.  Complements set-Jaccard dedup —
+    it catches verbatim substrings inside otherwise-unique docs."""
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    return dedup.dup_span_stats(docs, w=20)
+
+
+@query(
     "dedup_components",
     oracle=f"""
 WITH RECURSIVE jac AS (SELECT id_a, id_b FROM ({_duck_jaccard_sql(k=3, threshold=0.5)}) jp),

@@ -116,3 +116,27 @@ def test_ivf_kmeans_refines_and_keeps_k(spark):
     refined_spread = abs(angle(refined[0][1]) - angle(refined[1][1]))
     assert refined_spread > seed_spread
     assert refined_spread > 1.0  # ~90 degrees apart
+
+
+def test_dup_span_stats_planted_substring(spark):
+    """ExactSubstr-style spans: a 20-token verbatim run shared by two
+    otherwise-different documents is flagged in both; a unique doc
+    has dup_frac 0."""
+    from pgloader_spark.operators.dedup import dup_span_stats
+
+    shared = " ".join(f"tok{i}" for i in range(25))
+    rows = [
+        (1, "alpha begins here " + shared + " alpha ends here"),
+        (2, "totally different opening " + shared + " different closing"),
+        (3, " ".join(f"uniq{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: r for r in dup_span_stats(df, w=20).collect()
+    }
+    assert out[3]["n_dup_windows"] == 0 and out[3]["dup_frac"] == 0.0
+    # both docs sharing the 25-token run have >= 6 shared windows
+    # (25 - 20 + 1), and some non-shared windows too
+    for d in (1, 2):
+        assert out[d]["n_dup_windows"] >= 6
+        assert 0 < out[d]["dup_frac"] < 1
