@@ -296,7 +296,15 @@ def _parse_one_command(p: _P) -> LoadCommand:
                     break
                 if nt.kind == "word" and nt.value.lower() == "with" and raw:
                     break
-                raw.append(p.next().value)
+                tok = p.next()
+                # preserve token KINDS so the ABNF compiler can tell a
+                # "." literal from a rule ref from a ~/regex/
+                if tok.kind in ("string", "qident"):
+                    raw.append('"' + tok.value + '"')
+                elif tok.kind == "regex":
+                    raw.append("~/" + tok.value + "/")
+                else:
+                    raw.append(tok.value)
             cmd.options.setdefault("abnf_blocks", []).append(" ".join(raw))
         elif w == "with":
             p.next()

@@ -83,6 +83,95 @@ def route(lines: DataFrame, scanners: list[Scanner]) -> dict[str, DataFrame]:
     return {s.name: s.apply(lines) for s in scanners}
 
 
+def scanners_from_command(cmd) -> list[tuple[Scanner, dict]]:
+    """LOAD MESSAGES clauses -> routed scanners in declaration order.
+
+    The WITH grammar blocks compile through the ABNF subset
+    (streaming/abnf.py, mirroring command-syslog.lisp:48-60); each
+    WHEN MATCHES ... IN <scanner> REGISTERING f1,f2 projects the
+    registered rules' capture groups as columns."""
+    from pgloader_spark.streaming.abnf import compile_scanner
+
+    compiled = {}
+    for block in cmd.options.get("abnf_blocks", []):
+        cs = compile_scanner(block)
+        compiled[cs.name] = cs
+    out = []
+    for sc in cmd.scanners:
+        cs = compiled[sc["name"]]
+        cols = [(f, cs.groups[f.lower()], "string") for f in sc["fields"]]
+        out.append((Scanner(sc["name"], cs.regex, cols), sc))
+    return out
+
+
+def route_first_match(
+    lines: DataFrame, scanners: list[tuple[Scanner, dict]]
+) -> list[tuple[Scanner, dict, DataFrame]]:
+    """First-match-wins routing: the reference's UDP handler stops at
+    the first scanner whose regex matches (syslog.lisp:13-26), so a
+    message claimed by scanner N never reaches scanner N+1."""
+    out = []
+    remaining = lines
+    for s, sc in scanners:
+        out.append((s, sc, s.apply(remaining)))
+        remaining = remaining.filter(~F.col("value").rlike(s.regex))
+    return out
+
+
+def serve_udp_messages(
+    spark,
+    cmd,
+    sink,
+    host: str = "127.0.0.1",
+    port: int | None = None,
+    idle_timeout: float = 2.0,
+    max_batches: int = 1,
+) -> dict[str, int]:
+    """LOAD MESSAGES end-to-end: bind the UDP port from the
+    ``syslog://host:port/`` source, drain datagrams into micro-
+    batches, route first-match, and hand each scanner's rows to
+    ``sink(df, table)`` (write_pg_copy in production).  Returns
+    loaded counts per target table.
+
+    The reference runs this as a forever-server (syslog.lisp:28-36);
+    bounded batches keep it testable — a production deployment points
+    the same routing at a socket/Kafka readStream instead."""
+    import socket as _socket
+
+    from urllib.parse import urlparse
+
+    u = urlparse(cmd.source)
+    port = port or u.port or 10514
+    scanners = scanners_from_command(cmd)
+    sock = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+    sock.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
+    sock.bind((host, port))
+    sock.settimeout(0.2)
+    counts: dict[str, int] = {}
+    try:
+        for _ in range(max_batches):
+            lines: list[str] = []
+            idle = 0.0
+            while idle < idle_timeout:
+                try:
+                    data, _addr = sock.recvfrom(65535)
+                    lines.append(data.decode("utf-8", "replace"))
+                    idle = 0.0
+                except TimeoutError:
+                    idle += 0.2
+            if not lines:
+                break
+            df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+            for s, sc, routed in route_first_match(df, scanners):
+                tbl = (sc.get("target") or s.name).rsplit("?", 1)[-1]
+                n = sink(routed, tbl)
+                if n:
+                    counts[tbl] = counts.get(tbl, 0) + n
+    finally:
+        sock.close()
+    return counts
+
+
 def start_scanner_sinks(
     routed: dict[str, DataFrame],
     out_dir: str,

@@ -923,6 +923,67 @@ def test_reference_dbf_zip_over_http(seeded, spark, tmp_path):
     assert rows[0][3] == "GUADELOUPE"
 
 
+def test_reference_messages_syslog_live_udp(seeded, spark, tmp_path):
+    """test/parse/messages.load executed LIVE: the ABNF scanner
+    grammars compile to regexes, a UDP socket receives real syslog
+    datagrams, messages route first-match (apache's DATA = IP REST
+    claims IP-led payloads; others takes the rest), and each
+    scanner's REGISTERING columns COPY into its own live PG table."""
+    import socket
+    import threading
+    import time as _time
+
+    ref = "/root/reference/test/parse/messages.load"
+    if not os.path.exists(ref):
+        pytest.skip("reference corpus not available")
+    from pgloader_spark.parsers.loadcmd import parse_load
+    from pgloader_spark.sources.pg_live import ensure_pg_table, write_pg_copy
+    from pgloader_spark.streaming.syslog import serve_udp_messages
+
+    with PGConn(seeded) as c:
+        c.query("CREATE SCHEMA IF NOT EXISTS logs")
+        c.query("DROP TABLE IF EXISTS logs.apache")
+        c.query("DROP TABLE IF EXISTS logs.others")
+
+    text = open(ref, encoding="utf-8").read()
+    text = text.replace("postgresql://localhost/db", seeded)
+    port = 10514 + (os.getpid() % 400)
+    text = text.replace("syslog://localhost:10514/", f"syslog://127.0.0.1:{port}/")
+    cmd = parse_load(text)
+
+    msgs = [
+        b"<13>Aug 14 12:00:01 web01 httpd[123]: 10.0.0.7 GET / 200",
+        b"<13>Aug 14 12:00:02 web01 httpd[123]: 10.0.0.8 GET /x 404",
+        b"<13>Aug 14 12:00:03 db01 postgres: checkpoint complete",
+        b"<13>Aug 14 12:00:04 web01 httpd[124]: 192.168.1.9 POST /y 201",
+        b"<13>Aug 14 12:00:05 app01 cron[7]: job finished ok",
+    ]
+
+    def send_later():
+        _time.sleep(0.5)
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for m in msgs:
+            s.sendto(m, ("127.0.0.1", port))
+            _time.sleep(0.02)
+        s.close()
+
+    def sink(df, table):
+        ensure_pg_table(seeded, table, df.schema)
+        return write_pg_copy(df, seeded, table, reject_dir=str(tmp_path))
+
+    threading.Thread(target=send_later, daemon=True).start()
+    counts = serve_udp_messages(spark, cmd, sink, idle_timeout=1.5)
+    assert counts == {"logs.apache": 3, "logs.others": 2}
+    with PGConn(seeded) as c:
+        _, rows = c.query('SELECT ip, rest FROM logs.apache ORDER BY ip')
+        assert [r[0] for r in rows] == ["10.0.0.7", "10.0.0.8", "192.168.1.9"]
+        assert rows[0][1].strip() == "GET / 200"
+        _, rows = c.query(
+            'SELECT "app-name", data FROM logs.others ORDER BY data'
+        )
+        assert [r[0] for r in rows] == ["postgres", "cron"]
+
+
 def test_reference_citus_company_migration(seeded, spark, tmp_path):
     """citus/company.load verbatim against plain PostgreSQL: PG->PG
     LOAD DATABASE with a `cast column impressions.seen_at to

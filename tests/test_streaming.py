@@ -105,3 +105,31 @@ def test_windowed_counts_with_watermark(spark, tmp_path):
         assert got[("2024-01-01 00:01:00", "b")] == 1
     finally:
         q.stop()
+
+
+def test_abnf_scanner_compilation():
+    """WITH grammar blocks -> regexes with registered group indices
+    (the command-syslog.lisp:48-60 surface)."""
+    import re
+
+    from pgloader_spark.streaming.abnf import compile_scanner
+
+    cs = compile_scanner(
+        'apache = rsyslog DATA = IP REST '
+        'IP = 1*3DIGIT "." 1*3DIGIT "." 1*3DIGIT "." 1*3DIGIT '
+        'REST = ~/.*/'
+    )
+    m = re.match(cs.regex, "<13>Aug 14 12:00:01 web01 httpd[123]: 10.0.0.7 GET / 200")
+    assert m
+    assert m.group(cs.groups["ip"]) == "10.0.0.7"
+    assert m.group(cs.groups["timestamp"]) == "Aug 14 12:00:01"
+    assert m.group(cs.groups["app-name"]) == "httpd"
+    # a non-IP payload must NOT match apache's overridden DATA
+    assert not re.match(
+        cs.regex, "<13>Aug 14 12:00:02 db01 postgres: checkpoint done"
+    )
+    plain = compile_scanner("others = rsyslog")
+    m2 = re.match(
+        plain.regex, "<13>Aug 14 12:00:02 db01 postgres: checkpoint done"
+    )
+    assert m2 and m2.group(plain.groups["data"]) == "checkpoint done"
