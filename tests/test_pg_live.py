@@ -984,6 +984,108 @@ def test_reference_messages_syslog_live_udp(seeded, spark, tmp_path):
         assert [r[0] for r in rows] == ["postgres", "cron"]
 
 
+def test_messages_structured_streaming_to_pg(seeded, spark, tmp_path):
+    """The production shape of LOAD MESSAGES: a Structured Streaming
+    socket source feeds the SAME first-match scanner routing, and
+    foreachBatch COPYs each scanner's rows into live PostgreSQL —
+    micro-batch at-least-once, per-scanner tables, no driver loop."""
+    import socket
+    import threading
+    import time as _time
+
+    ref = "/root/reference/test/parse/messages.load"
+    if not os.path.exists(ref):
+        pytest.skip("reference corpus not available")
+    from pgloader_spark.parsers.loadcmd import parse_load
+    from pgloader_spark.sources.pg_live import ensure_pg_table, write_pg_copy
+    from pgloader_spark.streaming.syslog import (
+        route_first_match,
+        scanners_from_command,
+    )
+
+    with PGConn(seeded) as c:
+        c.query("CREATE SCHEMA IF NOT EXISTS logs")
+        c.query("DROP TABLE IF EXISTS logs.apache_stream")
+        c.query("DROP TABLE IF EXISTS logs.others_stream")
+
+    text = open(ref, encoding="utf-8").read().replace(
+        "postgresql://localhost/db", seeded
+    )
+    cmd = parse_load(text)
+    scanners = scanners_from_command(cmd)
+
+    # TCP server the socket source connects to
+    port = 19514 + (os.getpid() % 400)
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", port))
+    srv.listen(1)
+
+    msgs = [
+        "<13>Aug 14 12:00:01 web01 httpd[123]: 10.0.0.7 GET / 200",
+        "<13>Aug 14 12:00:03 db01 postgres: checkpoint complete",
+        "<13>Aug 14 12:00:04 web01 httpd[124]: 192.168.1.9 POST /y 201",
+    ]
+
+    def feed():
+        conn, _ = srv.accept()
+        _time.sleep(0.3)
+        conn.sendall(("\n".join(msgs) + "\n").encode())
+        _time.sleep(3.0)
+        conn.close()
+
+    threading.Thread(target=feed, daemon=True).start()
+
+    def on_batch(batch_df, batch_id):
+        for s, sc, routed in route_first_match(batch_df, scanners):
+            tbl = sc["target"].rsplit("?", 1)[-1] + "_stream"
+            if routed.isEmpty():
+                continue
+            ensure_pg_table(seeded, tbl, routed.schema)
+            write_pg_copy(routed, seeded, tbl)
+
+    stream = (
+        spark.readStream.format("socket")
+        .option("host", "127.0.0.1")
+        .option("port", port)
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 30
+        done = False
+        while _time.time() < deadline and not done:
+            _time.sleep(1.0)
+            with PGConn(seeded) as c:
+                _, a = c.query(
+                    "SELECT COUNT(*) FROM logs.apache_stream"
+                ) if _table_exists(c, "logs", "apache_stream") else (None, [("0",)])
+                _, o = c.query(
+                    "SELECT COUNT(*) FROM logs.others_stream"
+                ) if _table_exists(c, "logs", "others_stream") else (None, [("0",)])
+            done = int(a[0][0]) >= 2 and int(o[0][0]) >= 1
+    finally:
+        q.stop()
+        srv.close()
+    assert done, "streamed rows did not arrive in PG within 30s"
+    with PGConn(seeded) as c:
+        _, rows = c.query("SELECT ip FROM logs.apache_stream ORDER BY ip")
+        assert [r[0] for r in rows] == ["10.0.0.7", "192.168.1.9"]
+
+
+def _table_exists(conn, schema, name) -> bool:
+    _, rows = conn.query(
+        "SELECT COUNT(*) FROM information_schema.tables WHERE"
+        f" table_schema = '{schema}' AND table_name = '{name}'"
+    )
+    return rows[0][0] == "1"
+
+
 def test_reference_citus_company_migration(seeded, spark, tmp_path):
     """citus/company.load verbatim against plain PostgreSQL: PG->PG
     LOAD DATABASE with a `cast column impressions.seen_at to
