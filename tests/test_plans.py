@@ -260,3 +260,16 @@ def test_unigram_model_rides_broadcast(spark, sf_dir):
     the probe side)."""
     plan = _formatted_plan(Q.QUERIES["text_unigram_logprob"](spark, sf_dir))
     assert "BroadcastExchange" in plan
+
+
+def test_dup_spans_no_hot_key_fanout(spark, sf_dir):
+    """Duplicated-span detection's contract: the frequency join keys
+    on the window HASH where each probe row meets exactly ONE
+    frequency row — so corpus-scale boilerplate costs its row count,
+    never its square. Shuffles: window-hash agg, the join alignment,
+    and the final per-doc agg; nothing else, and no cartesian."""
+    plan = _formatted_plan(Q.QUERIES["dedup_dup_spans"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 4, f"plan has {n_exchanges} exchanges:\n{plan}"
