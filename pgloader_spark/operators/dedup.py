@@ -29,7 +29,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
 from pgloader_spark.operators.text import tokens
