@@ -55,6 +55,7 @@ class CastResult:
     type_mod: str | None = None
     transform: str | None = None  # name in the transform registry
     drop_default: bool = False
+    drop_not_null: bool = False  # CAST ... drop not null -> nullable target
     default: str | None = None
     sqltype: str | None = None  # generated PG type (enum) to create first
     sqltype_kind: str | None = None  # "enum" | "set" (set renders name[])

@@ -1021,7 +1021,10 @@ def compile_cast_rules(specs: list[CastRuleSpec]):
 
         def make_target(s: CastRuleSpec):
             def target(f: SourceField) -> CastResult:
-                tt = (s.target_type or "text").strip('"').lower()
+                # no "to <type>" clause keeps the source type name
+                # (sakila.load: CAST type date drop not null ... stays
+                # date; the rule only adjusts constraints/transform)
+                tt = (s.target_type or s.source_type or "text").strip('"').lower()
                 res = CastResult(
                     pg_type=tt,
                     spark_type=pg_to_spark.get(tt, T.StringType()),
@@ -1033,6 +1036,8 @@ def compile_cast_rules(specs: list[CastRuleSpec]):
                     res.type_mod = f.type_mod
                 if "default" in s.drop:
                     res.drop_default = True
+                if "not null" in s.drop:
+                    res.drop_not_null = True
                 return res
 
             return target

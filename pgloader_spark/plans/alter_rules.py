@@ -37,7 +37,13 @@ def apply_table_rules(catalog: Catalog, rules: list[AlterRule]) -> Catalog:
         for schema in catalog.schemas:
             # iterate a snapshot: set_schema moves tables out of the list
             for table in list(schema.tables):
-                if not rule.matches(table.name):
+                # the DSL writes source-side spellings (pre-folding):
+                # sqlite-chinook's MATCHING 'Employee' must hit the
+                # catalog's folded 'employee', so match either name
+                if not (
+                    rule.matches(table.name)
+                    or (table.source_name and rule.matches(table.source_name))
+                ):
                     continue
                 if rule.kind == "rename":
                     table.source_name = table.source_name or table.name
@@ -62,5 +68,24 @@ def apply_schema_rules(catalog: Catalog, rules: list[AlterRule]) -> Catalog:
     for rule in rules:
         for schema in catalog.schemas:
             if rule.matches(schema.name) and rule.kind == "rename":
-                schema.name = rule.value or schema.name
+                old = schema.name
+                new = rule.value or old
+                # generated types (enums/sets) carry the schema in
+                # their qualified name, and columns bake that name as
+                # their type string — rename all three together so the
+                # emitted DDL is consistent (sakila.load: ALTER SCHEMA
+                # 'sakila' RENAME TO 'pagila' must move film_rating_t)
+                renames: dict[str, str] = {}
+                for st in getattr(schema, "sqltypes", []):
+                    if st.schema_name == old:
+                        before = st.column_type_name()
+                        st.schema_name = new
+                        renames[before] = st.column_type_name()
+                schema.name = new
+                if renames:
+                    for s in catalog.schemas:
+                        for t in s.tables:
+                            for c in t.columns:
+                                if c.type_name in renames:
+                                    c.type_name = renames[c.type_name]
     return catalog

@@ -441,7 +441,7 @@ def table_from_fields(
                 name=apply_identifier_case(f.name, case_mode),
                 type_name=type_name,
                 type_mod=type_mod,
-                nullable=f.nullable,
+                nullable=f.nullable or res.drop_not_null,
                 default=res.default,
                 comment=getattr(f, "comment", None),
                 transform=res.transform,

@@ -347,10 +347,12 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
     then stream every table through a partitioned read into the COPY
     sink (or a parquet lake when the target is a directory).
 
-    Live paths available in-container: ``sqlite://`` (stdlib sqlite3)
-    and ``postgresql://`` (stdlib wire client, sources/pgwire.py).
-    MySQL/MSSQL sources still need a server + JDBC jar; their plans
-    are covered in sources/jdbc.py tests.
+    Live paths available in-container: ``sqlite://`` (stdlib sqlite3),
+    ``postgresql://`` (stdlib wire client, sources/pgwire.py) and
+    ``mysql://`` (stdlib wire client, sources/mywire.py — verified
+    against the protocol-faithful fixture in sources/mysql_stub.py
+    since the sandbox ships no mysqld).  MSSQL still needs a server +
+    JDBC jar; its plans are covered in sources/jdbc.py tests.
     """
     from pgloader_spark.casting import CastEngine
     from pgloader_spark.catalog import Catalog, Schema
@@ -375,11 +377,88 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
 
         src_loc = src
         engine = CastEngine("pgsql", user_rules=_user_rules(cmd))
+    elif src.startswith("mysql://"):
+        from pgloader_spark.sources.mysql_live import (
+            introspect_mysql as _introspect,
+        )
+        from pgloader_spark.sources.mysql_live import (
+            read_mysql_table as _read,
+        )
+
+        src_loc = src
+        engine = CastEngine("mysql", user_rules=_user_rules(cmd))
     else:
         raise ValueError(
             f"no live driver for {src!r} in this environment "
-            "(sqlite:// and postgresql:// are self-contained)"
+            "(sqlite://, postgresql:// and mysql:// are self-contained)"
         )
+
+    src_is_pg = src.startswith(("postgresql://", "pgsql://", "postgres://"))
+    src_is_my = src.startswith("mysql://")
+
+    def _source_admin(statements: list[str]) -> None:
+        """Run DDL on the SOURCE database (matview staging/cleanup)."""
+        if src_is_pg:
+            from pgloader_spark.sources.pgwire import PGConn as _C
+
+            with _C(src_loc) as c:
+                for s in statements:
+                    c.query(s)
+        elif src_is_my:
+            from pgloader_spark.sources.mywire import MyConn as _C
+
+            with _C(src_loc) as c:
+                for s in statements:
+                    c.query(s)
+        else:
+            import sqlite3 as _sq3
+
+            with _sq3.connect(src_loc) as db:
+                for s in statements:
+                    db.execute(s)
+
+    def _qident(name: str) -> str:
+        return f"`{name}`" if src_is_my else f'"{name}"'
+
+    def _list_source_views() -> list[str]:
+        """MATERIALIZE ALL VIEWS discovery (matviews.lisp:62-85)."""
+        if src_is_my:
+            from pgloader_spark.sources.mywire import MyConn as _C
+            from pgloader_spark.sources.mywire import parse_my_dsn as _p
+
+            db = _p(src_loc)["database"]
+            with _C(src_loc) as c:
+                return [
+                    r[0]
+                    for r in c.query(
+                        "SELECT table_name FROM information_schema.tables "
+                        f"WHERE table_schema = '{db}' "
+                        "AND table_type = 'VIEW'"
+                    )[1]
+                ]
+        if src_is_pg:
+            from pgloader_spark.sources.pgwire import PGConn as _C
+
+            with _C(src_loc) as c:
+                return [
+                    r[0]
+                    for r in c.query(
+                        "SELECT table_name FROM information_schema.views "
+                        "WHERE table_schema = 'public'"
+                    )[1]
+                ]
+        import sqlite3 as _sq3
+
+        con = _sq3.connect(src_loc)
+        try:
+            return [
+                r[0]
+                for r in con.execute(
+                    "SELECT name FROM sqlite_master WHERE type = 'view'"
+                )
+            ]
+        finally:
+            con.close()
 
     catalog_fields = {
         t: f
@@ -387,63 +466,50 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
         if _match_filters(t, cmd.including, cmd.excluding)
     }
 
-    # MATERIALIZE VIEWS name AS $$ sql $$ — the reference creates the
-    # views on the SOURCE, migrates them like tables, drops them after
-    # (src/sources/common/matviews.lisp:14-60).  The distributed
-    # reader wants ctid/rowid ranges, so we materialize to a source
-    # table rather than a view; same lifecycle, same result.
-    # Matviews bypass including/excluding (the user named them).
-    mv_list = cmd.options.get("materialize_views")
-    mv_names: list[str] = []
-    if isinstance(mv_list, list) and mv_list:
-        if src.startswith(("postgresql://", "pgsql://", "postgres://")):
-            from pgloader_spark.sources.pgwire import PGConn as _AdminConn
-
-            with _AdminConn(src_loc) as _admin:
-                for vname, vsql in mv_list:
-                    if not vsql:
-                        continue
-                    _admin.query(f'DROP TABLE IF EXISTS "{vname}"')
-                    _admin.query(f'CREATE TABLE "{vname}" AS {vsql}')
-                    mv_names.append(vname)
-        else:  # sqlite
-            import sqlite3 as _sq3
-
-            with _sq3.connect(src_loc) as _db:
-                for vname, vsql in mv_list:
-                    if not vsql:
-                        continue
-                    _db.execute(f'DROP TABLE IF EXISTS "{vname}"')
-                    _db.execute(f'CREATE TABLE "{vname}" AS {vsql}')
-                    mv_names.append(vname)
+    # MATERIALIZE [ALL] VIEWS — the reference stages views on the
+    # SOURCE, migrates them like tables, drops them after
+    # (src/sources/common/matviews.lisp:14-85).  The distributed
+    # reader wants ctid/rowid/pk ranges, so we materialize each view
+    # to a source TABLE under a ``_mat_`` staging name (a view and a
+    # table cannot share a name) and rename back on the target; same
+    # lifecycle, same result.  Matviews bypass including/excluding
+    # (the user named them).
+    mv_opt = cmd.options.get("materialize_views")
+    mv_pairs: list[tuple[str, str | None]] = []
+    if mv_opt is True:  # MATERIALIZE ALL VIEWS
+        mv_pairs = [(v, None) for v in _list_source_views()]
+    elif isinstance(mv_opt, list):
+        mv_pairs = mv_opt
+    mv_staging: dict[str, str] = {}  # staging name on source -> target name
+    if mv_pairs:
+        stmts = []
+        for vname, vsql in mv_pairs:
+            staging = f"_mat_{vname}"
+            body = (
+                vsql.rstrip().rstrip(";")
+                if vsql
+                else f"SELECT * FROM {_qident(vname)}"
+            )
+            stmts.append(f"DROP TABLE IF EXISTS {_qident(staging)}")
+            stmts.append(f"CREATE TABLE {_qident(staging)} AS {body}")
+            mv_staging[staging] = vname
+        _source_admin(stmts)
         fresh = _introspect(src_loc)
-        for vname in mv_names:
-            catalog_fields[vname] = fresh[vname]
-    # ALTER TABLE NAMES MATCHING ... RENAME TO ... — catalog-level
-    # renames applied before any DDL or data movement
-    # (plans/alter_rules.py; alter-table.lisp:10-158)
-    from pgloader_spark.plans.alter_rules import AlterRule
+        for staging in mv_staging:
+            catalog_fields[staging] = fresh[staging]
 
-    rename_rules = [
-        AlterRule(
-            kind=d["kind"],
-            match=d["match"],
-            is_regex=d.get("is_regex", False),
-            value=d.get("value"),
-        )
-        for d in cmd.alter_rules
-        if d.get("scope") == "table" and d.get("kind") == "rename"
-    ]
-    target_names = {}
-    for t in catalog_fields:
-        name = t
-        for r in rename_rules:
-            if r.matches(name):
-                name = r.value
-        target_names[t] = name
+    # The catalog: a MySQL source database maps to a target schema of
+    # the same name (mysql.lisp:149 add-schema with the catalog name —
+    # sakila.load then renames it with ALTER SCHEMA); sqlite sources
+    # land in public.
+    schema_name = "public"
+    if src_is_my:
+        from pgloader_spark.sources.mywire import parse_my_dsn as _p
+
+        schema_name = _p(src_loc)["database"] or "public"
 
     cat = Catalog(src.split(":", 1)[0])
-    sch = Schema("public")
+    sch = Schema(schema_name)
     cat.schemas.append(sch)
     # the catalog applies identifier folding (downcase by default; WITH
     # quote identifiers / snake_case identifiers switch the mode); the
@@ -453,40 +519,92 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
         case_mode = "quote"
     elif cmd.options.get("snake_case_identifiers"):
         case_mode = "snake_case"
-    tables = {
-        t: table_from_fields(
-            target_names[t], fields, engine, sch, case_mode=case_mode
+    tables = {}
+    for t, fields in catalog_fields.items():
+        tbl = table_from_fields(
+            mv_staging.get(t, t), fields, engine, sch, case_mode=case_mode
         )
-        for t, fields in catalog_fields.items()
-    }
+        tbl.source_name = t
+        tables[t] = tbl
+
+    # ALTER TABLE / ALTER SCHEMA rules applied to the catalog before
+    # any DDL or data movement (plans/alter_rules.py;
+    # alter-table.lisp:10-158): renames, SET SCHEMA moves, storage
+    # parameters, then schema renames.
+    from pgloader_spark.plans.alter_rules import (
+        AlterRule,
+        apply_schema_rules,
+        apply_table_rules,
+    )
+
+    t_rules, s_rules = [], []
+    for d in cmd.alter_rules:
+        rule = AlterRule(
+            kind=d["kind"],
+            match=d["match"],
+            is_regex=d.get("is_regex", False),
+            value=d.get("value"),
+        )
+        (t_rules if d.get("scope") == "table" else s_rules).append(rule)
+    apply_table_rules(cat, t_rules)
+    apply_schema_rules(cat, s_rules)
     # fail fast BEFORE any DDL or data movement when folded/truncated
     # identifiers collide (issue #353 regress, sqlite-collision.load:
     # no table may be created, no row copied)
     cat.check_identifier_collisions()
 
+    def _schema_of(tbl) -> str | None:
+        for s in cat.schemas:
+            if tbl in s.tables:
+                return s.name if s.name != "public" else None
+        return None
+
+    def _qualified(tbl) -> str:
+        """schema.table (unquoted — write_pg_copy/quote_qualified
+        quote each part)."""
+        s = _schema_of(tbl)
+        return f"{s}.{tbl.name}" if s else tbl.name
+
     target = cmd.target or ""
     pg_target = target.startswith(("postgresql://", "pgsql://", "postgres://"))
     if pg_target:
-        from pgloader_spark.sources.pg_live import write_pg_copy
+        from pgloader_spark.sources.pg_live import quote_qualified, write_pg_copy
         from pgloader_spark.sources.pgwire import PGConn
 
         with PGConn(target) as conn:
-            for stmt in prepare_statements(cat, include_drop=True):
-                conn.query(stmt)
+            # BEFORE LOAD runs before schema creation (command-*.lisp:
+            # the sql-code-block precedes copy-database) — db789.load
+            # creates its target tables there under `create no tables`
             for stmt in cmd.before_load:
                 conn.query(stmt)
+            # WITH data only / create no tables skip DDL; WITH
+            # truncate empties the (pre-existing) targets
+            # (prepare-pgsql-database, migrate-database.lisp:30-120)
+            if not (
+                cmd.options.get("data_only")
+                or cmd.options.get("create_no_tables")
+            ):
+                for stmt in prepare_statements(cat, include_drop=True):
+                    conn.query(stmt)
+            if cmd.options.get("truncate"):
+                for tbl in tables.values():
+                    conn.query(f"TRUNCATE {quote_qualified(_qualified(tbl))}")
 
     reports: list[LoadReport] = []
     # WITH workers = N (copy-data.lisp:64-66 / migrate-database.lisp
     # worker-pool knob) -> concurrent COPY streams per table
     n_writers = int(cmd.options.get("workers", 0)) or None
+    schema_only = bool(cmd.options.get("schema_only"))
     for t in catalog_fields:
         tbl = tables[t]
+        if schema_only:
+            reports.append(LoadReport(table=tbl.name, read=0, loaded=0))
+            continue
         df = _read(ctx.spark, src_loc, t, engine=engine)
         df = df.toDF(*[c.name for c in tbl.columns])
         if pg_target:
             # one distributed pass: the COPY sink reports rows loaded
-            n = write_pg_copy(df, target, tbl.name, n_writers=n_writers)
+            n = write_pg_copy(df, target, _qualified(tbl), n_writers=n_writers)
         else:
             out = os.path.join(target or ctx.root_dir, f"{tbl.name}.parquet")
             df.write.mode("overwrite").parquet(out)
@@ -502,19 +620,13 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
 
     # drop the materialized-view staging tables on the source, like
     # the reference drops its views once migrated
-    if mv_names:
-        if src.startswith(("postgresql://", "pgsql://", "postgres://")):
-            from pgloader_spark.sources.pgwire import PGConn as _AdminConn
-
-            with _AdminConn(src_loc) as _admin:
-                for vname in mv_names:
-                    _admin.query(f'DROP TABLE IF EXISTS "{vname}"')
-        else:
-            import sqlite3 as _sq3
-
-            with _sq3.connect(src_loc) as _db:
-                for vname in mv_names:
-                    _db.execute(f'DROP TABLE IF EXISTS "{vname}"')
+    if mv_staging:
+        _source_admin(
+            [
+                f"DROP TABLE IF EXISTS {_qident(staging)}"
+                for staging in mv_staging
+            ]
+        )
     return reports
 
 

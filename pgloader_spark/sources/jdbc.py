@@ -213,16 +213,20 @@ def pushdown_query(
 # --------------------------------------------------------------------------
 
 
-def mysql_columns_sql(database: str) -> str:
+def mysql_columns_sql(database: str, table_type: str = "BASE TABLE") -> str:
     """information_schema.columns scan, the content of
     src/sources/mysql/sql/list-all-columns.sql re-derived from the
-    public information_schema layout."""
+    public information_schema layout.  Joined to ``tables`` so views
+    are excluded (the reference passes a table-type parameter —
+    mysql-schema.lisp:55-75 — and migrates views only via
+    MATERIALIZE VIEWS)."""
     return f"""
-SELECT table_name, column_name, ordinal_position, column_default,
-       is_nullable, data_type, column_type, extra, column_comment
-FROM information_schema.columns
-WHERE table_schema = '{database}'
-ORDER BY table_name, ordinal_position
+SELECT c.table_name, c.column_name, c.ordinal_position, c.column_default,
+       c.is_nullable, c.data_type, c.column_type, c.extra, c.column_comment
+FROM information_schema.columns c
+JOIN information_schema.tables t USING (table_schema, table_name)
+WHERE c.table_schema = '{database}' AND t.table_type = '{table_type}'
+ORDER BY c.table_name, c.ordinal_position
 """.strip()
 
 

@@ -1,0 +1,316 @@
+"""The reference's MySQL ``test/*.load`` scenarios run verbatim
+against the protocol-faithful stub server (no mysqld in this
+container) and a live PostgreSQL target:
+
+- ``sakila.load`` — the reference's marquee scenario: WITH worker
+  knobs, SET parameters both sides, CAST rules, MATERIALIZE ALL
+  VIEWS, ALTER TABLE SET SCHEMA / RENAME, ALTER SCHEMA RENAME.
+- ``mysql/db789.load`` — data only + create no tables + truncate +
+  name-only and SQL matviews + INCLUDING ONLY.
+- ``mysql-collision.load`` — issue #353: 63-byte identifier collision
+  must abort before touching the target.
+
+Only the connection strings are rewritten (the scenarios hardcode
+``mysql://root@localhost`` and a local PG); everything else is the
+reference's own text.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import time
+import uuid
+
+import pytest
+
+from pgloader_spark.sources.mysql_stub import (
+    MySQLStubServer,
+    StubColumn,
+    StubTable,
+)
+from pgloader_spark.sources.pgwire import PGConn
+
+PORT = 54343
+REF = "/root/reference/test"
+
+
+def _su_pg(cmd: str) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        ["su", "postgres", "-s", "/bin/bash", "-c", cmd],
+        capture_output=True,
+        text=True,
+    )
+
+
+@pytest.fixture(scope="module")
+def pg_root():
+    if shutil.which("pg_ctl") is None or shutil.which("su") is None:
+        pytest.skip("no PostgreSQL server binary")
+    base = f"/tmp/pgspark_myscen_{uuid.uuid4().hex[:8]}"
+    data = f"{base}/data"
+    os.makedirs(base, exist_ok=True)
+    shutil.chown(base, "postgres", "postgres")
+    if _su_pg(f"initdb -A trust -D {data} -U postgres").returncode != 0:
+        shutil.rmtree(base, ignore_errors=True)
+        pytest.skip("initdb failed")
+    started = _su_pg(
+        f"pg_ctl -D {data} -l {base}/log -o '-p {PORT} "
+        f"-c listen_addresses=127.0.0.1 "
+        f"-c unix_socket_directories={base}' start"
+    )
+    if started.returncode != 0:
+        shutil.rmtree(base, ignore_errors=True)
+        pytest.skip(f"pg_ctl start failed: {started.stderr[-200:]}")
+    root = f"postgresql://postgres@127.0.0.1:{PORT}/postgres"
+    for _ in range(50):
+        try:
+            PGConn(root).close()
+            break
+        except OSError:
+            time.sleep(0.2)
+    with PGConn(root) as c:
+        c.query("CREATE DATABASE sakila")
+        c.query("CREATE DATABASE pgloader")
+    yield root
+    _su_pg(f"pg_ctl -D {data} -m immediate stop")
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def _dsn(db: str) -> str:
+    return f"postgresql://postgres@127.0.0.1:{PORT}/{db}"
+
+
+def _run_scenario(path: str, replacements: dict, spark, tmp_path):
+    from pgloader_spark.parsers.loadcmd import parse_load
+    from pgloader_spark.plans.executor import ExecutionContext, execute_database
+
+    if not os.path.exists(path):
+        pytest.skip("reference corpus not available")
+    text = open(path, encoding="utf-8", errors="replace").read()
+    for old, new in replacements.items():
+        text = text.replace(old, new)
+    cmd = parse_load(text)
+    ctx = ExecutionContext(spark=spark, root_dir=str(tmp_path))
+    return execute_database(ctx, cmd)
+
+
+# --------------------------------------------------------------- fixtures
+
+
+def sakila_stub() -> MySQLStubServer:
+    actors = [
+        (i, f"FIRST{i}", f"LAST{i}", f"2006-02-15 04:34:{i % 60:02d}")
+        for i in range(1, 36)
+    ]
+    films = [
+        (1, "ACADEMY DINOSAUR", 2006, "0.99", "PG",
+         "2006-02-15 05:03:42"),
+        (2, "ACE GOLDFINGER", 2006, "4.99", "G", "0000-00-00 00:00:00"),
+        (3, "ADAPTATION HOLES", 2007, "2.99", "NC-17",
+         "2006-02-15 05:03:42"),
+    ]
+    tables = [
+        StubTable(
+            name="actor",
+            columns=[
+                StubColumn("actor_id", "smallint(5) unsigned",
+                           nullable=False, extra="auto_increment"),
+                StubColumn("first_name", "varchar(45)", nullable=False),
+                StubColumn("last_name", "varchar(45)", nullable=False),
+                StubColumn("last_update", "timestamp", nullable=False),
+            ],
+            rows=actors,
+            pkey=["actor_id"],
+        ),
+        StubTable(
+            name="film",
+            columns=[
+                StubColumn("film_id", "smallint(5) unsigned",
+                           nullable=False, extra="auto_increment"),
+                StubColumn("title", "varchar(128)", nullable=False),
+                StubColumn("release_year", "year(4)"),
+                StubColumn("rental_rate", "decimal(4,2)", nullable=False),
+                StubColumn("rating", "enum('G','PG','PG-13','R','NC-17')"),
+                StubColumn("last_update", "datetime", nullable=False,
+                           default="0000-00-00 00:00:00"),
+            ],
+            rows=films,
+            pkey=["film_id"],
+        ),
+        StubTable(
+            name="store",
+            columns=[
+                StubColumn("store_id", "tinyint(3) unsigned",
+                           nullable=False, extra="auto_increment"),
+                StubColumn("manager", "varchar(45)", nullable=False),
+            ],
+            rows=[(1, "Mike"), (2, "Jon")],
+            pkey=["store_id"],
+        ),
+    ]
+    views = [
+        ("film_list", 'SELECT film_id AS fid, title, rating FROM "film"'),
+        ("sales_by_store",
+         'SELECT s.store_id, s.manager, COUNT(*) AS total '
+         'FROM "store" s, "film" f GROUP BY s.store_id, s.manager'),
+    ]
+    return MySQLStubServer("sakila", tables, views=views)
+
+
+# --------------------------------------------------------------- scenarios
+
+
+def test_sakila_load_runs_verbatim(pg_root, spark, tmp_path):
+    """sakila.load end-to-end: tables land in pagila (schema renamed
+    from sakila), matviews in mv, film renamed to films, zero dates
+    NULLed by the CAST rule, enum type created."""
+    with sakila_stub() as srv:
+        reports = _run_scenario(
+            f"{REF}/sakila.load",
+            {
+                "mysql://root@localhost/sakila?sslmode=disable":
+                    f"mysql://root@127.0.0.1:{srv.port}/sakila",
+                "postgresql:///sakila": _dsn("sakila"),
+            },
+            spark,
+            tmp_path,
+        )
+    got = {r.table: r.loaded for r in reports}
+    assert got["actor"] == 35
+    assert got["films"] == 3  # ALTER TABLE ... RENAME film -> films
+    assert got["film_list"] == 3
+    assert got["sales_by_store_list"] == 2  # renamed matview
+    with PGConn(_dsn("sakila")) as c:
+        _, rows = c.query("SELECT COUNT(*) FROM pagila.actor")
+        assert rows == [("35",)]
+        _, rows = c.query(
+            "SELECT title, last_update FROM pagila.films ORDER BY film_id"
+        )
+        assert rows[0][0] == "ACADEMY DINOSAUR"
+        assert rows[1][1] is None  # zero date -> NULL (CAST rule)
+        _, rows = c.query("SELECT fid, title FROM mv.film_list ORDER BY fid")
+        assert len(rows) == 3
+        _, rows = c.query(
+            "SELECT manager FROM mv.sales_by_store_list ORDER BY store_id"
+        )
+        assert rows == [("Mike",), ("Jon",)]
+        # schema landscape: everything in pagila/mv, nothing in public
+        _, rows = c.query(
+            "SELECT COUNT(*) FROM information_schema.tables "
+            "WHERE table_schema = 'public'"
+        )
+        assert rows == [("0",)]
+        # the MySQL enum became a PostgreSQL enum type
+        _, rows = c.query(
+            "SELECT typname FROM pg_type WHERE typname LIKE 'film_rating%'"
+        )
+        assert rows != []
+
+
+def test_db789_matviews_data_only(pg_root, spark, tmp_path):
+    """mysql/db789.load: WITH data only, truncate, create no tables;
+    MATERIALIZE VIEWS with a name-only view (exists on the source) and
+    an inline SQL view; INCLUDING ONLY filters the base table away."""
+    tables = [
+        StubTable(
+            name="refrain",
+            columns=[StubColumn("id", "char(1)", nullable=False)],
+            rows=[("a",), ("b",), ("c",), ("d",)],
+            pkey=["id"],
+        ),
+    ]
+    views = [("proceed", "SELECT * FROM \"refrain\" WHERE id > 'b'")]
+    with MySQLStubServer("db789", tables, views=views) as srv:
+        reports = _run_scenario(
+            f"{REF}/mysql/db789.load",
+            {
+                "mysql://root@localhost/db789":
+                    f"mysql://root@127.0.0.1:{srv.port}/db789",
+                "postgres:///pgloader": _dsn("pgloader"),
+            },
+            spark,
+            tmp_path,
+        )
+    got = {r.table: r.loaded for r in reports}
+    assert got == {"proceed": 2, "foo": 1}  # refrain filtered out
+    with PGConn(_dsn("pgloader")) as c:
+        _, rows = c.query("SELECT id FROM db789.proceed ORDER BY id")
+        assert rows == [("c",), ("d",)]
+        _, rows = c.query("SELECT a FROM db789.foo")
+        assert rows == [("1",)]
+        # data only: the executor created NO tables (BEFORE LOAD did)
+        _, rows = c.query("SELECT COUNT(*) FROM db789.refrain")
+        assert rows == [("0",)]
+
+
+def test_db789_truncate_on_rerun(pg_root, spark, tmp_path):
+    """WITH truncate: re-running the scenario must not double rows."""
+    tables = [
+        StubTable(
+            name="refrain",
+            columns=[StubColumn("id", "char(1)", nullable=False)],
+            rows=[("a",), ("b",), ("c",), ("d",)],
+            pkey=["id"],
+        ),
+    ]
+    views = [("proceed", "SELECT * FROM \"refrain\" WHERE id > 'b'")]
+    with MySQLStubServer("db789", tables, views=views) as srv:
+        repl = {
+            "mysql://root@localhost/db789":
+                f"mysql://root@127.0.0.1:{srv.port}/db789",
+            "postgres:///pgloader": _dsn("pgloader"),
+        }
+        _run_scenario(f"{REF}/mysql/db789.load", repl, spark, tmp_path)
+        reports = _run_scenario(
+            f"{REF}/mysql/db789.load", repl, spark, tmp_path
+        )
+    assert {r.table: r.loaded for r in reports} == {"proceed": 2, "foo": 1}
+    with PGConn(_dsn("pgloader")) as c:
+        _, rows = c.query("SELECT COUNT(*) FROM db789.proceed")
+        assert rows == [("2",)]  # truncated, not appended
+
+
+def test_mysql_collision_fails_fast(pg_root, spark, tmp_path):
+    """mysql-collision.load (issue #353): two column names truncating
+    to the same 63-byte identifier abort before any target DDL."""
+    from pgloader_spark.catalog import IdentifierCollision
+
+    long_a = (
+        "col_very_long_name_that_exceeds_postgresql_identifier_limit_aaax"
+    )
+    long_b = (
+        "col_very_long_name_that_exceeds_postgresql_identifier_limit_aaay"
+    )
+    tables = [
+        StubTable(
+            name="products",
+            columns=[
+                StubColumn("id", "int(11)", nullable=False),
+                StubColumn("name", "varchar(100)", nullable=False),
+                StubColumn(long_a, "int(11)"),
+                StubColumn(long_b, "int(11)"),
+            ],
+            rows=[(1, "x", 1, 2)],
+            pkey=["id"],
+        ),
+    ]
+    with MySQLStubServer("mysql_collision", tables) as srv:
+        with pytest.raises(IdentifierCollision, match="col_very_long_name"):
+            _run_scenario(
+                f"{REF}/mysql-collision.load",
+                {
+                    "mysql://root@localhost/mysql_collision":
+                        f"mysql://root@127.0.0.1:{srv.port}/mysql_collision",
+                    "postgresql:///pgloader": _dsn("pgloader"),
+                },
+                spark,
+                tmp_path,
+            )
+    with PGConn(_dsn("pgloader")) as c:
+        _, rows = c.query(
+            "SELECT COUNT(*) FROM information_schema.tables "
+            "WHERE table_name = 'products'"
+        )
+        assert rows == [("0",)]  # nothing was created
