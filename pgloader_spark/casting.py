@@ -183,28 +183,33 @@ def _mysql_rules() -> list[CastRule]:
         R.append(CastRule(source_type=t, target=_r("text", T.StringType())))
     for t in ("binary", "varbinary", "blob", "tinyblob", "mediumblob", "longblob"):
         R.append(CastRule(source_type=t, target=_r("bytea", T.BinaryType())))
-    # zero-date defaults dropped + transform (mysql-cast-rules.lisp:107-140)
+    # zero-date defaults: drop the default AND the NOT NULL (the rows
+    # become NULL through the transform, so a kept constraint would
+    # reject them) + transform (mysql-cast-rules.lisp:107-160)
     zd = lambda f: (f.default or "") in _ZERO_DATE_DEFAULTS  # noqa: E731
     R.append(
         CastRule(
             source_type="date",
             guard=zd,
             target=lambda f: CastResult(
-                "date", T.DateType(), transform="zero-dates-to-null", drop_default=True
+                "date", T.DateType(), transform="zero-dates-to-null",
+                drop_default=True, drop_not_null=True,
             ),
         )
     )
     R.append(CastRule(source_type="date", target=_r("date", T.DateType())))
-    R.append(
-        CastRule(
-            source_type="datetime",
-            guard=zd,
-            target=lambda f: CastResult(
-                "timestamptz", T.TimestampType(),
-                transform="zero-dates-to-null", drop_default=True,
-            ),
+    for t in ("datetime", "timestamp"):
+        R.append(
+            CastRule(
+                source_type=t,
+                guard=zd,
+                target=lambda f: CastResult(
+                    "timestamptz", T.TimestampType(),
+                    transform="zero-dates-to-null",
+                    drop_default=True, drop_not_null=True,
+                ),
+            )
         )
-    )
     R.append(CastRule(source_type="datetime", target=_r("timestamptz", T.TimestampType())))
     R.append(CastRule(source_type="timestamp", target=_r("timestamptz", T.TimestampType())))
     R.append(CastRule(source_type="time", target=_r("time", T.StringType())))

@@ -209,6 +209,43 @@ def test_sakila_load_runs_verbatim(pg_root, spark, tmp_path):
         assert rows != []
 
 
+def test_sakila_data_reload_into_existing_schema(pg_root, spark, tmp_path):
+    """sakila-data.load: WITH create no tables, include drop, truncate
+    — the data-only reload path.  Per the scenario's own comment it
+    runs against a schema created by a first migration, so we run one
+    plain LOAD DATABASE first, then the scenario verbatim; the reload
+    must truncate-and-refill, not duplicate."""
+    from pgloader_spark.parsers.loadcmd import parse_load
+    from pgloader_spark.plans.executor import ExecutionContext, execute_database
+
+    with PGConn(_dsn("sakila")) as c:
+        c.query("DROP SCHEMA IF EXISTS sakila CASCADE")
+    with sakila_stub() as srv:
+        my = f"mysql://root@127.0.0.1:{srv.port}/sakila"
+        first = parse_load(
+            f"LOAD DATABASE FROM {my} INTO {_dsn('sakila')} "
+            "MATERIALIZE ALL VIEWS;"
+        )
+        ctx = ExecutionContext(spark=spark, root_dir=str(tmp_path))
+        execute_database(ctx, first)
+        reports = _run_scenario(
+            f"{REF}/sakila-data.load",
+            {
+                "mysql://root@localhost/sakila": my,
+                "postgresql:///sakila": _dsn("sakila"),
+            },
+            spark,
+            tmp_path,
+        )
+    got = {r.table: r.loaded for r in reports}
+    assert got["actor"] == 35 and got["film_list"] == 3
+    with PGConn(_dsn("sakila")) as c:
+        _, rows = c.query("SELECT COUNT(*) FROM sakila.actor")
+        assert rows == [("35",)]  # truncated + reloaded, not 70
+        _, rows = c.query("SELECT COUNT(*) FROM sakila.film_list")
+        assert rows == [("3",)]
+
+
 def test_db789_matviews_data_only(pg_root, spark, tmp_path):
     """mysql/db789.load: WITH data only, truncate, create no tables;
     MATERIALIZE VIEWS with a name-only view (exists on the source) and
