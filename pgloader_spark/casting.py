@@ -56,6 +56,8 @@ class CastResult:
     transform: str | None = None  # name in the transform registry
     drop_default: bool = False
     drop_not_null: bool = False  # CAST ... drop not null -> nullable target
+    drop_extra: bool = False  # CAST ... drop extra -> no on-update trigger
+    from_user: bool = False  # matched a user CAST rule (not a default)
     default: str | None = None
     sqltype: str | None = None  # generated PG type (enum) to create first
     sqltype_kind: str | None = None  # "enum" | "set" (set renders name[])
@@ -408,9 +410,10 @@ class CastEngine:
         self._defaults = DEFAULT_RULES[self.source_kind]()
 
     def cast(self, f: SourceField) -> CastResult:
-        for rule in [*self.user_rules, *self._defaults]:
+        for i, rule in enumerate([*self.user_rules, *self._defaults]):
             if rule.matches(f):
                 res = rule.target(f)
+                res.from_user = i < len(self.user_rules)
                 if res.default is None and not res.drop_default:
                     res.default = _normalize_default(f.default)
                 return self._serialize_serial(f, res)
@@ -439,6 +442,28 @@ class CastEngine:
         """-> list of (field, CastResult); the catalog layer turns these
         into Column structs + a StructType."""
         return [(f, self.cast(f)) for f in fields]
+
+    def read_spark_type(self, f: SourceField, res: CastResult):
+        """The Spark type the SCAN should deliver for ``f``.
+
+        When the winning cast rule attaches a USING transform, the
+        transform consumes the SOURCE-native value (the reference runs
+        transform functions on source representations —
+        src/utils/transforms.lisp; e.g. byte-vector-to-hexstring needs
+        the raw bytes of a binary(16), not a target-typed uuid string),
+        so the scan reads the default-rule shape and the executor
+        applies the transform + final cast after the scan.  Without a
+        transform the scan reads the target shape directly."""
+        if not (res.transform and res.from_user):
+            # default-rule transforms (zero dates, tinyint(1) boolean)
+            # are folded into the readers' per-cell conversion already
+            return res.spark_type
+        if not hasattr(self, "_plain_defaults"):
+            self._plain_defaults = DEFAULT_RULES[self.source_kind]()
+        for rule in self._plain_defaults:
+            if rule.matches(f):
+                return rule.target(f).spark_type
+        return _FALLBACK.spark_type
 
 
 def _normalize_default(default: str | None) -> str | None:

@@ -379,6 +379,8 @@ def _parse_one_command(p: _P) -> LoadCommand:
             if p.at_word("as"):
                 p.next()
                 p.eat_word("reference")
+                if p.at_word("table"):  # DISTRIBUTE t AS REFERENCE TABLE
+                    p.next()
             else:
                 p.eat_word("using")
                 rule["column"] = p.next().value
@@ -510,10 +512,13 @@ def _parse_regex_list(p: _P) -> list[str]:
 
 def _regex_or_string(p: _P) -> str:
     t = p.next()
-    if t.kind in ("regex", "string"):
+    if t.kind == "regex":
+        # regex rules match with SEARCH semantics (the reference turns
+        # them into MySQL REGEXP / cl-ppcre scan — mysql-schema.lisp:
+        # filter-list-to-where-clause), so keep them unanchored
         return t.value
-    # bare quoted name means exact match
-    return re.escape(t.value)
+    # a quoted or bare name is an exact match (string-match-rule, `=`)
+    return f"^{re.escape(t.value)}$"
 
 
 def _parse_from(p: _P, cmd: LoadCommand) -> None:
@@ -1010,7 +1015,17 @@ def compile_cast_rules(specs: list[CastRuleSpec]):
                 if "default" in g and (f.default or "") != g["default"]:
                     return False
                 if "extra" in g:
-                    if g["extra"].lower() not in (f.extra or "").lower():
+                    # the DSL writes `on update current timestamp`;
+                    # MySQL's information_schema reports `on update
+                    # CURRENT_TIMESTAMP` (5.x) / `DEFAULT_GENERATED on
+                    # update CURRENT_TIMESTAMP` (8.x) — the reference
+                    # treats these as one semantic token
+                    # (command-keywords.lisp:165-170,
+                    # mysql-cast-rules.lisp:223-227), so compare with
+                    # underscores folded to spaces
+                    want = g["extra"].lower().replace("_", " ")
+                    have = (f.extra or "").lower().replace("_", " ")
+                    if want not in have:
                         return False
                 if "sexp" in g:
                     if not _eval_guard_sexp(g["sexp"], f):
@@ -1038,6 +1053,8 @@ def compile_cast_rules(specs: list[CastRuleSpec]):
                     res.drop_default = True
                 if "not null" in s.drop:
                     res.drop_not_null = True
+                if "extra" in s.drop:
+                    res.drop_extra = True
                 return res
 
             return target

@@ -419,7 +419,11 @@ def table_from_fields(
     cols: list[Column] = []
     for f, res in engine.cast_fields(fields):
         extra: dict = {}
-        if f.extra and "on update current_timestamp" in str(f.extra).lower():
+        if (
+            f.extra
+            and "on update current_timestamp" in str(f.extra).lower()
+            and not res.drop_extra
+        ):
             extra["trigger"] = TRIGGER_ON_UPDATE_TS
         if f.extra and "auto_increment" in str(f.extra).lower():
             extra["serial"] = True

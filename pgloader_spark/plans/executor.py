@@ -335,9 +335,38 @@ def _user_rules(cmd: LoadCommand):
 def _match_filters(name: str, including: list[str], excluding: list[str]) -> bool:
     import re as _re
 
-    if including and not any(_re.fullmatch(p.replace("~", ".*"), name) for p in including):
+    if including and not any(_re.search(p, name) for p in including):
         return False
-    return not any(_re.fullmatch(p.replace("~", ".*"), name) for p in excluding)
+    return not any(_re.search(p, name) for p in excluding)
+
+
+def _apply_cast_transforms(df, fields, engine) -> "DataFrame":
+    """USING transforms attached by cast rules, applied to the data of
+    a LOAD DATABASE migration (the reference runs each cast's
+    transform function over the source values in the COPY pipeline —
+    src/sources/common/methods.lisp map-rows + casting transforms).
+
+    The scan delivered source-native values for transform-carrying
+    columns (``CastEngine.read_spark_type``); here each transform runs
+    as a Column expression and the result is cast to the target Spark
+    type — e.g. my.load's ``column base64.data to jsonb using
+    base64-decode`` or ``... using byte-vector-to-hexstring``."""
+    from pgloader_spark.parsers.sexp import compile_using
+
+    for f, res in engine.cast_fields(fields):
+        if not (res.transform and res.from_user) or f.name not in df.columns:
+            continue
+        env = {c: df[c] for c in df.columns}
+        for c in df.columns:
+            env.setdefault(c.lower(), df[c])
+        using = res.transform.strip()
+        if not using.startswith("("):
+            env["__cast_col__"] = df[f.name]
+            using = f"({using} __cast_col__)"
+        df = df.withColumn(
+            f.name, compile_using(using, env).cast(res.spark_type)
+        )
+    return df
 
 
 def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport]:
@@ -601,6 +630,7 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
             reports.append(LoadReport(table=tbl.name, read=0, loaded=0))
             continue
         df = _read(ctx.spark, src_loc, t, engine=engine)
+        df = _apply_cast_transforms(df, catalog_fields[t], engine)
         df = df.toDF(*[c.name for c in tbl.columns])
         if pg_target:
             # one distributed pass: the COPY sink reports rows loaded

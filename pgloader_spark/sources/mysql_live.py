@@ -92,7 +92,7 @@ def _schema_for(fields: list[SourceField], engine: CastEngine) -> T.StructType:
     # cell; NOT NULL is enforced at the target (see sqlite_live.py)
     return T.StructType(
         [
-            T.StructField(f.name, res.spark_type, True)
+            T.StructField(f.name, engine.read_spark_type(f, res), True)
             for f, res in engine.cast_fields(fields)
         ]
     )

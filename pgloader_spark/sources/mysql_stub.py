@@ -118,6 +118,14 @@ class MySQLStubServer:
 
     def _build_sqlite(self) -> sqlite3.Connection:
         con = sqlite3.connect(":memory:", check_same_thread=False)
+        # MySQL scalar functions the fixture store lacks (SQLite grew
+        # concat() only in 3.44); view SQL in the reference scenarios
+        # uses them (test/mysql/f1db-data.load: concat in a matview)
+        con.create_function(
+            "concat", -1,
+            lambda *a: None if any(x is None for x in a)
+            else "".join(str(x) for x in a),
+        )
         con.execute("ATTACH ':memory:' AS information_schema")
         cur = con.cursor()
         cur.executescript(

@@ -83,7 +83,7 @@ def _schema_for(fields: list[SourceField], engine: CastEngine) -> T.StructType:
     # scan — the reference's semantics.
     return T.StructType(
         [
-            T.StructField(f.name, res.spark_type, True)
+            T.StructField(f.name, engine.read_spark_type(f, res), True)
             for f, res in engine.cast_fields(fields)
         ]
     )

@@ -128,7 +128,9 @@ def test_parse_database_command():
     assert cmd.options["concurrency"] == "2"
     assert cmd.options["multiple_readers_per_thread"] is True
     assert cmd.options["rows_per_range"] == "50000"
-    assert cmd.including == ["^film", "actor"]
+    # regex rules stay unanchored (search semantics, like the
+    # reference's REGEXP); quoted names anchor to an exact match
+    assert cmd.including == ["^film", "^actor$"]
     assert cmd.excluding == ["temp$"]
     assert len(cmd.cast_rules) == 3
     r0 = cmd.cast_rules[0]

@@ -351,3 +351,308 @@ def test_mysql_collision_fails_fast(pg_root, spark, tmp_path):
             "WHERE table_name = 'products'"
         )
         assert rows == [("0",)]  # nothing was created
+
+
+# ------------------------------------------------- test/mysql/my.load
+
+
+def test_my_load_cast_rule_surface(pg_root, spark, tmp_path):
+    """mysql/my.load verbatim: the reference's densest CAST-rule file.
+
+    Exercises per-column rules with USING transforms applied to the
+    DATA of a LOAD DATABASE (empty-string-to-null, base64-decode to
+    jsonb, byte-vector-to-hexstring to uuid), the typemod-guarded
+    decimal(18,6) -> double precision sexp rule, smallint unsigned ->
+    int, the ``when default "CURRENT_TIMESTAMP" with extra on update
+    current timestamp`` guard (drop default/not null/extra +
+    zero-dates-to-null), WITH quote identifiers, and ALTER SCHEMA
+    'pgloader' RENAME TO 'mysql'."""
+    canary = bytes(range(16))
+    tables = [
+        StubTable(
+            name="utilisateurs__Yvelines2013-06-28",
+            columns=[
+                StubColumn("id", "int(11)", nullable=False,
+                           extra="auto_increment"),
+                StubColumn("sexe", "varchar(8)", nullable=False),
+            ],
+            rows=[(1, "M"), (2, ""), (3, "F")],
+            pkey=["id"],
+        ),
+        StubTable(
+            name="base64",
+            columns=[
+                StubColumn("id", "char(36)", nullable=False),
+                StubColumn("data", "text"),
+            ],
+            rows=[
+                ("6fa459ea-ee8a-3ca4-894e-db77e160355e", "eyJrIjogInYifQ=="),
+            ],
+            pkey=["id"],
+        ),
+        StubTable(
+            name="encryption_key_canary",
+            columns=[
+                StubColumn("id", "int(11)", nullable=False),
+                StubColumn("uuid", "binary(16)"),
+            ],
+            rows=[(1, canary)],
+            pkey=["id"],
+        ),
+        StubTable(
+            name="metrics",
+            columns=[
+                StubColumn("id", "int(11)", nullable=False),
+                StubColumn("amount", "decimal(18,6)"),
+                StubColumn("ratio", "decimal(10,2)"),
+                StubColumn("small", "smallint(5) unsigned"),
+                StubColumn("updated_at", "timestamp", nullable=False,
+                           default="CURRENT_TIMESTAMP",
+                           extra="on update CURRENT_TIMESTAMP"),
+            ],
+            rows=[
+                (1, "1.5", "2.25", 7, "2020-01-02 03:04:05"),
+                (2, "2.5", "3.50", 8, "0000-00-00 00:00:00"),
+            ],
+            pkey=["id"],
+        ),
+    ]
+    with PGConn(_dsn("pgloader")) as c:
+        c.query("DROP SCHEMA IF EXISTS mysql CASCADE")
+    with MySQLStubServer("pgloader", tables) as srv:
+        reports = _run_scenario(
+            f"{REF}/mysql/my.load",
+            {
+                "mysql://root@unix:/tmp/mysql.sock:3306/pgloader":
+                    f"mysql://root@127.0.0.1:{srv.port}/pgloader",
+                "postgresql:///pgloader": _dsn("pgloader"),
+            },
+            spark,
+            tmp_path,
+        )
+    got = {r.table: r.loaded for r in reports}
+    assert got["utilisateurs__Yvelines2013-06-28"] == 3
+    assert got["base64"] == 1
+    assert got["encryption_key_canary"] == 1
+    assert got["metrics"] == 2
+    with PGConn(_dsn("pgloader")) as c:
+        # ALTER SCHEMA renamed pgloader -> mysql; quote identifiers
+        # preserved the dashed table name exactly
+        _, rows = c.query(
+            'SELECT sexe FROM mysql."utilisateurs__Yvelines2013-06-28"'
+            " ORDER BY id"
+        )
+        assert rows == [("M",), (None,), ("F",)]  # '' -> NULL
+        _, rows = c.query(
+            "SELECT data_type, is_nullable FROM information_schema.columns"
+            " WHERE table_schema = 'mysql' AND column_name = 'sexe'"
+        )
+        assert rows == [("text", "YES")]  # to text drop not null
+        # base64: id -> uuid, data -> jsonb via base64-decode
+        _, rows = c.query(
+            "SELECT data_type FROM information_schema.columns WHERE"
+            " table_schema = 'mysql' AND table_name = 'base64'"
+            " ORDER BY ordinal_position"
+        )
+        assert rows == [("uuid",), ("jsonb",)]
+        _, rows = c.query('SELECT data->>\'k\' FROM mysql."base64"')
+        assert rows == [("v",)]
+        # binary(16) -> uuid via byte-vector-to-hexstring
+        _, rows = c.query(
+            "SELECT uuid FROM mysql.encryption_key_canary"
+        )
+        assert rows == [("00010203-0405-0607-0809-0a0b0c0d0e0f",)]
+        # decimal(18,6) matched the sexp guard -> double precision;
+        # decimal(10,2) did not -> numeric; smallint unsigned -> int
+        _, rows = c.query(
+            "SELECT column_name, data_type, is_nullable, column_default"
+            " FROM information_schema.columns WHERE table_schema = 'mysql'"
+            " AND table_name = 'metrics' ORDER BY ordinal_position"
+        )
+        byname = {r[0]: r[1:] for r in rows}
+        assert byname["amount"][0] == "double precision"
+        assert byname["ratio"][0] == "numeric"
+        assert byname["small"][0] == "integer"
+        # timestamp rule: timestamptz, default dropped, NOT NULL dropped
+        assert byname["updated_at"][0] == "timestamp with time zone"
+        assert byname["updated_at"][1] == "YES"
+        assert byname["updated_at"][2] is None
+        _, rows = c.query(
+            "SELECT updated_at FROM mysql.metrics ORDER BY id"
+        )
+        assert rows[0][0] is not None
+        assert rows[1][0] is None  # zero date -> NULL
+
+
+# ------------------------------------------- test/mysql/f1db*.load
+
+
+def _f1db_stub() -> MySQLStubServer:
+    circuits = [(i, f"ref{i}", f"Circuit {i}", f"City {i}", "Italy",
+                 9.0 + i, 45.0 + i, 100 + i, f"http://c/{i}")
+                for i in range(1, 6)]
+    races = [(i, 2019, i, f"GP {i}") for i in range(1, 4)]
+    results = [(i, (i % 3) + 1, float(10 - i)) for i in range(1, 10)]
+    tables = [
+        StubTable(
+            name="circuits",
+            columns=[
+                StubColumn("circuitid", "int(11)", nullable=False,
+                           extra="auto_increment"),
+                StubColumn("circuitref", "varchar(255)", nullable=False),
+                StubColumn("name", "varchar(255)", nullable=False),
+                StubColumn("location", "varchar(255)"),
+                StubColumn("country", "varchar(255)"),
+                StubColumn("lng", "double"),
+                StubColumn("lat", "double"),
+                StubColumn("alt", "int(11)"),
+                StubColumn("url", "varchar(255)"),
+            ],
+            rows=circuits,
+            pkey=["circuitid"],
+        ),
+        StubTable(
+            name="races",
+            columns=[
+                StubColumn("raceid", "int(11)", nullable=False,
+                           extra="auto_increment"),
+                StubColumn("year", "int(11)", nullable=False),
+                StubColumn("round", "int(11)", nullable=False),
+                StubColumn("name", "varchar(255)", nullable=False),
+            ],
+            rows=races,
+            pkey=["raceid"],
+        ),
+        StubTable(
+            name="results",
+            columns=[
+                StubColumn("resultid", "int(11)", nullable=False,
+                           extra="auto_increment"),
+                StubColumn("raceid", "int(11)", nullable=False),
+                StubColumn("points", "double"),
+            ],
+            rows=results,
+            pkey=["resultid"],
+        ),
+    ]
+    return MySQLStubServer("f1db", tables)
+
+
+def test_f1db_load_plain_migration(pg_root, spark, tmp_path):
+    """mysql/f1db.load verbatim: the two-line LOAD DATABASE — all
+    defaults (downcase identifiers, create tables, every table)."""
+    with PGConn(pg_root) as c:
+        if c.query("SELECT 1 FROM pg_database WHERE datname = 'plop'")[1] == []:
+            c.query("CREATE DATABASE plop")
+    with PGConn(_dsn("plop")) as c:
+        c.query("DROP SCHEMA IF EXISTS f1db CASCADE")
+    with _f1db_stub() as srv:
+        reports = _run_scenario(
+            f"{REF}/mysql/f1db.load",
+            {
+                "mysql://root@localhost/f1db?useSSL=false":
+                    f"mysql://root@127.0.0.1:{srv.port}/f1db",
+                "pgsql:///plop": _dsn("plop"),
+            },
+            spark,
+            tmp_path,
+        )
+    got = {r.table: r.loaded for r in reports}
+    assert got == {"circuits": 5, "races": 3, "results": 9}
+    with PGConn(_dsn("plop")) as c:
+        _, rows = c.query("SELECT COUNT(*) FROM f1db.results")
+        assert rows == [("9",)]
+        _, rows = c.query(
+            "SELECT name FROM f1db.circuits ORDER BY circuitid LIMIT 1"
+        )
+        assert rows == [("Circuit 1",)]
+
+
+def test_f1db_data_matview_only(pg_root, spark, tmp_path):
+    """mysql/f1db-data.load verbatim: data only + create no tables +
+    EXCLUDING ~/./ (every base table) + MATERIALIZE VIEWS circuit AS
+    $$ ... concat(...) ... $$ — only the matview migrates, into a
+    pre-existing target table (the data-only contract)."""
+    with PGConn(pg_root) as c:
+        if c.query("SELECT 1 FROM pg_database WHERE datname = 'plop'")[1] == []:
+            c.query("CREATE DATABASE plop")
+    with PGConn(_dsn("plop")) as c:
+        c.query("DROP SCHEMA IF EXISTS f1db CASCADE")
+        c.query("CREATE SCHEMA f1db")
+        c.query(
+            "CREATE TABLE f1db.circuit (circuitid int, circuitref text,"
+            " name text, location text, country text, position text,"
+            " alt bigint, url text)"
+        )
+    with _f1db_stub() as srv:
+        reports = _run_scenario(
+            f"{REF}/mysql/f1db-data.load",
+            {
+                "mysql://root@localhost/f1db":
+                    f"mysql://root@127.0.0.1:{srv.port}/f1db",
+                "pgsql:///plop": _dsn("plop"),
+            },
+            spark,
+            tmp_path,
+        )
+    got = {r.table: r.loaded for r in reports}
+    assert got == {"circuit": 5}  # every base table excluded
+    with PGConn(_dsn("plop")) as c:
+        _, rows = c.query(
+            "SELECT position FROM f1db.circuit ORDER BY circuitid LIMIT 1"
+        )
+        assert rows == [("(10.0,46.0)",)]  # concat('(', lng, ',', lat, ')')
+        # data only: the executor created no base tables
+        _, rows = c.query(
+            "SELECT COUNT(*) FROM information_schema.tables WHERE"
+            " table_schema = 'f1db' AND table_name = 'circuits'"
+        )
+        assert rows == [("0",)]
+
+
+def test_f1db_citus_distribute_rules(pg_root, spark, tmp_path):
+    """mysql/f1db-citus.load verbatim: 13 DISTRIBUTE rules (6 AS
+    REFERENCE TABLE, 7 USING raceId) parse and drive citus_ddl with
+    reference tables first; the migration itself runs against plain
+    PostgreSQL (the citus extension DDL needs a Citus server)."""
+    from pgloader_spark.parsers.loadcmd import parse_load
+    from pgloader_spark.plans.citus import DistributionRule, citus_ddl
+
+    with PGConn(pg_root) as c:
+        if c.query("SELECT 1 FROM pg_database WHERE datname = 'dim'")[1] == []:
+            c.query("CREATE DATABASE dim")
+    with PGConn(_dsn("dim")) as c:
+        c.query("DROP SCHEMA IF EXISTS f1db CASCADE")
+    ref = f"{REF}/mysql/f1db-citus.load"
+    if not os.path.exists(ref):
+        pytest.skip("reference corpus not available")
+    text = open(ref, encoding="utf-8").read()
+    cmd = parse_load(text)
+    dist = cmd.options.get("distribute")
+    assert len(dist) == 13
+    rules = [
+        DistributionRule(d["table"], d["column"], d["from_tables"])
+        for d in dist
+    ]
+    stmts = citus_ddl(rules)
+    assert len(stmts) == 13
+    # reference tables first (they must exist on all nodes before FKs)
+    assert all("create_reference_table" in s for s in stmts[:6])
+    assert all("create_distributed_table" in s for s in stmts[6:])
+    assert "SELECT create_distributed_table('f1db.results', 'raceId');" in stmts
+    with _f1db_stub() as srv:
+        reports = _run_scenario(
+            ref,
+            {
+                "mysql://root@localhost/f1db?useSSL=false":
+                    f"mysql://root@127.0.0.1:{srv.port}/f1db",
+                "pgsql://localhost:9700/dim": _dsn("dim"),
+            },
+            spark,
+            tmp_path,
+        )
+    got = {r.table: r.loaded for r in reports}
+    assert got == {"circuits": 5, "races": 3, "results": 9}
+    with PGConn(_dsn("dim")) as c:
+        _, rows = c.query("SELECT COUNT(*) FROM f1db.races")
+        assert rows == [("3",)]

@@ -24,7 +24,9 @@ pytestmark = pytest.mark.skipif(
 
 def _corpus() -> list[str]:
     return sorted(
-        glob.glob(f"{REF}/*.load") + glob.glob(f"{REF}/parse/*.load")
+        glob.glob(f"{REF}/*.load")
+        + glob.glob(f"{REF}/parse/*.load")
+        + glob.glob(f"{REF}/mysql/*.load")
     )
 
 
