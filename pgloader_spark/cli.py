@@ -65,17 +65,180 @@ def command_from_uris(source: str, target: str) -> LoadCommand:
     return cmd
 
 
+def synthesize_command_text(
+    source: str,
+    target: str,
+    *,
+    kind: str | None = None,
+    encoding: str | None = None,
+    fields: list[str] | None = None,
+    withs: list[str] | None = None,
+    sets: list[str] | None = None,
+    casts: list[str] | None = None,
+    before: str | None = None,
+    after: str | None = None,
+) -> str:
+    """Build the LOAD text the DSL would have expressed for a bare
+    SOURCE TARGET invocation plus --with/--set/--field/--cast/--type/
+    --encoding/--before/--after fragments — exactly the reference's
+    CLI-to-command synthesis (src/api.lisp:29-141 process-command-line
+    builds a command out of the option fragments and parses it with
+    the normal grammar)."""
+    kind = kind or sniff_source_kind(source)
+    kw = "DATABASE" if kind == "database" else kind.upper()
+    src = source if "://" in source else f"'{source}'"
+    parts = [f"LOAD {kw}", f"FROM {src}"]
+    if encoding:
+        parts.append(f"WITH ENCODING {encoding}")
+    if fields:
+        parts.append("(" + ", ".join(fields) + ")")
+    parts.append(f"INTO {target}")
+    if withs:
+        parts.append("WITH " + ", ".join(withs))
+    if sets:
+        norm = []
+        for frag in sets:
+            # the CLI writes work_mem='32 MB'; the DSL wants
+            # work_mem TO '32 MB' (main.lisp --set handling)
+            if "=" in frag and " to " not in frag.lower():
+                k, _, v = frag.partition("=")
+                frag = f"{k.strip()} TO {v.strip()}"
+            norm.append(frag)
+        parts.append("SET " + ", ".join(norm))
+    if casts:
+        parts.append("CAST " + ", ".join(casts))
+    if before:
+        parts.append(f"BEFORE LOAD EXECUTE '{before}'")
+    if after:
+        parts.append(f"AFTER LOAD EXECUTE '{after}'")
+    return "\n".join(parts) + ";"
+
+
+_KNOWN_ENCODINGS = [
+    "ascii", "big5", "cp1250", "cp1251", "cp1252", "cp1253", "cp1254",
+    "cp1255", "cp1256", "cp1257", "cp1258", "cp437", "cp850", "cp852",
+    "cp866", "euc-jp", "euc-kr", "gb18030", "gbk", "iso-8859-1",
+    "iso-8859-2", "iso-8859-3", "iso-8859-4", "iso-8859-5",
+    "iso-8859-6", "iso-8859-7", "iso-8859-8", "iso-8859-9",
+    "iso-8859-10", "iso-8859-13", "iso-8859-14", "iso-8859-15",
+    "iso-8859-16", "koi8-r", "koi8-u", "latin-1", "shift-jis",
+    "utf-8", "utf-16", "utf-16-be", "utf-16-le", "utf-32",
+]
+
+
+def _load_context_vars(path: str) -> dict:
+    """--context FILE: INI key = value pairs feeding the {{VAR}}
+    mustache expansion (the reference's command context variables)."""
+    import configparser
+
+    cp = configparser.ConfigParser()
+    read = cp.read(path)
+    if not read:
+        # a bare KEY=VALUE file without section headers
+        cp = configparser.ConfigParser()
+        with open(path, encoding="utf-8") as fh:
+            cp.read_string("[default]\n" + fh.read())
+    out: dict = {}
+    for section in cp.sections():
+        out.update(dict(cp.items(section)))
+    return out
+
+
+def _dry_run_check(cmd: LoadCommand) -> list[tuple[str, bool, str]]:
+    """--dry-run: probe every connection the command would use, load
+    nothing (main.lisp dry-run)."""
+    checks: list[tuple[str, bool, str]] = []
+
+    def probe(label: str, fn) -> None:
+        try:
+            fn()
+            checks.append((label, True, "OK"))
+        except Exception as exc:  # noqa: BLE001 — report, don't raise
+            checks.append((label, False, f"{type(exc).__name__}: {exc}"))
+
+    src = cmd.source
+    if src.startswith(("postgresql://", "pgsql://", "postgres://")):
+        from pgloader_spark.sources.pgwire import PGConn
+
+        probe(f"source {src}", lambda: PGConn(src).close())
+    elif src.startswith("mysql://"):
+        from pgloader_spark.sources.mywire import MyConn
+
+        probe(f"source {src}", lambda: MyConn(src).close())
+    elif src.startswith(("sqlite://", "db3://")) or src.endswith(
+        (".db", ".sqlite", ".sqlite3")
+    ):
+        loc = src.split("://", 1)[1] if "://" in src else src
+
+        def _sqlite():
+            if not os.path.exists(loc):
+                raise FileNotFoundError(loc)
+
+        probe(f"source {src}", _sqlite)
+    elif src not in ("inline", "stdin"):
+
+        def _file():
+            if not (
+                src.startswith(("http://", "https://")) or os.path.exists(src)
+            ):
+                raise FileNotFoundError(src)
+
+        probe(f"source {src}", _file)
+    tgt = cmd.target or ""
+    if tgt.startswith(("postgresql://", "pgsql://", "postgres://")):
+        from pgloader_spark.sources.pgwire import PGConn
+
+        probe(f"target {tgt}", lambda: PGConn(tgt).close())
+    return checks
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="pgloader_spark",
         description="PySpark-native pgloader-capability engine",
     )
-    ap.add_argument("source", help="command file (.load) or source URI/path")
+    ap.add_argument("source", nargs="?", help="command file (.load) or source URI/path")
     ap.add_argument("target", nargs="?", help="target URI (postgresql://... or a parquet dir)")
-    ap.add_argument("--root-dir", default="/tmp/pgloader_spark", help="reject-file root")
+    ap.add_argument("-V", "--version", action="store_true", help="print version and exit")
+    ap.add_argument("-E", "--list-encodings", action="store_true",
+                    help="list known encodings and exit")
+    ap.add_argument("-D", "--root-dir", default="/tmp/pgloader_spark", help="reject-file root")
     ap.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
     ap.add_argument("--summary", choices=["text", "csv", "json"], default="text")
     ap.add_argument("--on-error-stop", action="store_true")
+    ap.add_argument("--dry-run", action="store_true",
+                    help="only check connections, load nothing")
+    ap.add_argument("-q", "--quiet", action="store_true")
+    ap.add_argument("-v", "--verbose", action="store_true")
+    ap.add_argument("-d", "--debug", action="store_true")
+    ap.add_argument("-L", "--logfile", default=None,
+                    help="file to receive the execution log")
+    ap.add_argument("--client-min-messages", default="warning",
+                    help="console log level (error|warning|notice|info|debug)")
+    ap.add_argument("--log-min-messages", default="notice",
+                    help="logfile log level")
+    ap.add_argument("-C", "--context", default=None, metavar="FILE.ini",
+                    help="INI file of {{VAR}} template variables")
+    ap.add_argument("--with", dest="withs", action="append", default=[],
+                    metavar="OPTION", help="load options (DSL WITH fragment)")
+    ap.add_argument("--set", dest="sets", action="append", default=[],
+                    metavar="GUC=VALUE", help="PostgreSQL session settings")
+    ap.add_argument("--field", dest="fields", action="append", default=[],
+                    metavar="SPEC", help="source field specifications")
+    ap.add_argument("--cast", dest="casts", action="append", default=[],
+                    metavar="RULE", help="cast rules (DSL CAST fragment)")
+    ap.add_argument("--type", dest="force_type", default=None,
+                    choices=["csv", "fixed", "copy", "dbf", "ixf"],
+                    help="force the source type")
+    ap.add_argument("--encoding", default=None, help="source encoding")
+    ap.add_argument("--before", default=None, metavar="FILE.sql",
+                    help="SQL script to run before loading")
+    ap.add_argument("--after", default=None, metavar="FILE.sql",
+                    help="SQL script to run after loading")
+    ap.add_argument("--regress", action="store_true",
+                    help="after loading, compare against the regress "
+                    "expected file (regress/expected/<name>.out next to "
+                    "the command file)")
     ap.add_argument(
         "--load-py-file",
         action="append",
@@ -87,26 +250,110 @@ def main(argv: list[str] | None = None) -> int:
     )
     args = ap.parse_args(argv)
 
+    if args.version:
+        from pgloader_spark import __version__
+
+        print(f"pgloader_spark {__version__}")
+        return 0
+    if args.list_encodings:
+        print("\n".join(_KNOWN_ENCODINGS))
+        return 0
+    if not args.source:
+        ap.error("SOURCE is required")
+
+    import logging
+
+    levels = {"error": logging.ERROR, "warning": logging.WARNING,
+              "notice": logging.INFO, "info": logging.INFO,
+              "debug": logging.DEBUG}
+    console = levels.get(args.client_min_messages.lower(), logging.WARNING)
+    if args.quiet:
+        console = logging.ERROR
+    if args.verbose:
+        console = logging.INFO
+    if args.debug:
+        console = logging.DEBUG
+    logging.basicConfig(level=console)
+    if args.logfile:
+        fh = logging.FileHandler(args.logfile)
+        fh.setLevel(levels.get(args.log_min_messages.lower(), logging.INFO))
+        logging.getLogger().addHandler(fh)
+
     from pgloader_spark.functions.transforms import load_plugin_file
 
     for plugin in args.load_py_file:
         load_plugin_file(plugin)
 
+    from pgloader_spark.parsers import loadcmd as _loadcmd
     from pgloader_spark.plans.executor import ExecutionContext, execute
     from pgloader_spark.session import get_spark
 
+    context_vars = _load_context_vars(args.context) if args.context else {}
+
+    def _parse(text: str) -> LoadCommand:
+        if context_vars:
+            import re as _re
+
+            text = _re.sub(
+                r"\{\{(\w+)\}\}",
+                lambda m: str(context_vars.get(m.group(1).lower(),
+                                               context_vars.get(m.group(1),
+                                                                m.group(0)))),
+                text,
+            )
+        return parse_load(text)
+
     if args.source.endswith(".load"):
         with open(args.source) as fh:
-            cmd = parse_load(fh.read())
+            cmd = _parse(fh.read())
+        cmd.source_dir = cmd.source_dir or os.path.dirname(
+            os.path.abspath(args.source)
+        )
+    elif (args.withs or args.sets or args.fields or args.casts
+          or args.force_type or args.encoding or args.before or args.after):
+        if not args.target:
+            ap.error("TARGET is required when SOURCE is not a .load file")
+        cmd = _parse(
+            synthesize_command_text(
+                args.source, args.target,
+                kind=args.force_type, encoding=args.encoding,
+                fields=args.fields, withs=args.withs, sets=args.sets,
+                casts=args.casts, before=args.before, after=args.after,
+            )
+        )
     else:
         if not args.target:
             ap.error("TARGET is required when SOURCE is not a .load file")
         cmd = command_from_uris(args.source, args.target)
 
+    if args.dry_run:
+        checks = _dry_run_check(cmd)
+        ok = all(c[1] for c in checks)
+        for label, good, msg in checks:
+            print(f"{'OK  ' if good else 'FAIL'} {label}: {msg}")
+        return 0 if ok else 1
+
+    _ = _loadcmd  # imported for plugin-registered transform visibility
+
     spark = get_spark("pgloader_spark", master=args.master)
     try:
+        # BEFORE/AFTER LOAD DO/EXECUTE statements run against the
+        # PostgreSQL target when there is one (api.lisp's
+        # pgsql-execute-with-timing surface)
+        sql_runner = None
+        tgt = cmd.target or args.target or ""
+        if tgt.startswith(("postgresql://", "pgsql://", "postgres://")):
+            from pgloader_spark.sources.pgwire import PGConn
+
+            def sql_runner(stmt: str) -> None:
+                with PGConn(tgt) as conn:
+                    conn.query(stmt)
+
         ctx = ExecutionContext(
-            spark=spark, root_dir=args.root_dir, on_error_stop=args.on_error_stop
+            spark=spark,
+            root_dir=args.root_dir,
+            on_error_stop=args.on_error_stop,
+            sql_runner=sql_runner,
         )
         if cmd.source_kind == "database":
             from pgloader_spark.plans.executor import execute_database
@@ -115,14 +362,45 @@ def main(argv: list[str] | None = None) -> int:
         else:
             report = execute(ctx, cmd)
             # parquet-dir targets land the data; a postgresql:// target
-            # goes through the COPY sink (live server required)
-            if args.target and not args.target.startswith("postgresql"):
-                report.result.write.mode("overwrite").parquet(args.target)
-            elif args.target:
-                from pgloader_spark.sources.pg_live import write_pg_copy
+            # goes through the COPY sink (live server required); a
+            # .load file's own INTO target sinks the same way
+            dest = args.target or cmd.target
+            is_pg = bool(dest) and dest.startswith(
+                ("postgresql://", "pgsql://", "postgres://")
+            )
+            if dest and not is_pg:
+                report.result.write.mode("overwrite").parquet(dest)
+            elif dest:
+                from pgloader_spark.sources.pg_live import (
+                    quote_qualified,
+                    write_pg_copy,
+                )
 
-                write_pg_copy(report.result, args.target, report.table)
+                if cmd.options.get("truncate"):
+                    sql_runner(f"TRUNCATE {quote_qualified(report.table)}")
+                write_pg_copy(report.result, dest, report.table)
             reports = [report]
+
+        if args.regress:
+            from pgloader_spark.plans.regress import (
+                expected_path_for,
+                regress_compare,
+            )
+
+            exp = (
+                expected_path_for(args.source)
+                if args.source.endswith(".load")
+                else None
+            )
+            if exp is None:
+                print("regress: no expected file for this command")
+                return 2
+            tgt = cmd.target or args.target
+            diffs = regress_compare(tgt, reports[0].table, exp)
+            if diffs:
+                print(f"regress: FAIL ({diffs} differing rows)")
+                return 1
+            print("regress: pass")
 
         from pgloader_spark.plans.orchestrate import MigrationSummary, TableResult
 

@@ -84,6 +84,7 @@ class LoadCommand:
     nested: list["LoadCommand"] = dfield(default_factory=list)
     finally_do: list[str] = dfield(default_factory=list)
     execute_files: list[str] = dfield(default_factory=list)  # BEFORE LOAD EXECUTE
+    after_execute_files: list[str] = dfield(default_factory=list)  # AFTER LOAD EXECUTE
     # DECODING TABLE NAMES MATCHING ~/re/ AS enc (per-table encoding override)
     decoding_rules: list[tuple[list[str], str]] = dfield(default_factory=list)
     # ALTER TABLE/SCHEMA clauses -> plans.alter_rules.AlterRule inputs
@@ -327,10 +328,15 @@ def _parse_one_command(p: _P) -> LoadCommand:
                         p.next()
                         target_list.append(p.eat("dollar"))
                 else:  # EXECUTE 'file.sql'
-                    cmd.execute_files.append(p.next().value)
+                    flist = (
+                        cmd.execute_files
+                        if w == "before"
+                        else cmd.after_execute_files
+                    )
+                    flist.append(p.next().value)
                     while p.peek() and p.peek().kind == "comma":
                         p.next()
-                        cmd.execute_files.append(p.next().value)
+                        flist.append(p.next().value)
         elif w == "finally" and cmd.source_kind == "archive":
             p.next()
             p.eat_word("do")

@@ -311,6 +311,11 @@ def execute_archive(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport]
     files = expand_archive(src)
     extract_dir = os.path.dirname(files[0]) if files else "."
 
+    for path in cmd.execute_files:  # BEFORE LOAD EXECUTE 'f.sql'
+        if ctx.sql_runner:
+            cmd.source_dir = cmd.source_dir or extract_dir
+            for stmt in read_sql_statements(_resolve_script(path, cmd)):
+                ctx.sql_runner(stmt)
     for stmt in cmd.before_load:
         if ctx.sql_runner:
             ctx.sql_runner(stmt)
@@ -338,6 +343,69 @@ def _match_filters(name: str, including: list[str], excluding: list[str]) -> boo
     if including and not any(_re.search(p, name) for p in including):
         return False
     return not any(_re.search(p, name) for p in excluding)
+
+
+def read_sql_statements(path: str) -> list[str]:
+    """Split a SQL script into statements on top-level semicolons,
+    honoring $$-quoted bodies, single quotes, and line comments —
+    enough for the reference's BEFORE/AFTER LOAD EXECUTE scripts
+    (test/geolite.sql carries a $$-quoted CREATE FUNCTION)."""
+    text = open(path, encoding="utf-8").read()
+    stmts, buf = [], []
+    i, n = 0, len(text)
+    in_sq = in_dollar = False
+    while i < n:
+        ch = text[i]
+        if in_dollar:
+            buf.append(ch)
+            if text.startswith("$$", i):
+                buf.append("$")
+                i += 2
+                in_dollar = False
+                continue
+            i += 1
+            continue
+        if in_sq:
+            buf.append(ch)
+            if ch == "'":
+                in_sq = False
+            i += 1
+            continue
+        if text.startswith("--", i):
+            while i < n and text[i] != "\n":
+                i += 1
+            continue
+        if text.startswith("$$", i):
+            buf.append("$$")
+            i += 2
+            in_dollar = True
+            continue
+        if ch == "'":
+            in_sq = True
+            buf.append(ch)
+            i += 1
+            continue
+        if ch == ";":
+            stmt = "".join(buf).strip()
+            if stmt:
+                stmts.append(stmt)
+            buf = []
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    tail = "".join(buf).strip()
+    if tail:
+        stmts.append(tail)
+    return stmts
+
+
+def _resolve_script(path: str, cmd: LoadCommand) -> str:
+    if os.path.isabs(path):
+        return path
+    base = cmd.source_dir or "."
+    cand = os.path.join(base, path)
+    return cand if os.path.exists(cand) else path
 
 
 def _apply_cast_transforms(df, fields, engine) -> "DataFrame":
@@ -604,6 +672,9 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
             # BEFORE LOAD runs before schema creation (command-*.lisp:
             # the sql-code-block precedes copy-database) — db789.load
             # creates its target tables there under `create no tables`
+            for path in cmd.execute_files:  # BEFORE LOAD EXECUTE 'f.sql'
+                for stmt in read_sql_statements(_resolve_script(path, cmd)):
+                    conn.query(stmt)
             for stmt in cmd.before_load:
                 conn.query(stmt)
             # WITH data only / create no tables skip DDL; WITH
@@ -641,12 +712,15 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
             n = ctx.spark.read.parquet(out).count()
         reports.append(LoadReport(table=tbl.name, read=n, loaded=n, result=df))
 
-    if pg_target and cmd.after_load:
+    if pg_target and (cmd.after_load or cmd.after_execute_files):
         from pgloader_spark.sources.pgwire import PGConn
 
         with PGConn(target) as conn:
             for stmt in cmd.after_load:
                 conn.query(stmt)
+            for path in cmd.after_execute_files:  # AFTER LOAD EXECUTE
+                for stmt in read_sql_statements(_resolve_script(path, cmd)):
+                    conn.query(stmt)
 
     # drop the materialized-view staging tables on the source, like
     # the reference drops its views once migrated
@@ -690,6 +764,10 @@ def execute(ctx: ExecutionContext, cmd: LoadCommand) -> LoadReport:
     table = _target_table_name(cmd)
     report = LoadReport(table=table)
 
+    if ctx.sql_runner:
+        for path in cmd.execute_files:  # BEFORE LOAD EXECUTE 'f.sql'
+            for stmt in read_sql_statements(_resolve_script(path, cmd)):
+                ctx.sql_runner(stmt)
     for stmt in cmd.before_load:
         if ctx.sql_runner:
             ctx.sql_runner(stmt)
@@ -739,6 +817,10 @@ def execute(ctx: ExecutionContext, cmd: LoadCommand) -> LoadReport:
     for stmt in cmd.after_load:
         if ctx.sql_runner:
             ctx.sql_runner(stmt)
+    if ctx.sql_runner:
+        for path in cmd.after_execute_files:  # AFTER LOAD EXECUTE
+            for stmt in read_sql_statements(_resolve_script(path, cmd)):
+                ctx.sql_runner(stmt)
     return report
 
 

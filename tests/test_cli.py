@@ -55,3 +55,68 @@ LOAD CSV
     data = json.loads(line)
     assert data["tables"][0]["loaded"] == 2
     assert data["tables"][0]["errors"] == 0
+
+
+def test_version_and_list_encodings(capsys):
+    from pgloader_spark.cli import main
+
+    assert main(["--version"]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("pgloader_spark ")
+    assert main(["--list-encodings"]) == 0
+    out = capsys.readouterr().out
+    assert "iso-8859-1" in out and "utf-8" in out
+
+
+def test_synthesize_command_text_parses():
+    """--with/--set/--field/--cast/--encoding/--before fragments
+    synthesize a command the normal grammar parses (api.lisp:29-141)."""
+    from pgloader_spark.cli import synthesize_command_text
+    from pgloader_spark.parsers.loadcmd import parse_load
+
+    text = synthesize_command_text(
+        "/data/in.csv",
+        "postgresql:///db?t",
+        encoding="iso-8859-1",
+        fields=["id", "name"],
+        withs=["truncate", "skip header = 1", "fields terminated by ','"],
+        sets=["work_mem='32 MB'"],
+        casts=["type int to bigint"],
+        before="/tmp/pre.sql",
+        after="/tmp/post.sql",
+    )
+    cmd = parse_load(text)
+    assert cmd.source_kind == "csv"
+    assert [f.name for f in cmd.fields] == ["id", "name"]
+    assert cmd.options["truncate"] is True
+    assert int(cmd.options["skip_lines"]) == 1
+    assert cmd.options["encoding"].lower() == "iso-8859-1"
+    assert cmd.gucs == {"work_mem": "32 MB"}
+    assert cmd.cast_rules[0].source_type == "int"
+    assert cmd.cast_rules[0].target_type == "bigint"
+    assert cmd.execute_files == ["/tmp/pre.sql"]
+    assert cmd.after_execute_files == ["/tmp/post.sql"]
+
+
+def test_dry_run_checks_connections(tmp_path, capsys):
+    from pgloader_spark.cli import main
+
+    src = tmp_path / "in.csv"
+    src.write_text("a,b\n1,2\n")
+    # file source exists, no pg target probe for a parquet dir -> OK
+    assert main(["--dry-run", str(src), str(tmp_path / "out")]) == 0
+    assert "OK" in capsys.readouterr().out
+    # missing file -> FAIL, exit 1
+    assert main(["--dry-run", str(tmp_path / "nope.csv"),
+                 str(tmp_path / "out")]) == 1
+    assert "FAIL" in capsys.readouterr().out
+
+
+def test_context_vars_expand(tmp_path):
+    from pgloader_spark.cli import _load_context_vars
+
+    ini = tmp_path / "ctx.ini"
+    ini.write_text("[default]\ndstpath = /tmp/plop\nport = 5432\n")
+    vars_ = _load_context_vars(str(ini))
+    assert vars_["dstpath"] == "/tmp/plop"
+    assert vars_["port"] == "5432"

@@ -1545,3 +1545,51 @@ def test_reference_errors_load_reject_isolation(seeded, spark, tmp_path):
 # seven more self-contained inline scenarios
 for _name in ("fixed", "partial", "reformat", "serial", "simple", "udc", "xzero"):
     REF_RUNNABLE.append(_name)
+
+
+def test_cli_flags_end_to_end_with_regress(seeded, spark, tmp_path):
+    """The reference's CLI invocation mode against a live server:
+    SOURCE TARGET plus --field/--with/--before fragments synthesize a
+    command (api.lisp:29-141), the --before SQL script runs through
+    the target connection, and --regress replays the reference's
+    regress driver (regress.lisp:80-112) against an expected .out."""
+    from pgloader_spark.cli import main
+
+    src = tmp_path / "cli_people.csv"
+    src.write_text("10,ada\n20,grace\n30,edsger\n")
+    pre = tmp_path / "pre.sql"
+    pre.write_text(
+        "DROP TABLE IF EXISTS cli_people;"
+        "CREATE TABLE cli_people (id int, name text);"
+    )
+    rc = main([
+        str(src), f"{seeded}?cli_people",
+        "--field", "id", "--field", "name",
+        "--with", "fields terminated by ','",
+        "--before", str(pre),
+        "--master", "local[4]",
+        "--root-dir", str(tmp_path / "rej"),
+    ])
+    assert rc == 0
+    rows = _pg_table_rows(seeded, "cli_people", order_by="id")
+    assert [(int(a), b) for a, b in rows] == [
+        (10, "ada"), (20, "grace"), (30, "edsger")
+    ]
+
+    # --regress needs a .load file with a regress/expected layout
+    load = tmp_path / "cli_people.load"
+    load.write_text(
+        f"LOAD CSV FROM '{src}' (id, name)\n"
+        f"  INTO {seeded}?cli_people\n"
+        "  WITH truncate, fields terminated by ','\n"
+        f"  BEFORE LOAD EXECUTE '{pre}';\n"
+    )
+    expdir = tmp_path / "regress" / "expected"
+    expdir.mkdir(parents=True)
+    (expdir / "cli_people.out").write_text("10\tada\n20\tgrace\n30\tedsger\n")
+    assert main([str(load), "--master", "local[4]",
+                 "--root-dir", str(tmp_path / "rej2"), "--regress"]) == 0
+    # a wrong expectation fails the regress gate
+    (expdir / "cli_people.out").write_text("10\tada\n20\tgrace\n30\tWRONG\n")
+    assert main([str(load), "--master", "local[4]",
+                 "--root-dir", str(tmp_path / "rej3"), "--regress"]) == 1
