@@ -355,15 +355,21 @@ def _parse_one_command(p: _P) -> LoadCommand:
             p.eat_word("only")
             p.eat_word("table")
             p.eat_word("names")
-            p.eat_word("matching")
-            cmd.including = _parse_regex_list(p)
+            verb = p.eat_word("matching", "like")
+            pats = _parse_regex_list(p)
+            if verb == "like":
+                pats = [_like_to_regex(x) for x in pats]
+            cmd.including = pats
             _maybe_in_schema(p)
         elif w == "excluding":
             p.next()
             p.eat_word("table")
             p.eat_word("names")
-            p.eat_word("matching")
-            cmd.excluding = _parse_regex_list(p)
+            verb = p.eat_word("matching", "like")
+            pats = _parse_regex_list(p)
+            if verb == "like":
+                pats = [_like_to_regex(x) for x in pats]
+            cmd.excluding = pats
             _maybe_in_schema(p)
         elif w == "decoding":
             # DECODING TABLE NAMES MATCHING ~/re/[, ...] AS enc
@@ -514,6 +520,18 @@ def _parse_regex_list(p: _P) -> list[str]:
         p.next()
         out.append(_regex_or_string(p))
     return out
+
+
+def _like_to_regex(pat: str) -> str:
+    """The MSSQL grammar filters with SQL LIKE patterns
+    (command-mssql.lisp filter-list-like): % -> any run, _ -> any
+    char, anchored (LIKE is a full match).  ``_parse_regex_list``
+    already anchored plain names, so unwrap before translating."""
+    if pat.startswith("^") and pat.endswith("$"):
+        pat = pat[1:-1]
+    # the anchored form was re.escape()d; undo for the LIKE wildcards
+    pat = pat.replace(r"\%", "%").replace(r"\_", "_")
+    return "^" + pat.replace("%", ".*").replace("_", ".") + "$"
 
 
 def _regex_or_string(p: _P) -> str:

@@ -445,11 +445,12 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
     sink (or a parquet lake when the target is a directory).
 
     Live paths available in-container: ``sqlite://`` (stdlib sqlite3),
-    ``postgresql://`` (stdlib wire client, sources/pgwire.py) and
+    ``postgresql://`` (stdlib wire client, sources/pgwire.py),
     ``mysql://`` (stdlib wire client, sources/mywire.py — verified
     against the protocol-faithful fixture in sources/mysql_stub.py
-    since the sandbox ships no mysqld).  MSSQL still needs a server +
-    JDBC jar; its plans are covered in sources/jdbc.py tests.
+    since the sandbox ships no mysqld) and ``mssql://`` (stdlib TDS
+    7.1 client, sources/tdswire.py — verified against the
+    protocol-faithful fixture in sources/mssql_stub.py).
     """
     from pgloader_spark.casting import CastEngine
     from pgloader_spark.catalog import Catalog, Schema
@@ -484,14 +485,26 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
 
         src_loc = src
         engine = CastEngine("mysql", user_rules=_user_rules(cmd))
+    elif src.startswith("mssql://"):
+        from pgloader_spark.sources.mssql_live import (
+            introspect_mssql as _introspect,
+        )
+        from pgloader_spark.sources.mssql_live import (
+            read_mssql_table as _read,
+        )
+
+        src_loc = src
+        engine = CastEngine("mssql", user_rules=_user_rules(cmd))
     else:
         raise ValueError(
             f"no live driver for {src!r} in this environment "
-            "(sqlite://, postgresql:// and mysql:// are self-contained)"
+            "(sqlite://, postgresql://, mysql:// and mssql:// are "
+            "self-contained)"
         )
 
     src_is_pg = src.startswith(("postgresql://", "pgsql://", "postgres://"))
     src_is_my = src.startswith("mysql://")
+    src_is_ms = src.startswith("mssql://")
 
     def _source_admin(statements: list[str]) -> None:
         """Run DDL on the SOURCE database (matview staging/cleanup)."""
@@ -507,6 +520,12 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
             with _C(src_loc) as c:
                 for s in statements:
                     c.query(s)
+        elif src_is_ms:
+            from pgloader_spark.sources.tdswire import MsConn as _C
+
+            with _C(src_loc) as c:
+                for s in statements:
+                    c.query(s)
         else:
             import sqlite3 as _sq3
 
@@ -515,7 +534,11 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
                     db.execute(s)
 
     def _qident(name: str) -> str:
-        return f"`{name}`" if src_is_my else f'"{name}"'
+        if src_is_my:
+            return f"`{name}`"
+        if src_is_ms:
+            return f"[{name}]"
+        return f'"{name}"'
 
     def _list_source_views() -> list[str]:
         """MATERIALIZE ALL VIEWS discovery (matviews.lisp:62-85)."""
@@ -542,6 +565,17 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
                     for r in c.query(
                         "SELECT table_name FROM information_schema.views "
                         "WHERE table_schema = 'public'"
+                    )[1]
+                ]
+        if src_is_ms:
+            from pgloader_spark.sources.tdswire import MsConn as _C
+
+            with _C(src_loc) as c:
+                return [
+                    r[0]
+                    for r in c.query(
+                        "SELECT table_name FROM information_schema.tables "
+                        "WHERE table_type = 'VIEW'"
                     )[1]
                 ]
         import sqlite3 as _sq3
