@@ -335,6 +335,14 @@ def main(argv: list[str] | None = None) -> int:
 
     _ = _loadcmd  # imported for plugin-registered transform visibility
 
+    from pyspark.sql import SparkSession
+
+    # only stop a session this invocation created: in-process callers
+    # (tests, notebooks) own their session and getOrCreate reuses it
+    preexisting = (
+        SparkSession.getActiveSession() is not None
+        or getattr(SparkSession, "_instantiatedSession", None) is not None
+    )
     spark = get_spark("pgloader_spark", master=args.master)
     try:
         # BEFORE/AFTER LOAD DO/EXECUTE statements run against the
@@ -423,7 +431,8 @@ def main(argv: list[str] | None = None) -> int:
         print(out)
         return 0
     finally:
-        spark.stop()
+        if not preexisting:
+            spark.stop()
 
 
 if __name__ == "__main__":

@@ -521,3 +521,48 @@ def chunk_windows(
         ).cast("int").alias("n_tok"),
         F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
     )
+
+
+def c4_line_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+    require_terminal_punct: bool = True,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2 rules,
+    re-expressed as deterministic Column predicates): keep only lines
+    that end in terminal punctuation, carry >= 5 words, and are free
+    of javascript/code markers; keep the document when >= 3 lines
+    survive and the text is not boilerplate ("lorem ipsum").
+
+    Pure split + array-HOF filter — narrow, JVM-side, no shuffle; the
+    whole pass runs at scan speed on any corpus size.  Emits audit
+    columns (line counts, cleaned length) so the drop reasons are
+    inspectable downstream.
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def line_ok(line):
+        wc = F.size(F.filter(F.split(line, " "), lambda w: w != F.lit("")))
+        ok = (
+            (wc >= F.lit(min_words))
+            & ~F.contains(F.lower(line), F.lit("javascript"))
+            & ~F.contains(line, F.lit("{"))
+        )
+        if require_terminal_punct:
+            ok = ok & F.rtrim(line).rlike('[.!?"]$')
+        return ok
+
+    kept = F.filter(lines, line_ok)
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_kept"),
+        F.length(F.array_join(kept, "\n")).cast("bigint").alias("cleaned_len"),
+        (
+            (F.size(kept) >= min_kept_lines)
+            & ~F.contains(F.lower(F.col(text_col)), F.lit("lorem ipsum"))
+        ).alias("keep_doc"),
+    )

@@ -693,3 +693,37 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.lower(F.hex("pixels")).alias("pixels_hex"),
     )
+
+
+@query(
+    "text_c4_clean",
+    oracle="""
+WITH t AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines
+           FROM documents),
+k AS (SELECT doc_id, text, lines,
+             list_filter(lines, l ->
+               len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5
+               AND NOT contains(lower(l), 'javascript')
+               AND NOT contains(l, '{')) AS kept
+      FROM t)
+SELECT doc_id,
+       CAST(len(lines) AS INT) AS n_lines,
+       CAST(len(kept) AS INT) AS n_kept,
+       CAST(length(array_to_string(kept, chr(10))) AS BIGINT) AS cleaned_len,
+       (len(kept) >= 1 AND NOT contains(lower(text), 'lorem ipsum'))
+         AS keep_doc
+FROM k
+""",
+)
+def text_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning: terminal-punctuation + min-words
+    + code/boilerplate line filters, then a document-level keep
+    decision — all narrow Column/HOF expressions
+    (operators/text.py:c4_line_clean)."""
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    # the synthetic corpus is single-line prose without sentence
+    # punctuation, so the terminal-punct rule is exercised in the unit
+    # test and relaxed here (min_kept_lines=1 for the same reason)
+    return txt.c4_line_clean(
+        docs, min_kept_lines=1, require_terminal_punct=False
+    )

@@ -140,3 +140,24 @@ def test_dup_span_stats_planted_substring(spark):
     for d in (1, 2):
         assert out[d]["n_dup_windows"] >= 6
         assert 0 < out[d]["dup_frac"] < 1
+
+
+def test_c4_line_clean_rules(spark):
+    """The full C4 rule set on crafted lines: terminal punctuation,
+    min words, javascript/code markers, lorem-ipsum doc drop."""
+    from pgloader_spark.operators.text import c4_line_clean
+
+    good = "this is a good long sentence."
+    docs = [
+        (1, f"{good}\n{good}\n{good}"),                      # kept
+        (2, "too short.\nno punct at all here\nx { code }"), # all lines die
+        (3, f"{good}\nthis line mentions javascript sadly.\n{good}\n{good}"),
+        (4, f"lorem ipsum dolor sit amet.\n{good}\n{good}"), # doc dropped
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = {r.doc_id: r for r in c4_line_clean(df).collect()}
+    assert out[1].n_kept == 3 and out[1].keep_doc is True
+    assert out[2].n_kept == 0 and out[2].keep_doc is False
+    assert out[3].n_kept == 3  # the javascript line filtered out of 4
+    assert out[4].keep_doc is False  # lorem ipsum kills the doc
+    assert out[1].cleaned_len == 3 * len("this is a good long sentence.") + 2
