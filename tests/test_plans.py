@@ -273,3 +273,36 @@ def test_dup_spans_no_hot_key_fanout(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges <= 4, f"plan has {n_exchanges} exchanges:\n{plan}"
+
+
+def test_live_db_reads_are_shuffle_free(spark):
+    """The live source readers (MySQL/MSSQL pkey ranges, one task per
+    range) must be a pure scan: range table -> mapInPandas, no
+    Exchange anywhere — a 1000-executor cluster reads a source
+    database as parallel range SELECTs with zero shuffle."""
+    from pgloader_spark.sources.mssql_stub import (
+        MsSQLStubServer,
+        MsStubColumn,
+        MsStubTable,
+    )
+    from pgloader_spark.sources.mssql_live import read_mssql_table
+
+    t = MsStubTable(
+        name="t",
+        columns=[
+            MsStubColumn("id", "int", nullable=False),
+            MsStubColumn("v", "nvarchar", char_max_len=20),
+        ],
+        rows=[(i, f"v{i}") for i in range(1, 51)],
+        pkey=["id"],
+    )
+    with MsSQLStubServer("db", [t]) as srv:
+        df = read_mssql_table(
+            spark, f"mssql://sa@127.0.0.1:{srv.port}/db", "t",
+            rows_per_range=10,
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        # one task per pkey range
+        assert df.rdd.getNumPartitions() >= 1
+        assert df.count() == 50
