@@ -169,3 +169,98 @@ def global_shuffle_rank(
         .withColumn("shuffle_rank", (F.col("__off") + rn).cast("long"))
         .drop("__hb", "__bkt", "__off")
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    seed: int = 7,
+) -> DataFrame:
+    """DSIR-style hashed-n-gram importance log-weights per document.
+
+    Data Selection via Importance Resampling (Xie et al., NeurIPS 2023,
+    arXiv:2302.03169): score every raw document by how target-like it
+    is under two bag-of-hashed-n-grams unigram models — ``log p_tgt(x)
+    - log p_raw(x)`` summed over the document's (uni+bi)gram stream,
+    each gram hashed into ``n_buckets`` (add-1 smoothing on both
+    models).  ``is_target`` marks the rows that define the target
+    distribution (e.g. ``lang == 'en'`` or a curated-source flag); the
+    raw distribution is the whole input.  Downstream, documents are
+    importance-resampled by this weight (``hash_sample`` over a
+    weight-ranked order).
+
+    Engine-portable determinism: bucket log-ratios are rounded to 6
+    decimals and summed as DECIMAL(18,6) weighted by integer per-doc
+    bucket counts — the sum is exact, so value hashes match any oracle
+    regardless of addition order (same defense as
+    ``text.unigram_logprob``).
+
+    Scale shape: the gram explode is narrow; per-(doc,bucket) counts
+    are one keyed shuffle whose output is bounded by ``n_buckets`` per
+    doc (far smaller than the token stream); the global distributions
+    are an ``n_buckets``-row aggregate that rides a broadcast back
+    onto the counts; the final per-doc sum is the second and last
+    keyed shuffle.  Nothing is collected — the 2×``n_buckets`` model
+    lives inside the plan, so the same code runs at 100 TB unchanged.
+    """
+    from pgloader_spark.operators import text as txt
+
+    tk = F.col("__tk")
+    db = (
+        docs.select(
+            F.col(id_col),
+            is_target.cast("int").alias("__tgt"),
+            txt.tokens(F.col(text_col)).alias("__tk"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__tgt"),
+            F.explode(F.concat(tk, txt.ngrams_of(tk, 2))).alias("__g"),
+        )
+        .select(
+            id_col,
+            "__tgt",
+            hash_bucket(F.col("__g"), seed=seed, buckets=n_buckets).alias("__bkt"),
+        )
+        .groupBy(id_col, "__bkt")
+        .agg(F.count(F.lit(1)).alias("__c"), F.first("__tgt").alias("__tgt"))
+    )
+    dist = db.groupBy("__bkt").agg(
+        F.sum("__c").alias("__call"),
+        F.sum(F.col("__c") * F.col("__tgt")).alias("__ctgt"),
+    )
+    totals = dist.agg(
+        F.sum("__call").alias("__tall"), F.sum("__ctgt").alias("__ttgt")
+    )
+    lr = dist.crossJoin(F.broadcast(totals)).select(
+        "__bkt",
+        F.round(
+            F.log((F.col("__ctgt") + 1.0) / (F.col("__ttgt") + F.lit(n_buckets)))
+            - F.log((F.col("__call") + 1.0) / (F.col("__tall") + F.lit(n_buckets))),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("__lr"),
+    )
+    per = (
+        db.join(F.broadcast(lr), "__bkt")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("int").alias("n_grams"),
+            F.sum(F.col("__c") * F.col("__lr")).alias("__w"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("int").alias("n_grams"),
+            F.coalesce(F.round(F.col("__w").cast("double"), 6), F.lit(0.0)).alias(
+                "dsir_logw"
+            ),
+        )
+    )

@@ -16,7 +16,13 @@ from pyspark.sql import functions as F
 from pgloader_spark.operators import dedup
 from pgloader_spark.operators import text as txt
 from pgloader_spark.operators.sampling import hash_bucket, hash_sample, stratified_take
-from pgloader_spark.queries import _DUCK_TOKENS, _duck_jaccard_sql, query
+from pgloader_spark.queries import (
+    _DUCK_COS,
+    _DUCK_IVF_ASSIGN,
+    _DUCK_TOKENS,
+    _duck_jaccard_sql,
+    query,
+)
 from pgloader_spark.session import read_table
 
 _TOKS = _DUCK_TOKENS.format(c="text")
@@ -727,3 +733,73 @@ def text_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.c4_line_clean(
         docs, min_kept_lines=1, require_terminal_punct=False
     )
+
+
+@query(
+    "dedup_semantic",
+    oracle=f"""
+WITH {_DUCK_IVF_ASSIGN},
+v AS (SELECT e.vec_id, e.embedding, a.cell
+      FROM embeddings e JOIN asg a USING (vec_id)),
+drp AS (
+  SELECT DISTINCT b.vec_id
+  FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round({_DUCK_COS.format(a="a.embedding", b="b.embedding")}, 4) >= 0.35)
+SELECT vec_id, CAST(cell AS INTEGER) AS cell
+FROM v WHERE vec_id NOT IN (SELECT vec_id FROM drp)
+""",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means-cell-blocked embedding dedup, keep the
+    lowest-id representative per near-duplicate neighborhood
+    (operators/semdedup.py — cluster assignment is a shuffle-free
+    literal-centroid map; the only wide op is the within-cell join)."""
+    from pgloader_spark.operators import similarity
+    from pgloader_spark.operators.semdedup import semantic_dedup
+
+    emb = read_table(spark, sf_dir, "embeddings", widen=True)
+    cents = similarity.ivf_centroids(emb, n_centroids=8)
+    return semantic_dedup(emb, cents, tau=0.35)
+
+
+@query(
+    "sample_dsir_weights",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, lang, {_TOKS} AS tk FROM documents),
+grams AS (
+  SELECT doc_id, lang,
+         unnest(list_concat(tk, {_duck_ngrams(2)})) AS g
+  FROM toks),
+db AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('7:' || g), 1, 12)) AS BIGINT) % 256 AS bkt,
+         COUNT(*) AS c,
+         MAX(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt
+  FROM grams GROUP BY 1, 2),
+dist AS (
+  SELECT bkt, SUM(c) AS call, SUM(c * tgt) AS ctgt FROM db GROUP BY 1),
+tot AS (SELECT SUM(call) AS tall, SUM(ctgt) AS ttgt FROM dist),
+lr AS (
+  SELECT bkt,
+         CAST(round(ln((ctgt + 1.0) / (ttgt + 256))
+                    - ln((call + 1.0) / (tall + 256)), 6)
+              AS DECIMAL(18,6)) AS lrat
+  FROM dist CROSS JOIN tot),
+per AS (
+  SELECT doc_id, CAST(SUM(c) AS INT) AS n_grams, SUM(c * lrat) AS w
+  FROM db JOIN lr USING (bkt) GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_grams, 0) AS INT) AS n_grams,
+       COALESCE(round(CAST(p.w AS DOUBLE), 6), 0.0) AS dsir_logw
+FROM documents d LEFT JOIN per p USING (doc_id)
+""",
+)
+def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (log p_target - log p_raw over
+    hashed uni+bigrams, target = lang='en') — the data-selection
+    scorer between quality filtering and mixture sampling
+    (operators/sampling.py:dsir_weights)."""
+    from pgloader_spark.operators.sampling import dsir_weights
+
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    return dsir_weights(docs, is_target=F.col("lang") == "en")

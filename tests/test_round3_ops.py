@@ -285,3 +285,90 @@ def test_resize_bitmap_upscale_deterministic(spark):
     # each source pixel expands to a 2x2 block
     assert (got[0:2, 0:2] == src[0, 0]).all()
     assert (got[2:4, 2:4] == src[1, 1]).all()
+
+
+# ---------------------------------------------------------------- semdedup
+
+
+def _unit_vec(x: float, y: float) -> list[float]:
+    n = (x * x + y * y) ** 0.5
+    return [x / n, y / n]
+
+
+def test_semantic_dedup_keeps_lowest_id_per_neighborhood(spark):
+    from pgloader_spark.operators.semdedup import semantic_dedup
+
+    # two clear directions; ids 1/2/3 nearly colinear, 10/11 orthogonal
+    rows = [
+        (1, _unit_vec(1.0, 0.00)),
+        (2, _unit_vec(1.0, 0.01)),  # cos ~1 with 1 -> dropped
+        (3, _unit_vec(1.0, 0.02)),  # cos ~1 with 1 AND 2 -> dropped
+        (10, _unit_vec(0.0, 1.0)),
+        (11, _unit_vec(0.01, 1.0)),  # near-dup of 10 -> dropped
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    kept = {
+        r["vec_id"]: r["cell"]
+        for r in semantic_dedup(emb, cents, tau=0.95).collect()
+    }
+    assert kept == {1: 0, 10: 1}
+
+
+def test_semantic_dedup_cross_cell_neighbors_not_compared(spark):
+    from pgloader_spark.operators.semdedup import semantic_dedup
+
+    # identical vectors forced into different cells survive both —
+    # the documented approximation of cluster blocking
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    kept = sorted(
+        r["vec_id"] for r in semantic_dedup(emb, cents, tau=0.0).collect()
+    )
+    assert kept == [1, 2]
+
+
+# ---------------------------------------------------------------- dsir
+
+
+def test_dsir_weights_target_like_docs_score_higher(spark):
+    from pgloader_spark.operators.sampling import dsir_weights
+
+    # target rows are full of "alpha beta", raw noise of "zed yak"
+    rows = [
+        (1, "alpha beta alpha beta alpha beta", "en"),
+        (2, "alpha beta alpha beta", "en"),
+        (3, "zed yak zed yak zed yak", "xx"),
+        (4, "alpha beta zed yak", "xx"),
+        (5, "", "xx"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["doc_id"]: r
+        for r in dsir_weights(docs, is_target=F.col("lang") == "en").collect()
+    }
+    # target-vocabulary docs score strictly higher than off-target ones
+    assert out[1]["dsir_logw"] > out[4]["dsir_logw"] > out[3]["dsir_logw"]
+    # doc 3 (pure off-target vocabulary) must be negative
+    assert out[3]["dsir_logw"] < 0
+    # empty doc: no grams, weight 0 by convention
+    assert out[5]["n_grams"] == 0 and out[5]["dsir_logw"] == 0.0
+    # gram count = unigrams + bigrams
+    assert out[2]["n_grams"] == 4 + 3
+
+
+def test_dsir_weights_order_invariant(spark):
+    from pgloader_spark.operators.sampling import dsir_weights
+
+    rows = [(i, f"tok{i % 7} tok{i % 3} filler word", "en" if i % 2 else "xx")
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    tgt = F.col("lang") == "en"
+    a = {r["doc_id"]: r["dsir_logw"]
+         for r in dsir_weights(docs, tgt).collect()}
+    b = {r["doc_id"]: r["dsir_logw"]
+         for r in dsir_weights(docs.repartition(13), tgt).collect()}
+    assert a == b
