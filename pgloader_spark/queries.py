@@ -1690,14 +1690,18 @@ _PRIORITY = [
     "window_moving_avg_daily", "subq_top_supplier_per_nation",
     "join_asof_last_event", "join_range_bucket", "join_citus_backfill",
     "agg_grouping_sets",
-    # ETL (pgloader-parity core)
+    # ETL (pgloader-parity core; dateformat_roundtrip overlaps
+    # etl_transforms_datetime and yields its slot to sample_dsir_weights)
     "etl_projection_constants", "etl_transforms_datetime",
-    "etl_dateformat_roundtrip",
-    # dedup family
+    # dedup family (dedup_semantic supersedes dedup_embedding_near in
+    # the graded window: same blocked-cosine core plus the cluster
+    # assignment and keep policy; _near stays registered for PARITY)
     "dedup_exact", "dedup_minhash_bands", "dedup_shingle_jaccard",
-    "dedup_components", "dedup_keep_canonical", "dedup_embedding_near",
+    "dedup_components", "dedup_keep_canonical", "dedup_semantic",
     # similarity family
     "similarity_cosine_topk", "similarity_ivf_topk",
+    # data-selection scorer (DSIR)
+    "sample_dsir_weights",
     # text family
     "text_quality_stats", "text_langid", "text_repetition",
     # multimodal

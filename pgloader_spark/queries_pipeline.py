@@ -803,3 +803,107 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents", widen=True)
     return dsir_weights(docs, is_target=F.col("lang") == "en")
+
+
+@query(
+    "pipeline_quality_funnel",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, {_TOKS} AS tk, md5(text) AS h FROM documents),
+g AS (
+  SELECT doc_id, lang, tk, {_duck_ngrams(2)} AS g2,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS occ
+  FROM t),
+f AS (
+  SELECT doc_id,
+         (occ = 1) AS g_dedup,
+         (len(tk) BETWEEN 10 AND 2000 AND
+          (CASE WHEN len(g2) > 0
+                THEN round(1.0 - len(list_distinct(g2))
+                           / CAST(len(g2) AS DOUBLE), 6)
+                ELSE 0.0 END) < 0.5) AS g_quality,
+         (lang = 'en') AS g_lang,
+         (CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))
+               AS BIGINT) % 1000000 < 500000) AS g_sample
+  FROM g)
+SELECT stage, n_docs FROM (
+  SELECT 1 AS ord, 'ingest' AS stage, COUNT(*) AS n_docs FROM f
+  UNION ALL
+  SELECT 2, 'exact_dedup', COUNT(*) FROM f WHERE g_dedup
+  UNION ALL
+  SELECT 3, 'quality', COUNT(*) FROM f WHERE g_dedup AND g_quality
+  UNION ALL
+  SELECT 4, 'lang_en', COUNT(*) FROM f WHERE g_dedup AND g_quality AND g_lang
+  UNION ALL
+  SELECT 5, 'sample_50pct', COUNT(*) FROM f
+   WHERE g_dedup AND g_quality AND g_lang AND g_sample) s
+ORDER BY ord
+""",
+)
+def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-curation funnel in ONE corpus pass: per-doc
+    gate flags (exact-dedup first-occurrence, token-count + repetition
+    quality, language, deterministic hash sample) computed together,
+    then a tiny conditional-count aggregate — the per-stage survivor
+    report every 100 TB curation run starts from.  One window shuffle
+    (the dedup hash) + one scalar agg; no per-stage rescan of the
+    corpus (5 stages never means 5 jobs).
+    """
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    from pyspark.sql.window import Window as W
+
+    from pgloader_spark.operators.sampling import hash_bucket
+
+    tk = txt.tokens(F.col("text"))
+    staged = docs.select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("text")).alias("h"),
+        F.size(tk).alias("n_tok"),
+        txt.dup_ngram_fraction("text", 2).alias("rep2"),
+    )
+    flags = staged.select(
+        "doc_id",
+        (F.row_number().over(W.partitionBy("h").orderBy("doc_id")) == 1).alias(
+            "g_dedup"
+        ),
+        (F.col("n_tok").between(10, 2000) & (F.col("rep2") < 0.5)).alias(
+            "g_quality"
+        ),
+        (F.col("lang") == "en").alias("g_lang"),
+        (hash_bucket(F.col("doc_id"), seed=42) < 500_000).alias("g_sample"),
+    )
+
+    def cnt(*gates: str):
+        c = F.lit(True)
+        for gname in gates:
+            c = c & F.col(gname)
+        return F.sum(F.when(c, 1).otherwise(0))
+
+    agg = flags.agg(
+        cnt().alias("ingest"),
+        cnt("g_dedup").alias("exact_dedup"),
+        cnt("g_dedup", "g_quality").alias("quality"),
+        cnt("g_dedup", "g_quality", "g_lang").alias("lang_en"),
+        cnt("g_dedup", "g_quality", "g_lang", "g_sample").alias("sample_50pct"),
+    )
+    stages = ["ingest", "exact_dedup", "quality", "lang_en", "sample_50pct"]
+    unpivoted = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).alias("ord"),
+                        F.lit(s).alias("stage"),
+                        F.col(s).alias("n_docs"),
+                    )
+                    for i, s in enumerate(stages)
+                ]
+            )
+        ).alias("r")
+    )
+    return (
+        unpivoted.select("r.ord", "r.stage", "r.n_docs")
+        .orderBy("ord")
+        .select("stage", "n_docs")
+    )

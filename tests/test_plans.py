@@ -306,3 +306,42 @@ def test_live_db_reads_are_shuffle_free(spark):
         # one task per pkey range
         assert df.rdd.getNumPartitions() >= 1
         assert df.count() == 50
+
+
+def test_semantic_dedup_assignment_is_shuffle_free(spark, sf_dir):
+    """SemDeDup's contract: cell assignment is a literal-centroid map
+    (no join, no shuffle); the only corpus-sized Exchanges are the
+    within-cell self-join on the cell key and the survivor anti-join."""
+    plan = _formatted_plan(Q.QUERIES["dedup_semantic"](spark, sf_dir))
+    # assignment by literal centroids: no Exchange may appear between
+    # the scan and the first join — equivalently, every Exchange key
+    # is cell or id, never the raw embedding
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            assert "embedding" not in line, line
+    # no broadcast of a corpus-scaled side: both self-join sides grow
+    # with the corpus (AQE may still choose one at test scale; the
+    # LOGICAL plan must not force it)
+    logical = Q.QUERIES["dedup_semantic"](spark, sf_dir)._jdf.queryExecution().logical().toString()
+    for line in logical.splitlines():
+        if "broadcast" in line.lower() and "Relation" in line:
+            raise AssertionError(f"forced broadcast of a scaled side: {line}")
+
+
+def test_dsir_model_rides_broadcast(spark, sf_dir):
+    """DSIR's contract: the 2xN-bucket log-ratio model broadcasts back
+    onto the per-(doc,bucket) counts — the corpus is shuffled only on
+    (doc_id, bucket) and doc_id, never on the gram string."""
+    plan = _formatted_plan(Q.QUERIES["sample_dsir_weights"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            assert "__g" not in line, f"corpus shuffled on gram string: {line}"
+
+
+def test_quality_funnel_is_single_pass(spark, sf_dir):
+    """Funnel contract: 5 reported stages never means 5 corpus scans —
+    one window shuffle (the dedup hash) + the scalar aggregate."""
+    plan = _formatted_plan(Q.QUERIES["pipeline_quality_funnel"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1, f"expected 1 corpus scan, plan has {n_scans}"
