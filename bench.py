@@ -48,6 +48,9 @@ HEADLINE = [
     "text_quality_stats",
     "text_langid",
     "text_repetition",
+    "dedup_semantic",
+    "sample_dsir_weights",
+    "pipeline_quality_funnel",
 ]
 
 RUNS = 3

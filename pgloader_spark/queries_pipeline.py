@@ -753,12 +753,23 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means-cell-blocked embedding dedup, keep the
     lowest-id representative per near-duplicate neighborhood
     (operators/semdedup.py — cluster assignment is a shuffle-free
-    literal-centroid map; the only wide op is the within-cell join)."""
+    literal-centroid map; the only wide op is the within-cell join).
+
+    K is derived from the corpus (``suggest_n_centroids``: constant
+    ~1024-vector cells, so pair work stays linear and the cell join
+    keeps one task per cell).  At the oracle scales (sf0.01/0.1 the
+    floor K=8 applies, which is exactly the oracle CTE's first-8
+    centroid set — the 10x probe measured the fixed-K=8 alternative
+    at >30 min on ONE task vs seconds with K=N/1024."""
     from pgloader_spark.operators import similarity
-    from pgloader_spark.operators.semdedup import semantic_dedup
+    from pgloader_spark.operators.semdedup import (
+        semantic_dedup,
+        suggest_n_centroids,
+    )
 
     emb = read_table(spark, sf_dir, "embeddings", widen=True)
-    cents = similarity.ivf_centroids(emb, n_centroids=8)
+    k = suggest_n_centroids(emb.count())
+    cents = similarity.ivf_centroids(emb, n_centroids=k)
     return semantic_dedup(emb, cents, tau=0.35)
 
 

@@ -308,24 +308,23 @@ def test_live_db_reads_are_shuffle_free(spark):
         assert df.count() == 50
 
 
-def test_semantic_dedup_assignment_is_shuffle_free(spark, sf_dir):
+def test_semantic_dedup_single_cell_shuffle_blas_kernel(spark, sf_dir):
     """SemDeDup's contract: cell assignment is a literal-centroid map
-    (no join, no shuffle); the only corpus-sized Exchanges are the
-    within-cell self-join on the cell key and the survivor anti-join."""
+    (no join, no shuffle — never an Exchange keyed on the embedding),
+    the ONLY corpus-sized Exchange is the groupBy on the cell id, and
+    the pair stage is the per-cell Arrow/BLAS kernel — the exploded
+    pair table must never appear as a join in the plan."""
     plan = _formatted_plan(Q.QUERIES["dedup_semantic"](spark, sf_dir))
-    # assignment by literal centroids: no Exchange may appear between
-    # the scan and the first join — equivalently, every Exchange key
-    # is cell or id, never the raw embedding
     for line in plan.splitlines():
         if "hashpartitioning" in line:
             assert "embedding" not in line, line
-    # no broadcast of a corpus-scaled side: both self-join sides grow
-    # with the corpus (AQE may still choose one at test scale; the
-    # LOGICAL plan must not force it)
-    logical = Q.QUERIES["dedup_semantic"](spark, sf_dir)._jdf.queryExecution().logical().toString()
-    for line in logical.splitlines():
-        if "broadcast" in line.lower() and "Relation" in line:
-            raise AssertionError(f"forced broadcast of a scaled side: {line}")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan, "pair stage regressed to a self-join"
+    # exactly one KEYED shuffle (the cell groupBy) — read_table's
+    # widen=True adds a RoundRobin Exchange for the single-file
+    # testdata, which never fires on real multi-file input
+    n_keyed = plan.count("hashpartitioning")
+    assert n_keyed == 1, f"expected 1 keyed shuffle (cell), plan has {n_keyed}"
 
 
 def test_dsir_model_rides_broadcast(spark, sf_dir):

@@ -372,3 +372,15 @@ def test_dsir_weights_order_invariant(spark):
     b = {r["doc_id"]: r["dsir_logw"]
          for r in dsir_weights(docs.repartition(13), tgt).collect()}
     assert a == b
+
+
+def test_semdedup_suggest_n_centroids_keeps_pair_work_linear():
+    from pgloader_spark.operators.semdedup import suggest_n_centroids
+
+    assert suggest_n_centroids(4) == 8  # floor
+    assert suggest_n_centroids(1_024_000) == 1000
+    # constant cell size: total pair work N*(N/K)/2 grows LINEARLY,
+    # i.e. per-row pair work (N/K)/2 is a constant regardless of N
+    for n in (10_000, 1_000_000, 100_000_000):
+        k = suggest_n_centroids(n)
+        assert n / k < 2 * 1024  # floor-division slack

@@ -33,6 +33,9 @@ DEFAULT_QUERIES = [
     "text_quality_stats",
     "text_langid",
     "similarity_cosine_topk",
+    "dedup_semantic",
+    "sample_dsir_weights",
+    "pipeline_quality_funnel",
 ]
 
 
