@@ -134,3 +134,61 @@ def suggest_n_centroids(n_rows: int, target_cell: int = 1024) -> int:
     keeps 1000 executors busy where K=8 would idle 992 of them.
     """
     return max(8, n_rows // target_cell)
+
+
+def blocked_near_pairs(
+    emb: DataFrame,
+    block_col: str = "label",
+    tau: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 4096,
+) -> DataFrame:
+    """(id_a, id_b, cos_sim) near-duplicate pairs within each block —
+    the pair-emitting sibling of ``semantic_dedup`` (same per-block
+    row-blocked gram kernel, same double-rounded cosine), for
+    pipelines that feed pairs into connected components / canonical
+    election instead of dropping in place.
+
+    The block key plays the LSH-bucket role: one keyed shuffle, the
+    cross product never leaves its task, and the output is only the
+    pairs above ``tau``.
+    """
+    import pandas as pd
+
+    def _pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        order = pdf["id"].to_numpy().argsort()
+        ids = pdf["id"].to_numpy()[order]
+        V = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        n2 = (V * V).sum(axis=1)
+        m = len(ids)
+        out_a, out_b, out_c = [], [], []
+        for lo in range(0, m, block_rows):
+            hi = min(lo + block_rows, m)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = V[lo:hi] @ V.T / np.sqrt(n2[lo:hi, None] * n2[None, :])
+            cos = np.round(np.round(cos, 6), 4)
+            col = np.arange(m)
+            row = np.arange(lo, hi)[:, None]
+            r, c = np.nonzero((cos >= tau) & (col[None, :] > row))
+            out_a.append(ids[r + lo])
+            out_b.append(ids[c])
+            out_c.append(cos[r, c])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
+                "id_b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
+                "cos_sim": np.concatenate(out_c) if out_c else np.array([]),
+            }
+        )
+
+    base = emb.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+    )
+    return base.groupBy("blk").applyInPandas(
+        _pairs, "id_a long, id_b long, cos_sim double"
+    )

@@ -989,10 +989,15 @@ SELECT q_id, n_id, cos_sim, rank FROM r WHERE rank <= 10
 """,
 )
 def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force exact top-10 cosine neighbors (query set broadcast)."""
+    """Brute-force exact top-10 cosine neighbors.  The bounded query
+    set rides a broadcast as one Q x dim matrix; each Arrow batch of
+    the corpus is scored with a single matmul and pre-pruned to its
+    batch-local top-k, so the rank shuffle never carries the corpus
+    (similarity.cosine_topk_blas; the Column-fold variant
+    ``cosine_topk`` remains for un-collectable query sides)."""
     emb = read_table(spark, sf_dir, "embeddings", widen=True)
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
-    return similarity.cosine_topk(emb, queries_df, k=10, dim=64)
+    return similarity.cosine_topk_blas(emb, queries_df, k=10)
 
 
 def _duck_lsh_bucket(vec: str, n_planes: int, dim: int = 64) -> str:
@@ -1599,44 +1604,15 @@ SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.35
 )
 def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by label (the
-    cluster id plays the LSH-bucket role): the self-join shuffles on
-    the block key only, never the full cross product."""
+    cluster id plays the LSH-bucket role): one keyed shuffle on the
+    block, then each block's pair matrix is one row-blocked BLAS
+    matmul inside its task (operators/semdedup.py:blocked_near_pairs)
+    — the fold-expression self-join this replaces paid ~60 us per
+    pair in interpreted higher-order functions."""
+    from pgloader_spark.operators.semdedup import blocked_near_pairs
+
     emb = read_table(spark, sf_dir, "embeddings", widen=True)
-    # Norms are computed ONCE per row before the self-join (not per
-    # pair), and the fold-based dot keeps the expression tree small —
-    # the unrolled variant blew Janino's 64KB codegen limit and fell
-    # back to interpreted eval.
-    base = emb.select(
-        F.col("label").alias("blk"),
-        F.col("vec_id").alias("id"),
-        F.col("embedding").alias("v"),
-    ).withColumn("n2", similarity.norm2(F.col("v")))
-    a = base.select(
-        "blk",
-        F.col("id").alias("id_a"),
-        F.col("v").alias("va"),
-        F.col("n2").alias("na"),
-    )
-    b = base.select(
-        "blk",
-        F.col("id").alias("id_b"),
-        F.col("v").alias("vb"),
-        F.col("n2").alias("nb"),
-    )
-    pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
-    cos = F.round(
-        F.round(
-            similarity.dot(F.col("va"), F.col("vb"))
-            / F.sqrt(F.col("na") * F.col("nb")),
-            6,
-        ),
-        4,
-    )
-    return (
-        pairs.withColumn("cos_sim", cos)
-        .filter(F.col("cos_sim") >= 0.35)
-        .select("id_a", "id_b", "cos_sim")
-    )
+    return blocked_near_pairs(emb, block_col="label", tau=0.35)
 
 
 @query(

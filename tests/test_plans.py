@@ -344,3 +344,15 @@ def test_quality_funnel_is_single_pass(spark, sf_dir):
     plan = _formatted_plan(Q.QUERIES["pipeline_quality_funnel"](spark, sf_dir))
     n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
     assert n_scans == 1, f"expected 1 corpus scan, plan has {n_scans}"
+
+
+def test_cosine_topk_shuffle_carries_candidates_not_corpus(spark, sf_dir):
+    """BLAS top-k contract: the corpus is consumed by the Arrow batch
+    matmul kernel; the only keyed shuffle is the q_id rank window over
+    batch-local top-k candidates (Q*k rows per batch, never the
+    corpus or its embeddings)."""
+    plan = _formatted_plan(Q.QUERIES["similarity_cosine_topk"](spark, sf_dir))
+    assert "MapInPandas" in plan
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            assert "q_id" in line and "embedding" not in line, line

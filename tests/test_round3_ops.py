@@ -384,3 +384,54 @@ def test_semdedup_suggest_n_centroids_keeps_pair_work_linear():
     for n in (10_000, 1_000_000, 100_000_000):
         k = suggest_n_centroids(n)
         assert n / k < 2 * 1024  # floor-division slack
+
+
+def test_cosine_topk_blas_matches_fold_variant(spark):
+    import random
+
+    from pgloader_spark.operators.similarity import cosine_topk, cosine_topk_blas
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") % 10 == 0)
+    a = sorted(map(tuple, cosine_topk(emb, q, k=5).collect()))
+    b = sorted(map(tuple, cosine_topk_blas(emb, q, k=5).collect()))
+    assert a == b
+
+
+def test_blocked_near_pairs_matches_bruteforce(spark):
+    import itertools
+    import math
+    import random
+
+    from pgloader_spark.operators.semdedup import blocked_near_pairs
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], i % 3) for i in range(45)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in blocked_near_pairs(emb, tau=0.2, block_rows=7).collect()
+    )
+    # brute force in python over float32-cast vectors (matching the
+    # DataFrame's array<float> storage)
+    import numpy as np
+
+    vecs = {i: np.asarray(v, dtype=np.float32).astype(np.float64) for i, v, _ in rows}
+    want = []
+    for (a, va, la), (b, vb, lb) in itertools.combinations(rows, 2):
+        if la != lb:
+            continue
+        ca = vecs[a]; cb = vecs[b]
+        cos = float(ca @ cb / math.sqrt((ca @ ca) * (cb @ cb)))
+        cos = round(round(cos, 6), 4)
+        if cos >= 0.2:
+            want.append((min(a, b), max(a, b), cos))
+    assert got == sorted(want)
