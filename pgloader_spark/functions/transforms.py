@@ -313,8 +313,33 @@ def int_to_ip(col: Column | str) -> Column:
 
 @_register("ip-range")
 def ip_range(start: Column | str, end: Column | str) -> Column:
-    """two uint32 -> 'a.b.c.d-e.f.g.h' (ip4r).  Ref: transforms.lisp:239."""
-    return F.concat(int_to_ip(start), F.lit("-"), int_to_ip(end))
+    """two uint32 -> canonical ip4r text.  Ref: transforms.lisp:239.
+
+    The reference emits 'a.b.c.d-e.f.g.h' and lets PostgreSQL's ip4r
+    type canonicalize on input (single IP for s=e, 'ip/len' for an
+    aligned power-of-two block, 'lo-hi' otherwise — what the regress
+    golden test/regress/expected/csv-before-after.out stores).  We
+    canonicalize engine-side so the value is already in ip4r's output
+    form: real ip4r accepts every canonical form unchanged, and the
+    domain-based emulation (plans/ip4r_shim.py) stores text verbatim.
+    """
+    s = _c(start).cast("long")
+    e = _c(end).cast("long")
+    n = e - s + F.lit(1)
+    aligned_pow2 = (
+        (n > 0)
+        & (n.bitwiseAND(n - 1) == 0)
+        & (s.bitwiseAND(n - 1) == 0)
+    )
+    masklen = (F.lit(32) - F.round(F.log2(n.cast("double")))).cast("int")
+    return (
+        F.when(s == e, int_to_ip(s))
+        .when(
+            aligned_pow2,
+            F.concat(int_to_ip(s), F.lit("/"), masklen.cast("string")),
+        )
+        .otherwise(F.concat(int_to_ip(s), F.lit("-"), int_to_ip(e)))
+    )
 
 
 @_register("varbinary-to-inet")

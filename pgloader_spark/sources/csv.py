@@ -82,7 +82,14 @@ def _transcode_to_utf8(path: str, encoding: str) -> str:
 def read_csv(spark: SparkSession, path: str, opts: CsvOptions) -> DataFrame:
     """One declarative read; Catalyst prunes/pushes into the scan."""
     enc = _normalize_encoding(opts.encoding or "utf-8")
-    if enc not in _SPARK_CSV_CHARSETS:
+    # Spark's csv `encoding` option only takes effect in multiLine
+    # mode (per-line reads split+decode as UTF-8); any other declared
+    # charset goes through the streaming transcode.  Legacy non-UTF-8
+    # CSVs are single-host-sized by nature — the distributed parse
+    # still runs on the transcoded copy.
+    if enc not in _SPARK_CSV_CHARSETS or (
+        enc != "utf-8" and not opts.multi_line
+    ):
         if isinstance(path, list):
             path = [_transcode_to_utf8(p, enc) for p in path]
         else:

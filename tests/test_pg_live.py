@@ -374,10 +374,12 @@ def _run_ref_scenario(name, seeded, spark, tmp_path):
 
     runner = PGConn(seeded)
     try:
+        from pgloader_spark.plans.ip4r_shim import wrap_sql_runner
+
         ctx = ExecutionContext(
             spark=spark,
             root_dir=str(tmp_path),
-            sql_runner=lambda sql: runner.query(sql),
+            sql_runner=wrap_sql_runner(lambda sql: runner.query(sql)),
             sink=sink,
         )
         report = execute(ctx, cmd)
@@ -409,6 +411,10 @@ REF_RUNNABLE = [
     "csv-json", "csv-hstore", "csv-keep-extra-blanks",
     "csv-trim-extra-blanks", "csv-using-sexp",
     "fixed", "fixed-guess", "dbf", "dbf-memo", "ixf",
+    # needs the ip4r extension: runs through the behavior-faithful
+    # built-ins emulation (plans/ip4r_shim.py), value-pinned to the
+    # reference's regress golden like every other scenario
+    "csv-before-after",
 ]
 
 
@@ -921,6 +927,117 @@ def test_reference_dbf_zip_over_http(seeded, spark, tmp_path):
     assert report.loaded == 27  # reg2013's 27 French regions
     rows = _pg_table_rows(seeded, "dbf.france2016", order_by="1 LIMIT 1")
     assert rows[0][3] == "GUADELOUPE"
+
+
+def test_reference_archive_geolite_ip4r(seeded, spark, tmp_path):
+    """archive.load verbatim — the LAST reference scenario: LOAD ARCHIVE
+    over http with two nested CSVs (latin-1, skip header = 2, null if
+    blanks, point + ip4r USING transforms), BEFORE LOAD EXECUTE
+    'geolite.sql', and an AFTER LOAD gist index on the ip4r column.
+
+    The GeoLite download URL is dead, so a local server serves a zip in
+    the exact GeoLiteCity layout; the sandbox PostgreSQL has no ip4r
+    package, so the engine's built-ins emulation (plans/ip4r_shim.py)
+    kicks in — including the ``>>=`` containment operator that
+    geolite.sql's locate() function needs."""
+    import zipfile
+
+    ref = "/root/reference/test/archive.load"
+    if not os.path.exists(ref):
+        pytest.skip("reference corpus not available")
+    from pgloader_spark.parsers.loadcmd import parse_load
+    from pgloader_spark.plans.executor import ExecutionContext, execute_archive
+    from pgloader_spark.plans.ip4r_shim import wrap_sql_runner
+    from pgloader_spark.sources.pg_live import (
+        align_to_target,
+        ensure_pg_table,
+        write_pg_copy,
+    )
+
+    loc_hdr = (
+        "Copyright (c) 2012 MaxMind Inc.  All Rights Reserved.\n"
+        "locId,country,region,city,postalCode,latitude,longitude,"
+        "metroCode,areaCode\n"
+    )
+    loc_rows = (
+        '195756,"TH","40","Phatthalung","","7.6167","100.0833",,\n'
+        '209,"US","","","","38.0000","-97.0000","0","0"\n'
+        '29727,"FR","A8","Orléans","45000","47.9029","1.9039",,\n'
+    )
+    blk_hdr = (
+        "Copyright (c) 2012 MaxMind Inc.  All Rights Reserved.\n"
+        "startIpNum,endIpNum,locId\n"
+    )
+    blk_rows = (
+        '"3754901760","3754902015","195756"\n'  # 223.207.65.0/24
+        '"3754902016","3754903039","209"\n'  # 223.207.66.0-223.207.69.255
+        '"3754903040","3754903551","29727"\n'  # 223.207.70.0/23
+    )
+    zpath = tmp_path / "GeoLiteCity-latest.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        z.writestr("GeoLiteCity-Location.csv", (loc_hdr + loc_rows).encode("latin-1"))
+        z.writestr("GeoLiteCity-Blocks.csv", (blk_hdr + blk_rows).encode("latin-1"))
+    httpd, port = _serve_dir(tmp_path)
+    try:
+        text = open(ref, encoding="utf-8").read()
+        text = text.replace(
+            "http://geolite.maxmind.com/download/geoip/database/"
+            "GeoLiteCity_CSV/GeoLiteCity-latest.zip",
+            f"http://127.0.0.1:{port}/GeoLiteCity-latest.zip",
+        )
+        text = text.replace("postgresql:///ip4r", seeded)
+        text = text.replace(
+            "EXECUTE 'geolite.sql'", "EXECUTE '/root/reference/test/geolite.sql'"
+        )
+        cmd = parse_load(text)
+
+        def sink(df, table):
+            ensure_pg_table(seeded, table, df.schema)
+            df = align_to_target(df, seeded, table)
+            return write_pg_copy(df, seeded, table, reject_dir=str(tmp_path))
+
+        runner = PGConn(seeded)
+        try:
+            ctx = ExecutionContext(
+                spark=spark,
+                root_dir=str(tmp_path),
+                sql_runner=wrap_sql_runner(lambda sql: runner.query(sql)),
+                sink=sink,
+            )
+            reports = execute_archive(ctx, cmd)
+        finally:
+            runner.close()
+    finally:
+        httpd.shutdown()
+    got = {r.table: r.loaded for r in reports}
+    assert got == {"geolite.location": 3, "geolite.blocks": 3}
+    with PGConn(seeded) as c:
+        # latin-1 decode + null-if-blanks + the point USING transform
+        _, rows = c.query(
+            "SELECT city, postalcode, location::text FROM geolite.location"
+            " WHERE locid = 29727"
+        )
+        assert rows == [("Orléans", "45000", "(1.9039,47.9029)")]
+        _, rows = c.query("SELECT region FROM geolite.location WHERE locid = 209")
+        assert rows[0][0] is None  # null if blanks
+        # canonical ip4r text, CIDR-aligned vs not
+        _, rows = c.query("SELECT iprange FROM geolite.blocks ORDER BY locid")
+        assert [r[0] for r in rows] == [
+            "223.207.66.0-223.207.69.255",
+            "223.207.70.0/23",
+            "223.207.65.0/24",
+        ]
+        # the AFTER LOAD gist index exists (btree_gist opclass)
+        _, rows = c.query(
+            "SELECT indexdef FROM pg_indexes WHERE schemaname = 'geolite'"
+            " AND indexname = 'blocks_ip4r_idx'"
+        )
+        assert "USING gist" in rows[0][0]
+        # geolite.sql's locate() runs unchanged on the emulated >>=
+        _, rows = c.query("SELECT (geolite.locate('223.207.70.5'::ip4)).city")
+        assert rows == [("Orléans",)]
+        _, rows = c.query("SELECT (geolite.locate('223.207.65.17'::ip4)).locid")
+        assert rows == [("195756",)]
 
 
 def test_reference_messages_syslog_live_udp(seeded, spark, tmp_path):

@@ -70,7 +70,7 @@ def test_using_transform_multi_arg(spark):
             ColumnSpec("r", transform="ip-range", transform_args=("s", "e")),
         ]
     )
-    assert rows(proj.apply(df)) == [("1.2.3.4-1.2.3.5",)]
+    assert rows(proj.apply(df)) == [("1.2.3.4/31",)]
 
 
 def test_preprocessor_dataframe_hook(spark):

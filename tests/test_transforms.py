@@ -115,10 +115,20 @@ def test_float_to_string(spark):
 
 
 def test_ip_range(spark):
+    """Canonical ip4r text forms, pinned to what the regress golden
+    csv-before-after.out stores: single IP, /len for aligned blocks,
+    lo-hi otherwise."""
     fn = tr.get_transform("ip-range")
-    df = spark.createDataFrame([(16909060, 16909061)], "a long, b long")
-    got = df.select(fn(F.col("a"), F.col("b")).alias("r")).collect()[0]["r"]
-    assert got == "1.2.3.4-1.2.3.5"
+    cases = [
+        (16909060, 16909061, "1.2.3.4/31"),  # 2 addrs, even start
+        (16909060, 16909060, "1.2.3.4"),  # single
+        (3754901760, 3754902015, "223.207.65.0/24"),  # golden line 1
+        (3754902016, 3754903039, "223.207.66.0-223.207.69.255"),  # golden line 2
+        (16909061, 16909062, "1.2.3.5-1.2.3.6"),  # pow2 size, unaligned
+    ]
+    df = spark.createDataFrame([(a, b) for a, b, _ in cases], "a long, b long")
+    got = [r["r"] for r in df.select(fn(F.col("a"), F.col("b")).alias("r")).collect()]
+    assert got == [want for _, _, want in cases]
 
 
 def test_unknown_transform_raises():
