@@ -51,6 +51,7 @@ HEADLINE = [
     "dedup_semantic",
     "sample_dsir_weights",
     "pipeline_quality_funnel",
+    "sketch_hll_distinct",
 ]
 
 RUNS = 3

@@ -918,3 +918,123 @@ def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ord")
         .select("stage", "n_docs")
     )
+
+
+# --- sketches: constant-memory answers at corpus scale ---------------------
+
+
+from pgloader_spark.operators.sketches import duck_hll_sql as _duck_hll_sql
+
+
+@query(
+    "sketch_hll_distinct",
+    oracle=(
+        "SELECT grp AS event_type, est_distinct FROM (\n"
+        + _duck_hll_sql("CAST(user_id AS VARCHAR)", "event_type", "events")
+        + "\n) ORDER BY event_type"
+    ),
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event type — the
+    fixed-memory COUNT DISTINCT (4096 integer registers per group, two
+    map-side-combined aggregations; no per-key shuffle).  The DuckDB
+    oracle computes the IDENTICAL estimate via the shared md5 hash, so
+    the gate checks the sketch math exactly; the error bound vs the
+    exact count is asserted in tests/test_sketches.py.
+    """
+    from pgloader_spark.operators.sketches import hll_distinct
+
+    ev = read_table(spark, sf_dir, "events")
+    return hll_distinct(ev, "user_id", ["event_type"]).orderBy("event_type")
+
+
+@query(
+    "sketch_cms_tokens",
+    oracle=f"""
+WITH toks AS (SELECT {_TOKS} AS tk FROM documents),
+items AS (SELECT unnest(tk) AS item FROM toks),
+counters AS (
+  SELECT seed, bucket, COUNT(*) AS c FROM (
+    SELECT s.seed,
+           CAST(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || item),
+                 1, 15)) AS BIGINT) % 8192 AS bucket
+    FROM items, (SELECT unnest([101, 102, 103, 104]) AS seed) s)
+  GROUP BY seed, bucket),
+exact AS (SELECT item, COUNT(*) AS n_exact FROM items GROUP BY item),
+cand AS (SELECT item, n_exact FROM exact
+         ORDER BY n_exact DESC, item LIMIT 20),
+probes AS (
+  SELECT c2.item, s.seed,
+         CAST(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || c2.item),
+               1, 15)) AS BIGINT) % 8192 AS bucket
+  FROM cand c2, (SELECT unnest([101, 102, 103, 104]) AS seed) s),
+est AS (
+  SELECT p.item, MIN(ct.c) AS est_count
+  FROM probes p JOIN counters ct USING (seed, bucket)
+  GROUP BY p.item)
+SELECT cand.item AS token, cand.n_exact, est.est_count
+FROM cand JOIN est ON cand.item = est.item
+ORDER BY token
+""",
+)
+def sketch_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min token-frequency estimates for the corpus's top tokens.
+
+    The 4x8192 counter table is a constant-size aggregate of the full
+    token stream (map-side combined — the shuffle carries counter
+    partials, never tokens); estimates broadcast-join against it.
+    est >= exact always (collisions only add); the candidate list here
+    is the exact top-20 for oracle determinism — at 100 TB candidates
+    come from a sample, the sketch itself never changes size.
+    """
+    from pgloader_spark.operators import text as _txt
+    from pgloader_spark.operators.sketches import cms_counters, cms_estimate
+
+    docs = read_table(spark, sf_dir, "documents")
+    items = docs.select(F.explode(_txt.tokens("text")).alias("item"))
+    counters = cms_counters(items)
+    exact = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_exact"))
+    cand = exact.orderBy(F.desc("n_exact"), F.asc("item")).limit(20)
+    est = cms_estimate(counters, cand.select("item"))
+    return (
+        cand.join(est, "item")
+        .select(F.col("item").alias("token"), "n_exact", "est_count")
+        .orderBy("token")
+    )
+
+
+@query(
+    "sketch_quantile_thresholds",
+    oracle="""
+WITH base AS (SELECT CAST(length(text) AS DOUBLE) AS x FROM documents),
+stats AS (SELECT MIN(x) AS lo, MAX(x) AS hi, COUNT(*) AS n FROM base),
+binned AS (
+  SELECT CASE WHEN hi > lo
+              THEN least(CAST(floor((x - lo) / (hi - lo) * 1024) AS INT), 1023)
+              ELSE 0 END AS bin, lo, hi, n
+  FROM base, stats),
+hist AS (SELECT bin, lo, hi, n, COUNT(*) AS cnt
+         FROM binned GROUP BY bin, lo, hi, n),
+cum AS (SELECT *, SUM(cnt) OVER (ORDER BY bin
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM hist),
+probs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p),
+picked AS (SELECT p, lo, hi, MIN(bin) AS bin
+           FROM cum, probs
+           WHERE CAST(cum AS DOUBLE) >= p * n
+           GROUP BY p, lo, hi)
+SELECT p, round(lo + (bin + 1) * (hi - lo) / 1024, 6) AS threshold
+FROM picked ORDER BY p
+""",
+)
+def sketch_quantile_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-quantile thresholds over document length (p50/p90/p99)
+    — the one-pass, no-global-sort way to pick 'drop the bottom decile'
+    cutoffs at corpus scale.  The histogram is a constant 1024-bin
+    aggregate; only those bins ride the final (single-partition,
+    constant-size) cumulative window.
+    """
+    from pgloader_spark.operators.sketches import histogram_quantiles
+
+    docs = read_table(spark, sf_dir, "documents")
+    return histogram_quantiles(docs, F.length("text"), [0.5, 0.9, 0.99])
