@@ -254,12 +254,19 @@ def align_to_target(
 
     from pgloader_spark.parsers.dateformat import pg_to_spark_datetime_format
 
-    tbl = table.split(".")[-1]
+    sch, _, tbl = table.rpartition(".")
+    sch = (sch or "public").strip('"')
+    tbl = tbl.strip('"')
     with PGConn(dsn) as conn:
         _, rows = conn.query(
             "SELECT column_name, data_type, column_default"
             " FROM information_schema.columns "
-            f"WHERE table_name = '{tbl}' ORDER BY ordinal_position"
+            # schema-qualified: an unqualified table_name match returns
+            # the columns of EVERY schema's same-named table (e.g.
+            # csv.blocks + geolite.blocks), duplicating names and
+            # silently disabling the case-insensitive rename below
+            f"WHERE table_schema = '{sch}' AND table_name = '{tbl}'"
+            " ORDER BY ordinal_position"
         )
     if not rows:
         return df
