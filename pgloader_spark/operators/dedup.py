@@ -502,3 +502,115 @@ def dup_span_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def incremental_dedup(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus snapshot — the
+    shape every recurring-crawl pipeline runs: yesterday's corpus is
+    frozen, today's batch must drop (a) exact copies and (b) near
+    duplicates of anything already kept.
+
+    Returns one row per new-batch document:
+    (id, exact_dup, near_dup, keep) with keep = NOT (exact OR near).
+
+    100 TB shape: both signals are narrow projections followed by one
+    keyed join each —
+    - exact: 16-byte content digests; LEFT SEMI against the old side's
+      digests (AQE broadcasts the smaller side; neither is hinted
+      because either side can be the big one across reruns);
+    - near: MinHash band buckets (minhash_bands — the same narrow
+      signature map used corpus-wide); a new doc is near-dup when ANY
+      of its bands lands in a bucket the old corpus occupies.  In
+      production the old side's (band_ix, bucket) set is a precomputed
+      index written once per snapshot and only READ here, so the
+      incremental cost is the new batch's signatures plus one
+      band-keyed join — independent of corpus size.
+    No .distinct() on the old bucket side: the semi join dedupes.
+    """
+    new_ids = new.select(F.col(id_col))
+    ex_ids = (
+        new.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
+        .join(
+            old.select(F.md5(F.col(text_col)).alias("__h")),
+            "__h",
+            "left_semi",
+        )
+        .select(id_col)
+        .distinct()
+        .withColumn("__exact", F.lit(True))
+    )
+    near_ids = (
+        minhash_bands(new, id_col, text_col)
+        .join(
+            minhash_bands(old, id_col, text_col).select("band_ix", "bucket"),
+            ["band_ix", "bucket"],
+            "left_semi",
+        )
+        .select(id_col)
+        .distinct()
+        .withColumn("__near", F.lit(True))
+    )
+    return (
+        new_ids.join(ex_ids, id_col, "left")
+        .join(near_ids, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__exact"), F.lit(False)).alias("exact_dup"),
+            F.coalesce(F.col("__near"), F.lit(False)).alias("near_dup"),
+            (
+                F.coalesce(F.col("__exact"), F.lit(False))
+                | F.coalesce(F.col("__near"), F.lit(False))
+            ).alias("dup_any"),
+        )
+    )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source near-duplication matrix: for every pair of sources,
+    how many near-duplicate document pairs bridge them.  This is the
+    evidence behind mixture decisions — two crawl snapshots or two
+    "different" datasets that share most of their content should not
+    both get full mixture weight.
+
+    Built on the LSH candidate pairs (minhash_candidate_pairs: band
+    join, never all-pairs), then two joins to attach each side's
+    source — both against a narrow (id, source) projection, so AQE
+    broadcasts it when small and shuffle-joins beyond memory.  The
+    source pair is normalized (least, greatest) so the matrix is
+    upper-triangular including the diagonal (same-source duplication
+    is the strongest signal of an internally-duplicated dataset).
+    """
+    pairs = minhash_candidate_pairs(df, id_col, text_col)
+    srcs = df.select(F.col(id_col), F.col(source_col))
+    withsrc = (
+        pairs.join(
+            srcs.select(
+                F.col(id_col).alias("id_a"), F.col(source_col).alias("__sa")
+            ),
+            "id_a",
+        )
+        .join(
+            srcs.select(
+                F.col(id_col).alias("id_b"), F.col(source_col).alias("__sb")
+            ),
+            "id_b",
+        )
+    )
+    return (
+        withsrc.select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    )

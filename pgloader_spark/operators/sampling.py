@@ -264,3 +264,41 @@ def dsir_weights(
             ),
         )
     )
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    per_cell: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> DataFrame:
+    """Diversity sampling at a fixed budget: assign every vector to its
+    nearest centroid cell, keep ``per_cell`` deterministically-chosen
+    rows per cell.  Uniform random sampling over-represents the dense
+    regions of embedding space; per-cluster quotas keep the tail
+    (DataComp / SemDeDup-style cluster-balanced selection).
+
+    Scale shape: the cell assignment is a NARROW projection — the
+    centroid table is inlined as literals (K rows, driver-known, same
+    as every IVF operator here), so the only shuffle is the per-cell
+    window, keyed on cell id with ≤ per_cell survivors emitted per
+    key.  The in-cell order is an md5 of the row id (engine-portable,
+    seed-salted), not rand(): reruns and oracles see the same sample.
+    """
+    from pgloader_spark.operators import similarity
+
+    asg = emb.select(
+        F.col(id_col),
+        similarity.ivf_assign(F.col(vec_col), centroids).alias("cell"),
+    )
+    w = W.partitionBy("cell").orderBy(
+        F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+        id_col,
+    )
+    return (
+        asg.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= per_cell)
+        .select(id_col, F.col("cell").cast("int").alias("cell"), "rk")
+    )

@@ -1038,3 +1038,98 @@ def sketch_quantile_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return histogram_quantiles(docs, F.length("text"), [0.5, 0.9, 0.99])
+
+
+# --- round-3 additions: incremental dedup, cross-source overlap, ----------
+# --- cluster-balanced diversity sampling ----------------------------------
+
+from pgloader_spark.queries import _duck_bands_select, _duck_minhash_sig_cte
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+WITH {_duck_minhash_sig_cte()},
+bands AS ({_duck_bands_select()}),
+newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+oldh AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+exd AS (SELECT DISTINCT n.doc_id FROM newd n JOIN oldh o ON md5(n.text) = o.h),
+nb AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+ob AS (SELECT DISTINCT band_ix, bucket FROM bands WHERE doc_id % 2 = 0),
+neard AS (SELECT DISTINCT nb.doc_id FROM nb JOIN ob USING (band_ix, bucket))
+SELECT n.doc_id,
+       (e.doc_id IS NOT NULL) AS exact_dup,
+       (r.doc_id IS NOT NULL) AS near_dup,
+       (e.doc_id IS NOT NULL OR r.doc_id IS NOT NULL) AS dup_any
+FROM newd n
+LEFT JOIN exd e ON n.doc_id = e.doc_id
+LEFT JOIN neard r ON n.doc_id = r.doc_id
+""",
+)
+def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch-vs-frozen-corpus dedup (odd doc_ids are 'today's
+    crawl', even are the existing snapshot): exact content-digest
+    semi-join + MinHash band-bucket probe against the old side's
+    bucket index (operators/dedup.py:incremental_dedup).  The recurring
+    ingest shape: incremental cost is the new batch's signatures plus
+    one band-keyed join, independent of corpus size."""
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return dedup.incremental_dedup(old, new)
+
+
+@query(
+    "dedup_source_overlap",
+    oracle=f"""
+WITH {_duck_minhash_sig_cte()},
+bands AS ({_duck_bands_select()}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_ix = b.band_ix AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+SELECT least(sa.source, sb.source) AS source_a,
+       greatest(sa.source, sb.source) AS source_b,
+       COUNT(*) AS n_dup_pairs
+FROM pairs p
+JOIN documents sa ON p.id_a = sa.doc_id
+JOIN documents sb ON p.id_b = sb.doc_id
+GROUP BY 1, 2
+""",
+)
+def dedup_source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplication matrix — which sources share
+    content (two crawl snapshots, a dataset and its re-release) and so
+    should not both carry full mixture weight
+    (operators/dedup.py:source_overlap_matrix).  LSH candidate pairs
+    (never all-pairs) + two narrow (id, source) joins."""
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    return dedup.source_overlap_matrix(docs)
+
+
+@query(
+    "sample_cluster_balanced",
+    oracle=f"""
+WITH {_DUCK_IVF_ASSIGN},
+rk AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY cell
+           ORDER BY md5('11:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+  FROM asg)
+SELECT vec_id, CAST(cell AS INTEGER) AS cell, CAST(rn AS INTEGER) AS rk
+FROM rk WHERE rn <= 16
+""",
+)
+def sample_cluster_balanced_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling: 16 vectors per IVF cell,
+    chosen in deterministic hash order (operators/sampling.py:
+    cluster_balanced_sample).  Uniform sampling over-represents dense
+    embedding regions; per-cluster quotas keep the tail.  Narrow
+    centroid-literal assignment + one per-cell window shuffle."""
+    from pgloader_spark.operators import similarity
+    from pgloader_spark.operators.sampling import cluster_balanced_sample
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(emb, n_centroids=8)
+    return cluster_balanced_sample(emb, cents, per_cell=16)

@@ -356,3 +356,31 @@ def test_cosine_topk_shuffle_carries_candidates_not_corpus(spark, sf_dir):
     for line in plan.splitlines():
         if "hashpartitioning" in line:
             assert "q_id" in line and "embedding" not in line, line
+
+
+def test_incremental_dedup_both_probes_are_semi_joins(spark, sf_dir):
+    """Incremental dedup contract: the old corpus is consulted through
+    LEFT SEMI joins only (digests + band buckets) — its text never
+    crosses an exchange, so the incremental cost scales with the new
+    batch, not the snapshot."""
+    plan = _formatted_plan(Q.QUERIES["dedup_incremental"](spark, sf_dir))
+    assert plan.count("LeftSemi") >= 2
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            # shuffles carry join/group keys, never document text
+            assert "text" not in line, line
+
+
+def test_cluster_balanced_sample_single_window_shuffle(spark, sf_dir):
+    """Cluster-balanced sampling contract: centroid assignment is a
+    narrow literal expression; the ONLY exchange is the per-cell rank
+    window (embeddings themselves never shuffle)."""
+    plan = _formatted_plan(Q.QUERIES["sample_cluster_balanced"](spark, sf_dir))
+    ex = [
+        line
+        for line in plan.splitlines()
+        if "hashpartitioning" in line or "rangepartitioning" in line
+    ]
+    assert ex, "expected the window exchange"
+    for line in ex:
+        assert "cell" in line and "embedding" not in line, line

@@ -435,3 +435,99 @@ def test_blocked_near_pairs_matches_bruteforce(spark):
         if cos >= 0.2:
             want.append((min(a, b), max(a, b), cos))
     assert got == sorted(want)
+
+
+# ------------------------------------------------- incremental dedup
+
+
+def test_incremental_dedup_exact_and_near(spark):
+    from pgloader_spark.operators.dedup import incremental_dedup
+
+    # 120 distinct tokens -> ~118 distinct 3-shingles; the near-dup
+    # tail changes only 3 of them (Jaccard ~0.97, so at least one of
+    # the 4 LSH bands collides with overwhelming probability)
+    base = " ".join(f"word{i}" for i in range(120))
+    old = spark.createDataFrame(
+        [(0, base), (2, "totally different content here entirely " * 5)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base),                              # exact copy of 0
+            (3, base + " tiny extra tail"),         # near-dup of 0
+            (5, "nothing like anything in the snapshot " * 5),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in incremental_dedup(old, new).collect()}
+    assert out[1]["exact_dup"] is True and out[1]["dup_any"] is True
+    assert out[3]["exact_dup"] is False
+    assert out[3]["near_dup"] is True  # shares nearly all shingles with 0
+    assert out[5]["exact_dup"] is False and out[5]["near_dup"] is False
+    assert out[5]["dup_any"] is False
+    assert set(out) == {1, 3, 5}  # one row per new doc, old side absent
+
+
+def test_incremental_dedup_empty_old_side_keeps_everything(spark):
+    from pgloader_spark.operators.dedup import incremental_dedup
+
+    old = spark.createDataFrame([], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "some words here"), (3, "other words there")],
+        "doc_id long, text string",
+    )
+    rows = incremental_dedup(old, new).collect()
+    assert len(rows) == 2
+    assert all(not r["dup_any"] for r in rows)
+
+
+# ------------------------------------------------- source overlap matrix
+
+
+def test_source_overlap_matrix_counts_cross_source_pairs(spark):
+    from pgloader_spark.operators.dedup import source_overlap_matrix
+
+    dup = "shared duplicated content words repeated " * 8
+    docs = spark.createDataFrame(
+        [
+            (1, dup, "crawlA"),
+            (2, dup, "crawlB"),          # bridges A-B
+            (3, dup, "crawlB"),          # B-internal pair with 2
+            (4, "unique text one " * 10, "crawlA"),
+            (5, "unique text two " * 10, "crawlB"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r["n_dup_pairs"]
+        for r in source_overlap_matrix(docs).collect()
+    }
+    # pairs: (1,2) A-B, (1,3) A-B, (2,3) B-B
+    assert out[("crawlA", "crawlB")] == 2
+    assert out[("crawlB", "crawlB")] == 1
+    assert ("crawlA", "crawlA") not in out
+
+
+# ------------------------------------------------- cluster-balanced sample
+
+
+def test_cluster_balanced_sample_quota_and_determinism(spark):
+    from pgloader_spark.operators.sampling import cluster_balanced_sample
+
+    # two well-separated clusters in 2-d; 6 vectors each
+    rows = [(i, [10.0 + (i % 6) * 0.01, 0.1]) for i in range(6)] + [
+        (10 + i, [0.1, 10.0 + i * 0.01]) for i in range(6)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, [10.0, 0.0]), (1, [0.0, 10.0])]
+    out = cluster_balanced_sample(emb, cents, per_cell=4).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append(r)
+    assert set(by_cell) == {0, 1}
+    assert all(len(v) == 4 for v in by_cell.values())  # quota met exactly
+    assert all(1 <= r["rk"] <= 4 for r in out)
+    again = cluster_balanced_sample(emb, cents, per_cell=4).collect()
+    assert sorted((r["vec_id"], r["rk"]) for r in out) == sorted(
+        (r["vec_id"], r["rk"]) for r in again
+    )  # deterministic, no RNG
