@@ -151,3 +151,70 @@ def windowed_event_stats(
             "sum_value",
         )
     )
+
+
+def streaming_dedup_incremental(
+    new_docs: DataFrame,
+    snapshot_digests: DataFrame,
+    snapshot_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """STATELESS incremental dedup for a document stream: flag each
+    arriving document against a FROZEN corpus snapshot — the streaming
+    form of ``operators.dedup.incremental_dedup``.
+
+    ``snapshot_digests``: one ``content_md5`` column (distinct).
+    ``snapshot_bands``: distinct ``(band_ix, bucket)`` — e.g. the
+    output of ``dedup.minhash_bands`` over the snapshot, written once
+    per snapshot build and only read here.
+
+    Why this shape: a streaming DataFrame cannot run the batch
+    explode+groupBy signature (stateful aggregation in append mode),
+    and a stream-side ``.distinct()`` to collapse band hits is equally
+    illegal.  Instead (a) the band buckets are computed per row with
+    the narrow ``band_buckets_expr`` (no shuffle, legal in any plan),
+    and (b) each of the N_BANDS buckets left-joins the static index —
+    stream-static joins are STATELESS (the static side is re-resolved
+    per micro-batch), so state is zero, output is append-mode safe,
+    and no watermark is required.  The static sides must be distinct
+    on their join keys (they are, by construction of the index) so
+    joins cannot fan rows out.
+
+    Emits one row per arriving doc: (id, exact_dup, near_dup, dup_any)
+    — same schema and same flags as the batch operator (pinned by
+    test_stateful_streaming.py against incremental_dedup).
+    """
+    from pgloader_spark.operators.dedup import N_BANDS, band_buckets_expr
+
+    src = new_docs.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("__h"),
+        band_buckets_expr(text_col).alias("__bands"),
+    )
+    out = src.join(
+        snapshot_digests.select(
+            F.col("content_md5").alias("__h"), F.lit(True).alias("__ex")
+        ),
+        "__h",
+        "left",
+    )
+    for b in range(N_BANDS):
+        idx_b = snapshot_bands.filter(F.col("band_ix") == b).select(
+            F.col("bucket").alias(f"__bk{b}"), F.lit(True).alias(f"__n{b}")
+        )
+        out = out.join(
+            idx_b,
+            out["__bands"][b]["bucket"] == idx_b[f"__bk{b}"],
+            "left",
+        )
+    near = None
+    for b in range(N_BANDS):
+        c = F.coalesce(F.col(f"__n{b}"), F.lit(False))
+        near = c if near is None else (near | c)
+    return out.select(
+        id_col,
+        F.coalesce(F.col("__ex"), F.lit(False)).alias("exact_dup"),
+        near.alias("near_dup"),
+        (F.coalesce(F.col("__ex"), F.lit(False)) | near).alias("dup_any"),
+    )

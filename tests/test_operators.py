@@ -225,3 +225,31 @@ def test_hof_let_binds_once(spark):
         let(toks, lambda t: F.transform(t, F.upper)).alias("u")
     ).collect()
     assert arr[0]["u"] == ["A", "B", "C"]
+
+
+def test_minhash_bands_narrow_equals_signature_path(spark):
+    """The per-row band_buckets_expr (the shuffle-free path that
+    minhash_bands now uses, and the one Structured Streaming can run)
+    emits byte-identical (id, band_ix, bucket) rows to the
+    explode+groupBy signature construction."""
+    from pyspark.sql import functions as F
+
+    docs = docs_df(spark)
+    rows_n = dedup.N_MINHASH // dedup.N_BANDS
+    base = dedup.minhash_signature_df(docs)
+    legacy = set()
+    for r in base.collect():
+        for b in range(dedup.N_BANDS):
+            import hashlib
+
+            slice_txt = ",".join(
+                str(r[f"s{b * rows_n + k}"]) for k in range(rows_n)
+            )
+            legacy.add(
+                (r["doc_id"], b, hashlib.md5(slice_txt.encode()).hexdigest())
+            )
+    narrow = {
+        (r["doc_id"], r["band_ix"], r["bucket"])
+        for r in dedup.minhash_bands(docs).collect()
+    }
+    assert narrow == legacy

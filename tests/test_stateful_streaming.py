@@ -170,3 +170,80 @@ def test_windowed_event_stats_stream(spark, tmp_path):
         ]
     finally:
         q.stop()
+
+
+def test_streaming_dedup_incremental_matches_batch(spark):
+    """Bounded-input equivalence: the stream-static operator computes
+    the SAME flags as operators.dedup.incremental_dedup."""
+    from pgloader_spark.operators.dedup import (
+        exact_duplicates,
+        incremental_dedup,
+        minhash_bands,
+    )
+    from pgloader_spark.streaming.stateful import streaming_dedup_incremental
+
+    base = " ".join(f"tok{i}" for i in range(100))
+    old = spark.createDataFrame(
+        [(0, base), (2, "unrelated snapshot content " * 10)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, base), (3, base + " small tail"), (5, "fresh words " * 20)],
+        "doc_id long, text string",
+    )
+    digests = exact_duplicates(old).select("content_md5")
+    bands = minhash_bands(old).select("band_ix", "bucket").distinct()
+    got = {
+        r["doc_id"]: (r["exact_dup"], r["near_dup"], r["dup_any"])
+        for r in streaming_dedup_incremental(new, digests, bands).collect()
+    }
+    want = {
+        r["doc_id"]: (r["exact_dup"], r["near_dup"], r["dup_any"])
+        for r in incremental_dedup(old, new).collect()
+    }
+    assert got == want
+    assert got[1] == (True, True, True)
+    assert got[5] == (False, False, False)
+
+
+def test_streaming_dedup_incremental_live_stream(spark, tmp_path):
+    """Append-mode file stream across two micro-batches, zero state:
+    every arriving doc gets its flags against the frozen index."""
+    from pgloader_spark.operators.dedup import exact_duplicates, minhash_bands
+    from pgloader_spark.streaming.stateful import streaming_dedup_incremental
+
+    base = " ".join(f"w{i}" for i in range(80))
+    old = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    digests = exact_duplicates(old).select("content_md5")
+    bands = minhash_bands(old).select("band_ix", "bucket").distinct()
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    # CSV-safe: no commas in text
+    (src / "b1.csv").write_text(f'1,{base}\n5,totally new words here\n')
+    stream = (
+        spark.readStream.format("csv")
+        .schema("doc_id long, text string")
+        .load(str(src))
+    )
+    out = streaming_dedup_incremental(stream, digests, bands)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("incr_mem")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (src / "b2.csv").write_text(f'7,{base}\n')  # dup arrives later
+        q.processAllAvailable()
+        rows = {
+            r["doc_id"]: (r["exact_dup"], r["dup_any"])
+            for r in spark.sql("SELECT * FROM incr_mem").collect()
+        }
+        assert rows[1] == (True, True)
+        assert rows[5] == (False, False)
+        assert rows[7] == (True, True)  # second micro-batch, same frozen index
+    finally:
+        q.stop()
