@@ -1133,3 +1133,136 @@ def sample_cluster_balanced_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     cents = similarity.ivf_centroids(emb, n_centroids=8)
     return cluster_balanced_sample(emb, cents, per_cell=16)
+
+
+# --- time-series / CDC surface: hypertable rollup, SCD2, gap-fill ---------
+
+
+@query(
+    "events_hypertable_rollup",
+    oracle="""
+SELECT event_type,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+       CAST(grouping(date_trunc('hour', ts)) AS INTEGER) AS g_hour,
+       COUNT(*) AS n_events,
+       round(SUM(value), 6) AS sum_value
+FROM events
+GROUP BY GROUPING SETS (
+  (event_type, date_trunc('day', ts), date_trunc('hour', ts)),
+  (event_type, date_trunc('day', ts)))
+""",
+)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hourly buckets per event
+    type PLUS their daily rollup in ONE grouping-sets pass — the
+    two-level time_bucket materialization TimescaleDB keeps per
+    hypertable, as a single Spark aggregation (one shuffle, map-side
+    partial aggregation at both granularities; no second pass over the
+    raw events for the coarser level)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+    )
+    return (
+        ev.groupingSets(
+            [["event_type", "day", "hour"], ["event_type", "day"]],
+            "event_type",
+            "day",
+            "hour",
+        )
+        .agg(
+            F.grouping("hour").cast("int").alias("g_hour"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select("event_type", "day", "hour", "g_hour", "n_events", "sum_value")
+    )
+
+
+@query(
+    "etl_scd2_intervals",
+    oracle="""
+SELECT user_id, event_id,
+       CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+       ts AS valid_from,
+       LEAD(ts) OVER w AS valid_to,
+       (LEAD(ts) OVER w IS NULL) AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def etl_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC collapse to SCD2 validity intervals: each user's change
+    stream becomes versioned rows with [valid_from, valid_to) ranges
+    and an is_current flag — the slowly-changing-dimension build every
+    warehouse load runs after a pgloader-style migration.  One window
+    shuffle on the entity key; AQE skew handling covers hot entities."""
+    from pyspark.sql.window import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).cast("int").alias("version"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+@query(
+    "events_gapfill_hourly",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events),
+hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds),
+types AS (SELECT DISTINCT event_type FROM events),
+grid AS (SELECT t.event_type, h.hour FROM types t CROSS JOIN hours h),
+agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         COUNT(*) AS n, round(SUM(value), 6) AS sv
+  FROM events GROUP BY 1, 2)
+SELECT g.event_type, g.hour,
+       COALESCE(a.n, 0) AS n_events,
+       COALESCE(a.sv, 0.0) AS sum_value,
+       (a.n IS NULL) AS gap_filled
+FROM grid g LEFT JOIN agg a
+  ON g.event_type = a.event_type AND g.hour = a.hour
+""",
+)
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event type with explicit zero rows for
+    silent hours — the gap-fill every monitoring/metrics rollup needs
+    (a missing hour must chart as 0, not as absent).  The hour spine is
+    sequence() over the corpus min/max (a 1-row aggregate that rides a
+    broadcast; the spine explode is bounded by hours x types, never by
+    event count); the only data-sized shuffle is the hourly
+    aggregation itself."""
+    ev = read_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(hours))
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sv"))
+    return grid.join(agg, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.coalesce(F.col("sv"), F.lit(0.0)).alias("sum_value"),
+        F.col("n").isNull().alias("gap_filled"),
+    )
