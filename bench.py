@@ -52,6 +52,8 @@ HEADLINE = [
     "sample_dsir_weights",
     "pipeline_quality_funnel",
     "sketch_hll_distinct",
+    "dedup_incremental",
+    "events_hypertable_rollup",
 ]
 
 RUNS = 3

@@ -508,7 +508,8 @@ def incremental_dedup(
     duplicates of anything already kept.
 
     Returns one row per new-batch document:
-    (id, exact_dup, near_dup, keep) with keep = NOT (exact OR near).
+    (id, exact_dup, near_dup, dup_any) with dup_any = exact OR near —
+    survivors are ``filter(~F.col("dup_any"))``.
 
     100 TB shape: both signals are narrow projections followed by one
     keyed join each —
@@ -661,4 +662,10 @@ def band_buckets_expr(
         )
 
     hashed = F.transform(shingles(text_col, k), lambda s: base_hash40(s))
-    return let(hashed, body)
+    # NULL text must yield NULL (no band rows after explode), matching
+    # the signature path, whose groupBy over zero exploded shingle rows
+    # emitted no row for the doc.  Without the guard every NULL-text doc
+    # shares the md5('') bucket in every band — one hot bucket turning n
+    # null docs into O(n^2) false candidate pairs.
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.when(c.isNotNull(), let(hashed, body))

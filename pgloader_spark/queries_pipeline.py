@@ -20,7 +20,9 @@ from pgloader_spark.queries import (
     _DUCK_COS,
     _DUCK_IVF_ASSIGN,
     _DUCK_TOKENS,
+    _duck_bands_select,
     _duck_jaccard_sql,
+    _duck_minhash_sig_cte,
     query,
 )
 from pgloader_spark.session import read_table
@@ -1042,8 +1044,6 @@ def sketch_quantile_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- round-3 additions: incremental dedup, cross-source overlap, ----------
 # --- cluster-balanced diversity sampling ----------------------------------
-
-from pgloader_spark.queries import _duck_bands_select, _duck_minhash_sig_cte
 
 
 @query(

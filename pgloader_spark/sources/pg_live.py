@@ -255,16 +255,26 @@ def align_to_target(
     from pgloader_spark.parsers.dateformat import pg_to_spark_datetime_format
 
     sch, _, tbl = table.rpartition(".")
-    sch = (sch or "public").strip('"')
+    sch = sch.strip('"')
     tbl = tbl.strip('"')
     with PGConn(dsn) as conn:
+        # schema-qualified: an unqualified table_name match would
+        # return the columns of EVERY schema's same-named table (e.g.
+        # csv.blocks + geolite.blocks), duplicating names and silently
+        # disabling the case-insensitive rename below.  An unqualified
+        # target resolves like the server would: the single schema
+        # holding that name, or 'public' when several do.
+        if not sch:
+            _, schemas = conn.query(
+                "SELECT DISTINCT table_schema FROM information_schema.columns"
+                f" WHERE table_name = '{tbl}'"
+                " AND table_schema NOT IN ('pg_catalog', 'information_schema')"
+            )
+            names_ = [r[0] for r in schemas]
+            sch = names_[0] if len(names_) == 1 else "public"
         _, rows = conn.query(
             "SELECT column_name, data_type, column_default"
             " FROM information_schema.columns "
-            # schema-qualified: an unqualified table_name match returns
-            # the columns of EVERY schema's same-named table (e.g.
-            # csv.blocks + geolite.blocks), duplicating names and
-            # silently disabling the case-insensitive rename below
             f"WHERE table_schema = '{sch}' AND table_name = '{tbl}'"
             " ORDER BY ordinal_position"
         )

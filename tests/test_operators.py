@@ -253,3 +253,17 @@ def test_minhash_bands_narrow_equals_signature_path(spark):
         for r in dedup.minhash_bands(docs).collect()
     }
     assert narrow == legacy
+
+
+def test_minhash_bands_drops_null_text_docs(spark):
+    """NULL-text docs emit NO band rows (the signature path's behavior:
+    zero exploded shingles -> no groupBy row). A shared md5('') bucket
+    across null docs would create one hot bucket and O(n^2) false
+    candidate pairs."""
+    docs = spark.createDataFrame(
+        [(1, "real words here again"), (2, None), (3, None)],
+        "doc_id long, text string",
+    )
+    bands = dedup.minhash_bands(docs)
+    assert {r["doc_id"] for r in bands.collect()} == {1}
+    assert dedup.minhash_candidate_pairs(docs).count() == 0
