@@ -72,6 +72,23 @@ def decode_image_meta(data: bytes) -> tuple[str, int, int]:
     if mime == "image/gif":
         w, h = struct.unpack_from("<HH", data, 6)
         return mime, w, h
+    if mime == "image/jpeg":
+        # marker scan to the first SOF segment (public JPEG layout):
+        # height/width are big-endian at SOF offset +5 / +7.  C4 (DHT),
+        # C8 (JPG ext) and CC (DAC) look like SOFs but are not.
+        i = 2
+        n = len(data)
+        while i + 3 < n and data[i] == 0xFF:
+            marker = data[i + 1]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack_from(">HH", data, i + 5)
+                return mime, w, h
+            if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            (seg_len,) = struct.unpack_from(">H", data, i + 2)
+            i += 2 + seg_len
+        raise UnsupportedMediaError("jpeg: no SOF marker found")
     raise UnsupportedMediaError(f"no stub decoder for {mime}")
 
 
@@ -236,6 +253,32 @@ def png_payload(width_col, height_col):
         be32(width_col),
         be32(height_col),
         F.unhex(F.lit("080200000000000000")),  # depth/color/... + CRC pad
+    )
+
+
+def jpeg_payload(width_col, height_col):
+    """Spark Column: a minimal JFIF JPEG (SOI + SOF0 + EOI) built
+    JVM-side — same codegen-only synthesis as ``png_payload``; only the
+    marker-scan decode crosses into Python."""
+    be16 = lambda c: F.unhex(F.lpad(F.hex(c.cast("long")), 4, "0"))  # noqa: E731
+    return F.concat(
+        F.unhex(F.lit("FFD8")),        # SOI
+        F.unhex(F.lit("FFC0001108")),  # SOF0, length 17, precision 8
+        be16(height_col),
+        be16(width_col),
+        F.unhex(F.lit("03011100021101031101")),  # 3 component specs
+        F.unhex(F.lit("FFD9")),        # EOI
+    )
+
+
+def make_jpeg(width: int, height: int) -> bytes:
+    """Driver-side fixture twin of ``jpeg_payload``."""
+    return (
+        b"\xff\xd8"
+        + b"\xff\xc0\x00\x11\x08"
+        + struct.pack(">HH", height, width)
+        + bytes.fromhex("03011100021101031101")
+        + b"\xff\xd9"
     )
 
 

@@ -159,6 +159,10 @@ _SOURCE_KINDS = {
     "database": "database",
     "archive": "archive",
     "messages": "messages",
+    # beyond the reference: the lake/corpus formats Spark reads natively
+    # (JSONL is the de-facto training-corpus interchange format)
+    "jsonl": "jsonl",
+    "parquet": "parquet",
 }
 
 _SECTION_WORDS = {

@@ -122,6 +122,27 @@ def read_source(spark: SparkSession, cmd: LoadCommand) -> DataFrame:
             return read_csv(spark, tmp.name, opts)
         paths = _source_paths(cmd)
         return read_csv(spark, ",".join(paths) if len(paths) == 1 else paths, opts)  # type: ignore[arg-type]
+    if kind == "jsonl":
+        # LOAD JSONL (beyond the reference): newline-delimited JSON,
+        # the training-corpus interchange format.  With a declared
+        # field list every named field reads as StringType (Spark's
+        # JSON reader renders scalars as their literal text), matching
+        # pgloader's rows-are-text model so null-if/trim/USING
+        # transforms apply unchanged; without one, the schema is
+        # inferred and columns pass through typed.
+        paths = _source_paths(cmd)
+        if cmd.fields:
+            schema = ", ".join(f"`{f.name}` string" for f in cmd.fields)
+            return spark.read.schema(schema).json(paths)
+        return spark.read.json(paths)
+    if kind == "parquet":
+        # LOAD PARQUET (beyond the reference): columnar lake input —
+        # pushdown/pruning come free; declared fields just select.
+        paths = _source_paths(cmd)
+        df = spark.read.parquet(*paths)
+        if cmd.fields:
+            return df.select(*[f.name for f in cmd.fields])
+        return df
     if kind == "fixed":
         if (
             not cmd.fixed_fields

@@ -1319,6 +1319,35 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_decode_jpeg",
+    oracle="""
+SELECT doc_id,
+       'image/jpeg' AS mime,
+       CAST((n_chars % 1024) + 1 AS INT) AS width,
+       CAST((doc_id % 768) + 1 AS INT) AS height,
+       CAST(23 AS BIGINT) AS n_bytes
+FROM documents
+""",
+)
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG twin of the PNG round-trip: minimal JFIF payloads built
+    JVM-side, decoded by the SOF marker scan
+    (operators/multimodal.py:decode_image_meta) — the second real
+    container format through the same Arrow decode stage."""
+    from pgloader_spark.operators.multimodal import image_metadata, jpeg_payload
+
+    docs = read_table(spark, sf_dir, "documents", widen=True).select(
+        "doc_id",
+        jpeg_payload(
+            (F.col("n_chars") % 1024) + 1, (F.col("doc_id") % 768) + 1
+        ).alias("payload"),
+    )
+    return image_metadata(docs).select(
+        "doc_id", "mime", "width", "height", "n_bytes"
+    )
+
+
 # --------------------------------------------------------------------------
 # Migration-shaped relational operators (SURVEY §2.4/2.5/2.6): the
 # joins/aggregations the reference computes for orchestration, plus

@@ -142,3 +142,52 @@ LOAD CSV
     report = execute(ctx, cmd)
     assert report.loaded == 1000
     assert spark.read.parquet(str(out)).count() == 1000
+
+
+def test_jsonl_source_end_to_end(spark, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "  hello world  ", "lang": "en"}\n'
+        '{"doc_id": 2, "text": "", "lang": "fr"}\n'
+        '{"doc_id": 3, "text": "au revoir", "lang": null}\n'
+    )
+    cmd = f"""
+LOAD JSONL
+  FROM '{p}' (doc_id, text null if blanks trim both whitespace, lang)
+  INTO postgresql:///db?docs (doc_id bigint, text, lang);
+"""
+    report = run_command_text(spark, cmd, root_dir=str(tmp_path))
+    assert report.loaded == 3
+    rows = {r["doc_id"]: r for r in report.result.collect()}
+    assert rows[1]["text"] == "hello world"  # trimmed
+    assert rows[2]["text"] is None           # null if blanks
+    assert rows[3]["lang"] is None
+    assert report.result.columns == ["doc_id", "text", "lang"]
+
+
+def test_jsonl_source_inferred_schema(spark, tmp_path):
+    p = tmp_path / "typed.jsonl"
+    p.write_text('{"k": 1, "v": 2.5}\n{"k": 2, "v": 0.5}\n')
+    cmd = f"""
+LOAD JSONL FROM '{p}' INTO postgresql:///db?typed;
+"""
+    report = run_command_text(spark, cmd, root_dir=str(tmp_path))
+    assert report.loaded == 2
+    dtypes = dict(report.result.dtypes)
+    assert dtypes["k"] == "bigint" and dtypes["v"] == "double"
+
+
+def test_parquet_source_end_to_end(spark, tmp_path):
+    src = tmp_path / "in.parquet"
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id long, name string, score double"
+    ).write.parquet(str(src))
+    cmd = f"""
+LOAD PARQUET
+  FROM '{src}' (id, name)
+  INTO postgresql:///db?scores (id, name);
+"""
+    report = run_command_text(spark, cmd, root_dir=str(tmp_path))
+    assert report.loaded == 2
+    assert report.result.columns == ["id", "name"]
+    assert {r["name"] for r in report.result.collect()} == {"a", "b"}

@@ -72,3 +72,33 @@ def test_frame_sample_plan(spark):
     assert got[1] == [0, 30, 60, 90]
     assert got[2] == [0]
     assert got[3] == [0]
+
+
+def test_jpeg_sof_marker_scan_decodes_dims():
+    from pgloader_spark.operators.multimodal import (
+        decode_image_meta,
+        make_jpeg,
+    )
+
+    mime, w, h = decode_image_meta(make_jpeg(640, 480))
+    assert (mime, w, h) == ("image/jpeg", 640, 480)
+    # SOF behind an APP0 segment (typical camera files): still found
+    app0 = b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    data = b"\xff\xd8" + app0 + make_jpeg(33, 21)[2:]
+    assert decode_image_meta(data) == ("image/jpeg", 33, 21)
+    # DHT (C4) must not be mistaken for a SOF
+    dht = b"\xff\xc4\x00\x04\x00\x00"
+    data = b"\xff\xd8" + dht + make_jpeg(12, 7)[2:]
+    assert decode_image_meta(data) == ("image/jpeg", 12, 7)
+
+
+def test_jpeg_without_sof_reports_error():
+    import pytest as _pytest
+
+    from pgloader_spark.operators.multimodal import (
+        UnsupportedMediaError,
+        decode_image_meta,
+    )
+
+    with _pytest.raises(UnsupportedMediaError):
+        decode_image_meta(b"\xff\xd8\xff\xd9")
