@@ -1266,3 +1266,60 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("sv"), F.lit(0.0)).alias("sum_value"),
         F.col("n").isNull().alias("gap_filled"),
     )
+
+
+# --- data layout: z-order clustering keys ---------------------------------
+
+_ZBITS = 10
+
+
+def _duck_quant(col: str, lo: str, hi: str) -> str:
+    cells = (1 << _ZBITS) - 1
+    return (
+        f"CAST(floor(least(greatest(CASE WHEN {hi} > {lo} "
+        f"THEN ({col} - {lo}) / CAST({hi} - {lo} AS DOUBLE) ELSE 0.0 END,"
+        f" 0.0), 1.0) * {cells}) AS BIGINT)"
+    )
+
+
+def _duck_interleave(a: str, b: str) -> str:
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(f"((({a} >> {i}) % 2) << {2 * i})")
+        terms.append(f"((({b} >> {i}) % 2) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@query(
+    "layout_zorder_keys",
+    oracle=f"""
+WITH b AS (
+  SELECT MIN(user_id) AS alo, MAX(user_id) AS ahi,
+         MIN(value) AS blo, MAX(value) AS bhi
+  FROM events),
+q AS (
+  SELECT event_id,
+         {_duck_quant("user_id", "alo", "ahi")} AS qa,
+         {_duck_quant("value", "blo", "bhi")} AS qb
+  FROM events CROSS JOIN b)
+SELECT event_id, ({_duck_interleave("qa", "qb")}) AS z,
+       (({_duck_interleave("qa", "qb")}) >> 12) AS z_bucket
+FROM q
+""",
+)
+def layout_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys over (user_id, value) — the
+    multi-dimensional layout key behind Delta/Iceberg OPTIMIZE ZORDER:
+    rows close in BOTH dimensions share a z prefix, so a range-
+    partitioned write by z gives parquet footer stats that prune scans
+    on either column (operators/layout.py; write path
+    ``write_zordered``).  Bounds are a 1-row broadcast aggregate; the
+    interleave is a constant-folded shift/mask chain, fully narrow."""
+    from pgloader_spark.operators.layout import zorder_keys
+
+    ev = read_table(spark, sf_dir, "events")
+    return zorder_keys(ev, "user_id", "value", bits=_ZBITS).select(
+        "event_id",
+        "z",
+        F.shiftright(F.col("z"), 12).cast("long").alias("z_bucket"),
+    )

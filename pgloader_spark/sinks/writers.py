@@ -119,3 +119,22 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    n_shards: int | None = None,
+    compression: str | None = "gzip",
+    mode: str = "overwrite",
+) -> None:
+    """JSONL corpus export (not in the reference): the interchange
+    format training pipelines consume.  ``n_shards`` repartitions to a
+    fixed shard count (downstream loaders want even, bounded files);
+    gzip per shard by default — JSONL compresses ~5-10x and every
+    consumer streams .jsonl.gz natively."""
+    out = df.repartition(n_shards) if n_shards else df
+    w = out.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

@@ -520,3 +520,64 @@ def migrate_pg_to_parquet(
             os.path.join(out_dir, f"{table}.parquet")
         ).count()
     return counts
+
+
+def write_pg_upsert(
+    df: DataFrame,
+    dsn: str,
+    table: str,
+    key_cols: list[str],
+    n_writers: int | None = None,
+    update_cols: list[str] | None = None,
+) -> tuple[int, int]:
+    """Idempotent merge load: COPY into a staging table at full COPY
+    speed, then one server-side ``INSERT ... ON CONFLICT DO UPDATE``.
+
+    The reference can only truncate-and-reload or append; re-running a
+    load against a live target either duplicates rows or requires a
+    full reload.  Upsert gives the third mode every recurring
+    migration needs: re-runs converge (same input -> same target
+    state).  The target must carry a unique constraint/index on
+    ``key_cols`` (ON CONFLICT's arbiter).
+
+    Scale shape: the distributed phase is exactly ``write_pg_copy``
+    (Arrow-batched COPY streams into staging — no per-row Python, no
+    extra shuffle); the merge is ONE set-based SQL statement executed
+    by the server, where it belongs.  Returns (rows_staged,
+    rows_merged).
+    """
+    staging = f"{table.split('.')[-1]}__upsert_stage"
+    q_target = quote_qualified(table)
+    q_stage = quote_qualified(staging)
+    with PGConn(dsn) as conn:
+        conn.query(f"DROP TABLE IF EXISTS {q_stage}")
+        conn.query(
+            f"CREATE UNLOGGED TABLE {q_stage} "
+            f"(LIKE {q_target} INCLUDING DEFAULTS)"
+        )
+    try:
+        staged = write_pg_copy(df, dsn, staging, n_writers=n_writers)
+        cols = list(df.columns)
+        upd = update_cols if update_cols is not None else [
+            c for c in cols if c not in key_cols
+        ]
+        collist = ", ".join(f'"{c}"' for c in cols)
+        keylist = ", ".join(f'"{c}"' for c in key_cols)
+        if upd:
+            action = "DO UPDATE SET " + ", ".join(
+                f'"{c}" = EXCLUDED."{c}"' for c in upd
+            )
+        else:
+            action = "DO NOTHING"
+        with PGConn(dsn) as conn:
+            _, rows = conn.query(
+                f"WITH m AS (INSERT INTO {q_target} ({collist}) "
+                f"SELECT {collist} FROM {q_stage} "
+                f"ON CONFLICT ({keylist}) {action} RETURNING 1) "
+                "SELECT COUNT(*) FROM m"
+            )
+            merged = int(rows[0][0])
+        return staged, merged
+    finally:
+        with PGConn(dsn) as conn:
+            conn.query(f"DROP TABLE IF EXISTS {q_stage}")

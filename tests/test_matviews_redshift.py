@@ -56,3 +56,20 @@ def test_redshift_staging_write(spark, tmp_path):
         ln for f in files for ln in open(f).read().splitlines() if ln
     )
     assert rows == ["1,x", "2,y"]
+
+
+def test_write_jsonl_shards_roundtrip(spark, tmp_path):
+    from pgloader_spark.sinks.writers import write_jsonl
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "corpus")
+    write_jsonl(df, out, n_shards=4)
+    import glob
+
+    shards = glob.glob(out + "/part-*.json.gz")
+    assert len(shards) == 4  # fixed shard count, gzip per shard
+    back = spark.read.json(out)
+    assert back.count() == 100
+    assert {r["doc_id"] for r in back.collect()} == set(range(100))

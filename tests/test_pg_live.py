@@ -1710,3 +1710,61 @@ def test_cli_flags_end_to_end_with_regress(seeded, spark, tmp_path):
     (expdir / "cli_people.out").write_text("10\tada\n20\tgrace\n30\tWRONG\n")
     assert main([str(load), "--master", "local[4]",
                  "--root-dir", str(tmp_path / "rej3"), "--regress"]) == 1
+
+
+def test_write_pg_upsert_converges_on_rerun(seeded, spark):
+    """Merge load: COPY into staging + one ON CONFLICT statement.
+    Re-running the same load leaves the target unchanged (idempotent);
+    changed rows update in place; new rows insert."""
+    from pgloader_spark.sources.pg_live import write_pg_upsert
+
+    with PGConn(seeded) as c:
+        c.query("DROP TABLE IF EXISTS upsert_t")
+        c.query(
+            "CREATE TABLE upsert_t (id bigint PRIMARY KEY, name text,"
+            " score double precision)"
+        )
+    df1 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        "id long, name string, score double",
+    )
+    staged, merged = write_pg_upsert(df1, seeded, "upsert_t", ["id"])
+    assert (staged, merged) == (3, 3)
+    # re-run: same input, target unchanged, still 3 rows
+    write_pg_upsert(df1, seeded, "upsert_t", ["id"])
+    # changed + new rows
+    df2 = spark.createDataFrame(
+        [(2, "b2", 20.0), (4, "d", 4.0)], "id long, name string, score double"
+    )
+    staged2, merged2 = write_pg_upsert(df2, seeded, "upsert_t", ["id"])
+    assert (staged2, merged2) == (2, 2)
+    with PGConn(seeded) as c:
+        _, rows = c.query("SELECT id, name, score FROM upsert_t ORDER BY id")
+    assert [(int(i), n, float(s)) for i, n, s in rows] == [
+        (1, "a", 1.0),
+        (2, "b2", 20.0),
+        (3, "c", 3.0),
+        (4, "d", 4.0),
+    ]
+    # staging table cleaned up
+    with PGConn(seeded) as c:
+        _, r = c.query(
+            "SELECT COUNT(*) FROM information_schema.tables"
+            " WHERE table_name LIKE '%__upsert_stage'"
+        )
+    assert int(r[0][0]) == 0
+
+
+def test_write_pg_upsert_do_nothing_mode(seeded, spark):
+    from pgloader_spark.sources.pg_live import write_pg_upsert
+
+    with PGConn(seeded) as c:
+        c.query("DROP TABLE IF EXISTS upsert_n")
+        c.query("CREATE TABLE upsert_n (k text PRIMARY KEY)")
+    df = spark.createDataFrame([("x",), ("y",)], "k string")
+    write_pg_upsert(df, seeded, "upsert_n", ["k"], update_cols=[])
+    s, m = write_pg_upsert(df, seeded, "upsert_n", ["k"], update_cols=[])
+    assert (s, m) == (2, 0)  # DO NOTHING: conflicts merge zero rows
+    with PGConn(seeded) as c:
+        _, r = c.query("SELECT COUNT(*) FROM upsert_n")
+    assert int(r[0][0]) == 2
