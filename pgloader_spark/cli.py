@@ -31,6 +31,10 @@ _EXT_KINDS = {
     ".dbf": "dbf",
     ".db3": "dbf",
     ".ixf": "ixf",
+    ".jsonl": "jsonl",
+    ".ndjson": "jsonl",
+    ".json": "jsonl",
+    ".parquet": "parquet",
 }
 
 _URI_KINDS = ("mysql", "sqlite", "mssql", "postgresql", "pgsql")

@@ -14,6 +14,9 @@ def test_sniff_source_kind():
     assert sniff_source_kind("data.csv") == "csv"
     assert sniff_source_kind("/path/file.dbf") == "dbf"
     assert sniff_source_kind("file.copy") == "copy"
+    assert sniff_source_kind("corpus.jsonl") == "jsonl"
+    assert sniff_source_kind("corpus.ndjson") == "jsonl"
+    assert sniff_source_kind("table.parquet") == "parquet"
     assert sniff_source_kind("mysql://u@h/db") == "database"
     assert sniff_source_kind("postgresql:///db") == "database"
     assert sniff_source_kind("archive.zip") == "archive"
