@@ -60,22 +60,17 @@ def hll_rho(hash_col: Column) -> Column:
     return F.when(rest == 0, F.lit(_HLL_RBITS + 1)).otherwise(tz + 1)
 
 
-def hll_distinct(
+def hll_registers(
     df: DataFrame, key_col: str, group_cols: list[str]
 ) -> DataFrame:
-    """Per-group HLL distinct-count estimate (column ``est_distinct``).
+    """Per-group HLL register table (group, j, m_j) — the sketch STATE.
 
-    Two aggregations, both with map-side partial combine: (group, j)
-    -> max(rho) touches at most m=4096 rows per group regardless of
-    input size, then the per-group fold of the register table.  The
-    register sum is kept EXACT by scaling 2^-M to the integer
-    2^(50-M): floating-point enters only in the single final
-    expression, so the estimate is independent of partitioning and
-    engine.  Small-range (linear counting) correction as in Flajolet
-    et al. 2007.
-    """
+    This is the mergeable artifact: registers from disjoint partitions,
+    days, or sources combine by MAX per (group, j), so estimates roll
+    up without re-reading the raw keys (the property that makes HLL a
+    distributed sketch at all)."""
     h = md5_hash64(F.col(key_col).cast("string"), seed=HLL_SEED)
-    regs = (
+    return (
         df.select(
             *group_cols,
             h.bitwiseAND(F.lit(_HLL_M - 1)).alias("j"),
@@ -84,6 +79,10 @@ def hll_distinct(
         .groupBy(*group_cols, "j")
         .agg(F.max("rho").alias("m_j"))
     )
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Fold a register table into per-group ``est_distinct``."""
     # SUM(2^(50 - M_j)) is exact integer arithmetic: M_j <= 49, at most
     # 4096 terms of <= 2^49 -> fits long with headroom for V * 2^50.
     folded = regs.groupBy(*group_cols).agg(
@@ -98,6 +97,45 @@ def hll_distinct(
     return folded.select(
         *group_cols, F.round(est).cast("long").alias("est_distinct")
     )
+
+
+def hll_distinct(
+    df: DataFrame, key_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group HLL distinct-count estimate (column ``est_distinct``).
+
+    Two aggregations, both with map-side partial combine: (group, j)
+    -> max(rho) touches at most m=4096 rows per group regardless of
+    input size, then the per-group fold of the register table.  The
+    register sum is kept EXACT by scaling 2^-M to the integer
+    2^(50-M): floating-point enters only in the single final
+    expression, so the estimate is independent of partitioning and
+    engine.  Small-range (linear counting) correction as in Flajolet
+    et al. 2007.
+    """
+    return hll_estimate(hll_registers(df, key_col, group_cols), group_cols)
+
+
+def hll_merged_rollup(
+    df: DataFrame, key_col: str, group_col: str
+) -> DataFrame:
+    """Per-group estimates PLUS an 'ALL' row whose registers are
+    MAX-MERGED from the per-group register tables — never re-touching
+    the raw keys.  Because register max is associative, the merged
+    estimate is bit-identical to estimating over the union directly
+    (the oracle checks exactly that), which is the correctness witness
+    for distributing the sketch: per-executor/per-day/per-source
+    register tables roll up to the same global answer in any order.
+    """
+    base = hll_registers(df, key_col, [group_col])
+    per = hll_estimate(base, [group_col])
+    merged = base.groupBy("j").agg(F.max("m_j").alias("m_j"))
+    all_row = hll_estimate(merged, []).select(
+        F.lit("ALL").alias(group_col), "est_distinct"
+    )
+    return per.select(
+        F.col(group_col).cast("string").alias(group_col), "est_distinct"
+    ).unionByName(all_row)
 
 
 def duck_hll_sql(key_expr: str, group_expr: str, table: str) -> str:

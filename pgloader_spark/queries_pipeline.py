@@ -1323,3 +1323,30 @@ def layout_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "z",
         F.shiftright(F.col("z"), 12).cast("long").alias("z_bucket"),
     )
+
+
+@query(
+    "sketch_hll_merge",
+    oracle=(
+        "SELECT source, est_distinct FROM (\n"
+        "SELECT grp AS source, est_distinct FROM (\n"
+        + _duck_hll_sql("CAST(doc_id % 97 AS VARCHAR)", "source", "documents")
+        + ")\nUNION ALL\nSELECT 'ALL', est_distinct FROM (\n"
+        + _duck_hll_sql("CAST(doc_id % 97 AS VARCHAR)", "'ALL'", "documents")
+        + ")\n)"
+    ),
+)
+def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY witness: per-source HLL estimates plus an
+    'ALL' row whose registers are max-merged from the per-source
+    register tables, never re-touching the raw keys.  The oracle
+    computes the ALL row directly over the union — register max being
+    associative, both paths are bit-identical, which is exactly the
+    property that lets per-executor/per-day sketch state roll up at
+    100 TB (operators/sketches.py:hll_merged_rollup)."""
+    from pgloader_spark.operators.sketches import hll_merged_rollup
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "source", (F.col("doc_id") % 97).cast("string").alias("k")
+    )
+    return hll_merged_rollup(docs, "k", "source")

@@ -218,3 +218,55 @@ def streaming_dedup_incremental(
         near.alias("near_dup"),
         (F.coalesce(F.col("__ex"), F.lit(False)) | near).alias("dup_any"),
     )
+
+
+def streaming_curation_funnel(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    watermark: str = "1 hour",
+    sample_frac: float = 0.5,
+) -> DataFrame:
+    """The corpus-curation funnel as a STREAMING pipeline: every gate
+    of the batch ``pipeline_quality_funnel`` applied to an unbounded
+    document stream.
+
+    Gate mechanics under streaming constraints:
+    - quality (token count + bigram repetition), language, and the
+      deterministic hash sample are NARROW column expressions — legal
+      and identical in any plan;
+    - exact dedup cannot be a window over all history; it becomes
+      ``dropDuplicatesWithinWatermark`` on the content digest (state
+      bounded by the watermark window) — the standard streaming
+      trade: duplicates separated by more than the watermark pass,
+      which a periodic batch dedup over the accumulated corpus
+      reconciles.
+
+    Emits ONLY the surviving documents (append-safe), with the gate
+    flags attached for observability.  On bounded input it degrades to
+    plain digest-dedup + filters: same rows as the batch funnel's
+    survivors (pinned by test).
+    """
+    from pgloader_spark.operators import text as txt
+    from pgloader_spark.operators.sampling import hash_bucket
+
+    tk = txt.tokens(F.col(text_col))
+    staged = docs.withColumn("__h", F.md5(F.col(text_col))).withColumn(
+        "g_quality",
+        F.size(tk).between(10, 2000)
+        & (txt.dup_ngram_fraction(text_col, 2) < 0.5),
+    ).withColumn("g_lang", F.col(lang_col) == "en").withColumn(
+        "g_sample",
+        hash_bucket(F.col(id_col), seed=42) < int(sample_frac * 1_000_000),
+    )
+    if docs.isStreaming:
+        deduped = staged.withWatermark(
+            ts_col, watermark
+        ).dropDuplicatesWithinWatermark(["__h"])
+    else:
+        deduped = staged.dropDuplicates(["__h"])
+    return deduped.filter(
+        F.col("g_quality") & F.col("g_lang") & F.col("g_sample")
+    ).drop("__h")

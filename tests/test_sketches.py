@@ -126,3 +126,29 @@ def test_quantile_constant_bins_plan(spark, docs):
     assert "Window" in plan
     # histogram aggregate (partial + final) appears below the window
     assert "partial_count" in plan
+
+
+def test_hll_merge_equals_direct_union(spark):
+    """Register max is associative: merging per-group register tables
+    gives the SAME estimate as sketching the union directly — the
+    distributed-rollup property."""
+    from pyspark.sql import functions as F
+
+    from pgloader_spark.operators.sketches import (
+        hll_distinct,
+        hll_merged_rollup,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(5000)], "k long, source string"
+    ).select(F.col("k").cast("string").alias("k"), "source")
+    rolled = {
+        r["source"]: r["est_distinct"]
+        for r in hll_merged_rollup(df, "k", "source").collect()
+    }
+    direct_all = hll_distinct(
+        df.withColumn("g", F.lit(1)), "k", ["g"]
+    ).collect()[0]["est_distinct"]
+    assert rolled["ALL"] == direct_all
+    # and the merged estimate is a real union estimate, not a sum
+    assert rolled["ALL"] < sum(v for k, v in rolled.items() if k != "ALL")

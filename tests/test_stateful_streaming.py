@@ -247,3 +247,76 @@ def test_streaming_dedup_incremental_live_stream(spark, tmp_path):
         assert rows[7] == (True, True)  # second micro-batch, same frozen index
     finally:
         q.stop()
+
+
+def test_streaming_curation_funnel_live(spark, tmp_path):
+    """Two micro-batches through all four gates: dedup within the
+    watermark, quality, language, deterministic sample."""
+    from pgloader_spark.operators.sampling import hash_bucket as _hb
+    from pgloader_spark.streaming.stateful import streaming_curation_funnel
+
+    # pick ids that pass the 50% hash gate deterministically
+    from pyspark.sql import functions as F
+
+    probe = spark.range(0, 50).select(
+        F.col("id"), (_hb(F.col("id"), seed=42) < 500_000).alias("in_")
+    )
+    passing = [r["id"] for r in probe.collect() if r["in_"]]
+    good_id, dup_id, other_id = passing[0], passing[1], passing[2]
+
+    good = " ".join(f"w{i}" for i in range(40))       # 40 tokens, varied
+    junk = "spam spam spam spam spam spam spam spam spam spam spam spam"
+
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    (src / "b1.csv").write_text(
+        f"2024-01-01 10:00:00,{good_id},{good},en\n"
+        f"2024-01-01 10:01:00,{dup_id},{good},en\n"    # dup of good (same text)
+        f"2024-01-01 10:02:00,{other_id},{junk},en\n"  # repetition-gated
+    )
+    stream = (
+        spark.readStream.format("csv")
+        .schema("ts timestamp, doc_id long, text string, lang string")
+        .load(str(src))
+    )
+    out = streaming_curation_funnel(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_mem")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "fck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second batch: re-send the same text (inside watermark -> dropped)
+        (src / "b2.csv").write_text(
+            f"2024-01-01 10:03:00,{other_id + 100},{good},en\n"
+        )
+        q.processAllAvailable()
+        rows = spark.sql("SELECT doc_id FROM funnel_mem").collect()
+        assert {r["doc_id"] for r in rows} == {good_id}
+    finally:
+        q.stop()
+
+
+def test_streaming_curation_funnel_batch_equivalence(spark):
+    """Bounded input: the streaming operator's survivors carry the
+    same gate semantics as the batch funnel's final stage."""
+    from pgloader_spark.streaming.stateful import streaming_curation_funnel
+
+    good = " ".join(f"tok{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 10:00:00", 3, good, "en"),
+            ("2024-01-01 10:01:00", 7, good, "en"),       # exact dup
+            ("2024-01-01 10:02:00", 11, good, "fr"),      # lang-gated
+            ("2024-01-01 10:03:00", 13, "too short", "en"),  # quality-gated
+        ],
+        "ts string, doc_id long, text string, lang string",
+    ).selectExpr("CAST(ts AS TIMESTAMP) ts", "doc_id", "text", "lang")
+    rows = streaming_curation_funnel(df).collect()
+    ids = {r["doc_id"] for r in rows}
+    # 3 survives iff its hash-sample gate passes; 7 deduped; 11/13 gated
+    assert 7 not in ids and 11 not in ids and 13 not in ids
+    assert all(r["g_quality"] and r["g_lang"] for r in rows)
