@@ -82,3 +82,35 @@ def test_zorder_keys_deterministic(spark):
     a = zorder_keys(df, "user_id", "value").select("event_id", "z").collect()
     b = zorder_keys(df, "user_id", "value").select("event_id", "z").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_interleave_bits_is_bijective_property(spark):
+    """Property: interleave is a bijection on bit-bounded pairs — no
+    two (a, b) pairs share a z (the guarantee footer-range pruning
+    relies on)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=255),
+                st.integers(min_value=0, max_value=255),
+            ),
+            min_size=2,
+            max_size=20,
+            unique=True,
+        )
+    )
+    def check(pairs):
+        df = spark.createDataFrame(pairs, "a long, b long")
+        zs = [
+            r["z"]
+            for r in df.withColumn(
+                "z", interleave_bits(F.col("a"), F.col("b"), 8)
+            ).collect()
+        ]
+        assert len(set(zs)) == len(pairs)
+
+    check()
