@@ -302,3 +302,52 @@ def cluster_balanced_sample(
         .filter(F.col("rk") <= per_cell)
         .select(id_col, F.col("cell").cast("int").alias("cell"), "rk")
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    fractions: tuple[float, float, float] = (0.9, 0.05, 0.05),
+    seed: int = 0,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Train/val/test assignment that can NEVER leak a near-duplicate
+    across splits: documents are first clustered by the dedup pair
+    list (connected components, min-id canonical label), then the
+    whole CLUSTER — not the document — hashes into a split.  Plain
+    row-hash splitting puts two 95%-identical documents on opposite
+    sides of the train/eval fence, which silently inflates every eval
+    number; splitting on the cluster id makes that impossible by
+    construction.
+
+    ``pairs``: any (id_a, id_b) near-dup pair list (MinHash bands,
+    PPJoin Jaccard, SemDeDup...).  Singletons are their own cluster.
+
+    Scale shape: components is the O(log n)-round star algorithm
+    (bounded lineage); the split itself is a pure md5 expression on
+    the cluster label — no extra shuffle beyond the CC mapping join,
+    deterministic across engines/runs, and stable under re-runs with
+    grown corpora (a cluster keeps its split as long as its min id
+    survives).
+    """
+    from pgloader_spark.operators.components import connected_components
+
+    f_train, f_val, f_test = fractions
+    if abs(f_train + f_val + f_test - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {fractions}")
+    cut1 = int(f_train * buckets)
+    cut2 = cut1 + int(f_val * buckets)
+
+    mapping = connected_components(
+        pairs, nodes=docs.select(F.col(id_col).alias("id")), id_col="id"
+    )
+    b = hash_bucket(F.col("component"), seed, buckets)
+    return mapping.select(
+        F.col("id").alias(id_col),
+        F.col("component").alias("cluster_id"),
+        F.when(b < cut1, F.lit("train"))
+        .when(b < cut2, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -566,3 +566,169 @@ def c4_line_clean(
             & ~F.contains(F.lower(F.col(text_col)), F.lit("lorem ipsum"))
         ).alias("keep_doc"),
     )
+
+
+def bigram_stream(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per in-document bigram transition: (id, prev, cur).
+
+    Built narrowly — zip the token array against its own tail and
+    explode — so the bigram stream materializes at scan speed with no
+    shuffle; every downstream consumer decides its own keying.
+    """
+    tk = tokens(text_col)
+    pairs = F.zip_with(
+        tk,
+        F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(pairs).alias("bg"))
+        # zip_with pads the shorter (tail) side with NULL: the last
+        # token has no successor — drop that sentinel row.
+        .where(F.col("bg.cur").isNotNull())
+        .select(F.col(id_col), F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    k: float = 0.5,
+) -> DataFrame:
+    """Mean bigram log-probability per document under an add-k-smoothed
+    bigram model trained on the corpus itself — the next rung above
+    ``unigram_logprob`` on the CCNet/KenLM perplexity-filter ladder
+    (fluent prose scores high; shuffled or boilerplate-soup text falls
+    off a cliff because its *transitions* are rare even when its
+    unigrams are common).
+
+    Model: logp(cur | prev) = ln((c2 + k) / (c1 + k·V)) where c2 is the
+    corpus bigram count, c1 = Σ_cur c2 (the context count), and V the
+    number of distinct successor types.  Bigrams below ``min_count``
+    are pruned from the shipped model (they back off to the unseen
+    mass ln(k / (c1 + k·V))) — the standard Zipf truncation that keeps
+    a web-scale model join-able: hapax bigrams dominate the distinct
+    count but carry no filtering signal.
+
+    Scale shape (100 TB): the bigram stream never collects — the model
+    is built with one (prev,cur)-keyed groupBy (map-side combinable),
+    scoring joins the pruned model back on the same key (shuffle join;
+    both sides hash-partition on the bigram so it co-locates), and the
+    context table c1 — vocabulary-sized, like the unigram model — rides
+    a broadcast.  Per-token log-probs round to 6 dp and sum as
+    DECIMAL(18,6): partition- and order-invariant, engine-exact.
+    """
+    big = bigram_stream(df, id_col, text_col)
+    c2 = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    v = c2.agg(F.count_distinct("cur").alias("v"))
+    model = c2.filter(F.col("c2") >= min_count)
+
+    scored = (
+        big.join(model, ["prev", "cur"], "left")
+        .join(F.broadcast(c1), "prev")
+        .crossJoin(F.broadcast(v))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(k))
+                    / (F.col("c1") + F.lit(k) * F.col("v"))
+                ),
+                6,
+            ).alias("logp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(F.col("logp").cast("decimal(18,6)")).alias("slp"),
+    )
+    return df.select(F.col(id_col)).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("int").alias("n_bigrams"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.round(F.col("slp").cast("double") / F.col("n_bigrams"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("avg_bigram_logprob"),
+    )
+
+
+def hashed_weight(j: Column, seed: int = 0) -> Column:
+    """Deterministic pseudo-weight in [-1, 1] for feature bucket ``j``,
+    derived from md5 so DuckDB reproduces it bit-for-bit — the
+    engine-portable stand-in for a trained weight vector in tests and
+    oracle queries.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"w{seed}:"), j.cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    return (h % F.lit(2001) - F.lit(1000)) / F.lit(1000.0)
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 4096,
+    weights: list[float] | None = None,
+    bias: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """fastText-style linear quality-classifier INFERENCE: each token
+    hashes into one of ``dim`` buckets, the bucket's weight is looked
+    up, and the document scores sigmoid(bias + mean weight) — the
+    shape of every "educational value" / "quality" scorer the big
+    pretraining pipelines run over the full corpus.
+
+    The entire scorer is one narrow Column expression — no join, no
+    shuffle, no Python: with a real ``weights`` vector the model ships
+    inside the plan as an array literal (the broadcast-weights
+    pattern; a 4k-float model is ~32 KB of task binary), and the
+    per-token lookup is ``element_at``.  A 100 TB corpus classifies at
+    scan speed, which is the whole reason hashed linear models beat
+    transformers for corpus-wide filtering.
+
+    Without ``weights`` the bucket weight derives from md5
+    (``hashed_weight``) so the operator stays oracle-checkable
+    end-to-end.  Per-token weights round to 6 dp and fold as
+    DECIMAL(28,6) — order- and engine-invariant.
+    """
+    if weights is not None and len(weights) != dim:
+        raise ValueError(f"weights has {len(weights)} entries, dim={dim}")
+
+    def bucket(tok: Column) -> Column:
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"h{seed}:"), tok)), 1, 12), 16, 10
+        ).cast("long")
+        return h % F.lit(dim)
+
+    if weights is None:
+        def w_of(tok: Column) -> Column:
+            return F.round(hashed_weight(bucket(tok), seed), 6)
+    else:
+        warr = F.array(*[F.lit(round(float(w), 6)) for w in weights])
+
+        def w_of(tok: Column) -> Column:
+            return F.element_at(warr, (bucket(tok) + 1).cast("int"))
+
+    tk = tokens(text_col)
+    n = F.coalesce(F.size(tk), F.lit(0))  # NULL text -> 0 tokens, not NULL
+    ssum = F.aggregate(
+        tk,
+        F.lit(0).cast("decimal(28,6)"),
+        # re-cast each step: decimal addition widens (28,6)+(28,6)->(29,6)
+        # and aggregate() requires the accumulator type to be stable
+        lambda acc, t: (acc + w_of(t).cast("decimal(28,6)")).cast("decimal(28,6)"),
+    )
+    z = F.lit(bias) + F.when(n > 0, ssum.cast("double") / n).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n.cast("int").alias("n_tokens"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+    )

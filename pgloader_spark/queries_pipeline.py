@@ -1350,3 +1350,116 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", (F.col("doc_id") % 97).cast("string").alias("k")
     )
     return hll_merged_rollup(docs, "k", "source")
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+big AS (
+  SELECT doc_id, tk[i] AS prev, tk[i + 1] AS cur
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks)),
+c2 AS (SELECT prev, cur, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+c1 AS (SELECT prev, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT cur) AS v FROM c2),
+model AS (SELECT prev, cur, c2 FROM c2 WHERE c2 >= 2),
+scored AS (
+  SELECT b.doc_id,
+         round(ln((COALESCE(m.c2, 0) + 0.5) / (c1.c1 + 0.5 * v.v)), 6) AS logp
+  FROM big b
+  LEFT JOIN model m USING (prev, cur)
+  JOIN c1 USING (prev)
+  CROSS JOIN v),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         SUM(CAST(logp AS DECIMAL(18,6))) AS slp
+  FROM scored GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_bigrams, 0) AS INT) AS n_bigrams,
+       CASE WHEN p.n_bigrams > 0
+            THEN round(CAST(p.slp AS DOUBLE) / p.n_bigrams, 6)
+            ELSE 0.0 END AS avg_bigram_logprob
+FROM documents d LEFT JOIN per p USING (doc_id)
+""",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-k bigram-model mean log-prob per document — the perplexity
+    filter one rung above the unigram proxy: transition rarity catches
+    shuffled/boilerplate text whose unigrams look fluent.  Model build
+    is one bigram-keyed groupBy; scoring co-locates on the same key;
+    the context table rides a broadcast
+    (operators/text.py:bigram_logprob)."""
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    return txt.bigram_logprob(docs)
+
+
+@query(
+    "text_classifier_score",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('h0:' || term), 1, 12)) AS BIGINT) % 4096 AS j
+  FROM toks),
+w AS (
+  SELECT doc_id,
+         round((CAST(('0x' || substr(md5('w0:' || CAST(j AS VARCHAR)), 1, 12))
+                     AS BIGINT) % 2001 - 1000) / 1000.0, 6) AS wj
+  FROM b),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         SUM(CAST(wj AS DECIMAL(28,6))) AS sw
+  FROM w GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_tokens, 0) AS INT) AS n_tokens,
+       round(1.0 / (1.0 + exp(-(CASE WHEN p.n_tokens > 0
+                                     THEN CAST(p.sw AS DOUBLE) / p.n_tokens
+                                     ELSE 0.0 END))), 6) AS score
+FROM documents d LEFT JOIN per p USING (doc_id)
+""",
+)
+def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear classifier inference: token ->
+    4096-bucket hash -> weight lookup -> sigmoid(mean).  One narrow
+    Column expression, zero shuffles — a 100 TB corpus classifies at
+    scan speed (operators/text.py:hashed_linear_score)."""
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    return txt.hashed_linear_score(docs)
+
+
+@query(
+    "sample_leakage_split",
+    oracle=f"""
+WITH RECURSIVE jac AS (
+  SELECT id_a, id_b FROM ({_duck_jaccard_sql(k=3, threshold=0.5)}) jp),
+edges AS (SELECT id_a AS u, id_b AS v FROM jac
+          UNION SELECT id_b, id_a FROM jac),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+comp AS (SELECT u AS did, MIN(v) AS mn FROM reach GROUP BY u),
+labeled AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(LEAST(c.mn, d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.did = d.doc_id)
+SELECT doc_id, cluster_id,
+       CASE WHEN b < 900000 THEN 'train'
+            WHEN b < 950000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, cluster_id,
+             CAST(('0x' || substr(md5('0:' || CAST(cluster_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) % 1000000 AS b
+      FROM labeled) t
+""",
+)
+def sample_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-dup clusters (PPJoin
+    pairs -> connected components) hash into a split as a UNIT, so a
+    document and its 95%-identical twin can never straddle the
+    train/eval fence (operators/sampling.py:leakage_safe_split)."""
+    from pgloader_spark.operators.sampling import leakage_safe_split
+
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    pairs = dedup.shingle_jaccard_pairs(docs, threshold=0.5, k=3)
+    return leakage_safe_split(docs, pairs)

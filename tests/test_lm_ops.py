@@ -1,0 +1,143 @@
+"""Language-model-filter and split operators: bigram perplexity proxy,
+hashed linear classifier inference, leakage-safe splitting.
+
+Mirrors the reference's test strategy (unit semantics + property
+checks) plus the plan contracts that are this repo's scale insurance.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgloader_spark.operators.sampling import leakage_safe_split
+from pgloader_spark.operators.text import bigram_logprob, bigram_stream, hashed_linear_score
+
+FLUENT = "the cat sat on the mat and the cat saw the mat"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bigram_stream_shape(spark):
+    df = _docs(spark, [(1, "a b c"), (2, "solo"), (3, ""), (4, None)])
+    got = {
+        (r.doc_id, r.prev, r.cur)
+        for r in bigram_stream(df).collect()
+    }
+    assert got == {(1, "a", "b"), (1, "b", "c")}
+
+
+def test_bigram_logprob_fluent_beats_scrambled(spark):
+    # ten fluent docs make "the cat"/"cat sat"/... high-count
+    # transitions; the scrambled doc reuses the SAME unigrams in an
+    # order the corpus never repeats, so every transition backs off to
+    # the unseen mass and its mean log-prob collapses.
+    rows = [(i, FLUENT) for i in range(10)]
+    rows.append((99, "mat the on cat sat mat the saw and cat the"))
+    out = {r.doc_id: r.avg_bigram_logprob for r in bigram_logprob(_docs(spark, rows)).collect()}
+    assert out[0] == out[9]
+    assert out[0] > out[99] + 1.0
+
+
+def test_bigram_logprob_short_docs_zero(spark):
+    df = _docs(spark, [(1, "one"), (2, ""), (3, None), (4, "a b a b")])
+    out = {r.doc_id: (r.n_bigrams, r.avg_bigram_logprob) for r in bigram_logprob(df).collect()}
+    assert out[1] == (0, 0.0)
+    assert out[2] == (0, 0.0)
+    assert out[3] == (0, 0.0)
+    assert out[4][0] == 3
+
+
+def test_bigram_logprob_partition_invariant(spark):
+    rows = [(i, FLUENT if i % 3 else "alpha beta gamma delta alpha beta") for i in range(40)]
+    df = _docs(spark, rows)
+    a = sorted(map(tuple, bigram_logprob(df).collect()))
+    b = sorted(map(tuple, bigram_logprob(df.repartition(7)).collect()))
+    assert a == b
+
+
+def _py_bucket(tok: str, seed: int = 0, dim: int = 4096) -> int:
+    return int(hashlib.md5(f"h{seed}:{tok}".encode()).hexdigest()[:12], 16) % dim
+
+
+def _py_weight(j: int, seed: int = 0) -> float:
+    h = int(hashlib.md5(f"w{seed}:{j}".encode()).hexdigest()[:12], 16)
+    return round((h % 2001 - 1000) / 1000.0, 6)
+
+
+def test_hashed_linear_score_matches_python_model(spark):
+    import math
+
+    rows = [(1, "the quick brown fox"), (2, ""), (3, None)]
+    out = {r.doc_id: (r.n_tokens, r.score) for r in hashed_linear_score(_docs(spark, rows)).collect()}
+    toks = ["the", "quick", "brown", "fox"]
+    mean_w = sum(_py_weight(_py_bucket(t)) for t in toks) / len(toks)
+    want = round(1.0 / (1.0 + math.exp(-mean_w)), 6)
+    assert out[1] == (4, pytest.approx(want, abs=1e-6))
+    assert out[2] == (0, 0.5)  # sigmoid(bias=0)
+    assert out[3] == (0, 0.5)
+
+
+def test_hashed_linear_score_explicit_weights_vector(spark):
+    # the broadcast-weights path: model ships as an array literal and
+    # element_at looks buckets up -- an all-equal vector makes every
+    # non-empty doc score sigmoid(w) regardless of content
+    import math
+
+    w = [0.8] * 64
+    df = _docs(spark, [(1, "alpha beta"), (2, "totally different words here")])
+    out = hashed_linear_score(df, dim=64, weights=w).collect()
+    want = round(1.0 / (1.0 + math.exp(-0.8)), 6)
+    assert all(r.score == pytest.approx(want, abs=1e-6) for r in out)
+    with pytest.raises(ValueError):
+        hashed_linear_score(df, dim=64, weights=[0.1] * 63)
+
+
+def test_hashed_linear_score_plan_is_narrow(spark):
+    # classifier inference must run at scan speed: one Project over the
+    # relation, no Exchange anywhere in the plan
+    df = _docs(spark, [(1, "x")])
+    plan = hashed_linear_score(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    docs = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    # chain 0-1-2, pair 10-11, pair 11-12 (transitive), isolated rest
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (11, 12), (150, 151)], "id_a long, id_b long"
+    )
+    out = leakage_safe_split(docs, pairs, fractions=(0.5, 0.25, 0.25))
+    rows = {r.doc_id: (r.cluster_id, r.split) for r in out.collect()}
+    assert len(rows) == 200
+    # transitive closure lands whole clusters on one side
+    assert rows[0] == rows[1] == rows[2]
+    assert rows[10] == rows[11] == rows[12]
+    assert rows[150] == rows[151]
+    assert rows[0][0] == 0 and rows[10][0] == 10
+    # singletons are their own cluster
+    assert rows[99] == (99, rows[99][1])
+    # all three splits actually occur across 200 docs
+    assert {s for _, s in rows.values()} == {"train", "val", "test"}
+
+
+def test_leakage_safe_split_deterministic_and_fraction_shaped(spark):
+    docs = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    a = leakage_safe_split(docs, pairs).groupBy("split").count().collect()
+    b = leakage_safe_split(docs, pairs).groupBy("split").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    counts = dict(map(tuple, a))
+    assert 0.85 < counts["train"] / 2000 < 0.95
+    assert counts["train"] + counts.get("val", 0) + counts.get("test", 0) == 2000
+
+
+def test_leakage_safe_split_rejects_bad_fractions(spark):
+    docs = spark.range(3).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    with pytest.raises(ValueError):
+        leakage_safe_split(docs, pairs, fractions=(0.5, 0.2, 0.2))
