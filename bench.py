@@ -54,6 +54,8 @@ HEADLINE = [
     "sketch_hll_distinct",
     "dedup_incremental",
     "events_hypertable_rollup",
+    "text_bigram_logprob",
+    "text_classifier_score",
 ]
 
 RUNS = 3

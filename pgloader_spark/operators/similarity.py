@@ -471,3 +471,75 @@ def cosine_topk_blas(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "cos_sim", "rank")
     )
+
+
+def embedding_dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension distribution audit of an embedding column — the
+    data-quality gate that runs BEFORE any ANN/semantic stage: a
+    collapsed dimension (std 0), a NaN-poisoned dimension, or a
+    mean drifting away from 0 after a model change are all invisible
+    in downstream cosine scores yet corrupt every one of them.
+
+    One row per dimension: count, NaN count, mean / std / min / max
+    over the non-NaN values.
+
+    Scale shape: posexplode is narrow (rows × dim, at scan speed) and
+    the only shuffle carries ``dim`` distinct keys — map-side partials
+    collapse each task to ≤ dim rows, so 100 TB of vectors reduces to
+    partitions × dim partial rows on the wire.  Moment sums fold as
+    DECIMAL(38,12): partition-order-invariant and engine-exact (each
+    float32 promotes to double exactly; per-value decimal conversion
+    is order-free).
+    """
+    ex = df.select(F.posexplode(F.col(vec_col)).alias("dim", "x"))
+    xd = F.col("x").cast("double")
+    ok = ~F.isnan(xd) & xd.isNotNull()
+    val = F.when(ok, xd)
+    agg = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.isnan(xd), 1).otherwise(0)).alias("n_nan"),
+        F.count(val).alias("n_ok"),
+        F.sum(val.cast("decimal(38,12)")).alias("s"),
+        F.sum((val * val).cast("decimal(38,12)")).alias("s2"),
+        F.min(val).alias("mn"),
+        F.max(val).alias("mx"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_ok")
+    var = F.col("s2").cast("double") / F.col("n_ok") - mean * mean
+    return agg.select(
+        F.col("dim").cast("int"),
+        F.col("n").cast("long"),
+        F.col("n_nan").cast("long"),
+        F.when(F.col("n_ok") > 0, F.round(mean, 6)).otherwise(F.lit(0.0)).alias("mean"),
+        F.when(F.col("n_ok") > 0, F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6))
+        .otherwise(F.lit(0.0))
+        .alias("std"),
+        F.round(F.col("mn"), 6).alias("min_x"),
+        F.round(F.col("mx"), 6).alias("max_x"),
+    )
+
+
+def embedding_health(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """One-row corpus-level embedding health summary: vector count,
+    distinct dimensionalities seen (must be 1), zero-norm vectors
+    (cosine-undefined), vectors containing NaN, and the modal dim.
+
+    Pure narrow per-row flags + a global aggregate — no per-vector
+    state leaves the scan except five counters per partition.
+    """
+    v = F.col(vec_col)
+    sq = F.aggregate(
+        F.transform(v, lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    has_nan = F.exists(v, lambda x: F.isnan(x.cast("double")))
+    return df.select(
+        F.size(v).alias("d"), sq.alias("sq"), has_nan.cast("int").alias("hn")
+    ).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.count_distinct("d").cast("int").alias("n_dims_distinct"),
+        F.max("d").cast("int").alias("max_dim"),
+        F.sum((F.col("sq") == 0).cast("int")).cast("long").alias("n_zero_norm"),
+        F.sum("hn").cast("long").alias("n_with_nan"),
+    )

@@ -1463,3 +1463,78 @@ def sample_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents", widen=True)
     pairs = dedup.shingle_jaccard_pairs(docs, threshold=0.5, k=3)
     return leakage_safe_split(docs, pairs)
+
+
+@query(
+    "embedding_dim_stats",
+    oracle="""
+WITH ex AS (
+  SELECT d, CAST(embedding[d + 1] AS DOUBLE) AS x
+  FROM (SELECT embedding, unnest(range(len(embedding))) AS d FROM embeddings)),
+agg AS (
+  SELECT d AS dim, COUNT(*) AS n,
+         SUM(CASE WHEN isnan(x) THEN 1 ELSE 0 END) AS n_nan,
+         COUNT(CASE WHEN NOT isnan(x) THEN 1 END) AS n_ok,
+         SUM(CASE WHEN NOT isnan(x)
+                  THEN CAST(x AS DECIMAL(38,12)) END) AS s,
+         SUM(CASE WHEN NOT isnan(x)
+                  THEN CAST(x * x AS DECIMAL(38,12)) END) AS s2,
+         MIN(CASE WHEN NOT isnan(x) THEN x END) AS mn,
+         MAX(CASE WHEN NOT isnan(x) THEN x END) AS mx
+  FROM ex GROUP BY 1)
+SELECT CAST(dim AS INT) AS dim,
+       CAST(n AS BIGINT) AS n,
+       CAST(n_nan AS BIGINT) AS n_nan,
+       CASE WHEN n_ok > 0
+            THEN round(CAST(s AS DOUBLE) / n_ok, 6) ELSE 0.0 END AS mean,
+       CASE WHEN n_ok > 0
+            THEN round(sqrt(greatest(
+                   CAST(s2 AS DOUBLE) / n_ok
+                   - (CAST(s AS DOUBLE) / n_ok) * (CAST(s AS DOUBLE) / n_ok),
+                   0.0)), 6)
+            ELSE 0.0 END AS std,
+       round(mn, 6) AS min_x,
+       round(mx, 6) AS max_x
+FROM agg
+""",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding distribution audit (collapsed dims, NaN
+    poisoning, mean drift) — the QA gate before any ANN/semantic
+    stage.  Narrow posexplode; the only shuffle carries ``dim``
+    distinct keys with map-side partials
+    (operators/similarity.py:embedding_dim_stats)."""
+    from pgloader_spark.operators.similarity import embedding_dim_stats as dim_stats
+
+    emb = read_table(spark, sf_dir, "embeddings", widen=True)
+    return dim_stats(emb)
+
+
+@query(
+    "embedding_health",
+    oracle="""
+WITH per AS (
+  SELECT len(embedding) AS d,
+         list_sum(list_transform(embedding,
+                                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq,
+         CASE WHEN len(list_filter(embedding,
+                                   x -> isnan(CAST(x AS DOUBLE)))) > 0
+              THEN 1 ELSE 0 END AS hn
+  FROM embeddings)
+SELECT COUNT(*) AS n_vecs,
+       CAST(COUNT(DISTINCT d) AS INT) AS n_dims_distinct,
+       CAST(MAX(d) AS INT) AS max_dim,
+       CAST(SUM(CASE WHEN sq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+       CAST(SUM(hn) AS BIGINT) AS n_with_nan
+FROM per
+""",
+)
+def embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus embedding health summary: vector count, distinct
+    dimensionalities (must be 1), zero-norm vectors, NaN carriers.
+    Five counters per partition are all that leave the scan
+    (operators/similarity.py:embedding_health)."""
+    from pgloader_spark.operators.similarity import embedding_health as health
+
+    emb = read_table(spark, sf_dir, "embeddings", widen=True)
+    return health(emb)

@@ -119,12 +119,26 @@ def read_table(
         elif kind == "timestamp_ntz":
             df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     if widen:
+        par = spark.sparkContext.defaultParallelism
         try:
             single_file = os.path.isfile(path) and os.path.getsize(path) > (64 << 10)
         except OSError:
             single_file = False
         if single_file:
-            df = df.repartition(spark.sparkContext.defaultParallelism)
+            df = df.repartition(par)
+        elif os.path.isdir(path):
+            # Multi-file table that still can't feed every core (e.g. a
+            # replica written as a handful of big single-row-group
+            # files): same insurance, same 64 KiB floor so tiny
+            # fixtures keep their Exchange-free plans. On a real
+            # many-file dataset partitions >= parallelism and this
+            # never triggers.
+            try:
+                nbytes = sum(e.stat().st_size for e in os.scandir(path) if e.is_file())
+            except OSError:
+                nbytes = 0
+            if nbytes > (64 << 10) and df.rdd.getNumPartitions() < par:
+                df = df.repartition(par)
     return df
 
 
