@@ -1,0 +1,95 @@
+"""Embedding QA audit operators: per-dimension stats and corpus health.
+
+The oracle queries cover the clean-testdata path; these tests cover
+what the testdata can't — NaN poisoning, zero-norm vectors, mixed
+dimensionalities — plus the shuffle-shape plan contracts.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+
+from pgloader_spark.operators.similarity import embedding_dim_stats, embedding_health
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_dim_stats_moments_match_python(spark):
+    data = [(1, [1.0, 2.0]), (2, [3.0, 6.0]), (3, [5.0, 10.0])]
+    out = {r.dim: r for r in embedding_dim_stats(_vecs(spark, data)).collect()}
+    xs0, xs1 = [1.0, 3.0, 5.0], [2.0, 6.0, 10.0]
+    for d, xs in ((0, xs0), (1, xs1)):
+        mean = sum(xs) / len(xs)
+        std = math.sqrt(sum(x * x for x in xs) / len(xs) - mean * mean)
+        assert out[d].n == 3 and out[d].n_nan == 0
+        assert out[d].mean == pytest.approx(mean, abs=1e-6)
+        assert out[d].std == pytest.approx(std, abs=1e-6)
+        assert out[d].min_x == min(xs) and out[d].max_x == max(xs)
+
+
+def test_dim_stats_nan_excluded_from_moments(spark):
+    nan = float("nan")
+    data = [(1, [1.0, nan]), (2, [3.0, 4.0])]
+    out = {r.dim: r for r in embedding_dim_stats(_vecs(spark, data)).collect()}
+    assert out[0].n_nan == 0 and out[0].mean == pytest.approx(2.0)
+    assert out[1].n_nan == 1
+    # the NaN dim's moments come from the surviving value only
+    assert out[1].mean == pytest.approx(4.0)
+    assert out[1].std == pytest.approx(0.0)
+    assert out[1].min_x == 4.0 and out[1].max_x == 4.0
+
+
+def test_dim_stats_all_nan_dimension_is_zeroed_not_nan(spark):
+    nan = float("nan")
+    data = [(1, [nan]), (2, [nan])]
+    row = embedding_dim_stats(_vecs(spark, data)).collect()[0]
+    assert row.n == 2 and row.n_nan == 2
+    assert row.mean == 0.0 and row.std == 0.0
+    assert row.min_x is None and row.max_x is None
+
+
+def test_dim_stats_partition_invariant(spark):
+    data = [(i, [float(i % 7), float(i % 13) / 3.0]) for i in range(500)]
+    df = _vecs(spark, data)
+    a = sorted(map(tuple, embedding_dim_stats(df).collect()))
+    b = sorted(map(tuple, embedding_dim_stats(df.repartition(11)).collect()))
+    assert a == b
+
+
+def test_dim_stats_single_shuffle_on_dim(spark):
+    # the only Exchange may carry the dim key (plus AQE reads);
+    # no corpus-sized repartition sneaks in
+    df = _vecs(spark, [(1, [1.0, 2.0])])
+    plan = embedding_dim_stats(df)._jdf.queryExecution().executedPlan().toString()
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex == 1, plan
+
+
+def test_health_flags_zero_norm_nan_and_dim_drift(spark):
+    nan = float("nan")
+    data = [
+        (1, [1.0, 2.0]),
+        (2, [0.0, 0.0]),          # zero norm -> cosine-undefined
+        (3, [nan, 1.0]),          # NaN carrier
+        (4, [1.0, 2.0, 3.0]),     # dimensionality drift
+    ]
+    row = embedding_health(_vecs(spark, data)).collect()[0]
+    assert row.n_vecs == 4
+    assert row.n_dims_distinct == 2
+    assert row.max_dim == 3
+    assert row.n_zero_norm == 1
+    # NaN sq-norm is not zero-norm; it is counted as a NaN carrier
+    assert row.n_with_nan == 1
+
+
+def test_health_clean_corpus(spark, sf_dir):
+    from pgloader_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    row = embedding_health(emb).collect()[0]
+    assert row.n_dims_distinct == 1 and row.n_zero_norm == 0 and row.n_with_nan == 0

@@ -141,3 +141,27 @@ def test_leakage_safe_split_rejects_bad_fractions(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     with pytest.raises(ValueError):
         leakage_safe_split(docs, pairs, fractions=(0.5, 0.2, 0.2))
+
+
+def test_bigram_logprob_plan_contract(spark, sf_dir):
+    """The model build must map-side combine (partial/final HashAggregate
+    pairs around each Exchange), the context table and V must ride
+    broadcasts, and nothing may cartesian: the corpus-sized bigram
+    stream is only ever exchanged on its agg/join keys."""
+    import re
+
+    from pgloader_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    plan = (
+        bigram_logprob(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    # c1 context join + final per-doc join ride broadcasts; the 1-row V
+    # table arrives via a BroadcastNestedLoopJoin (cross of one row)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "BroadcastExchange" in plan
+    # every Exchange is fed by a partial HashAggregate (map-side combine)
+    # or feeds a join -- no blind corpus repartition
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex <= 8, plan
