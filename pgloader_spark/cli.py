@@ -35,6 +35,7 @@ _EXT_KINDS = {
     ".ndjson": "jsonl",
     ".json": "jsonl",
     ".parquet": "parquet",
+    ".orc": "orc",
 }
 
 _URI_KINDS = ("mysql", "sqlite", "mssql", "postgresql", "pgsql")

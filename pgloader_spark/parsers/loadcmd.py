@@ -163,6 +163,7 @@ _SOURCE_KINDS = {
     # (JSONL is the de-facto training-corpus interchange format)
     "jsonl": "jsonl",
     "parquet": "parquet",
+    "orc": "orc",
 }
 
 _SECTION_WORDS = {

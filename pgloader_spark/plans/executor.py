@@ -143,6 +143,14 @@ def read_source(spark: SparkSession, cmd: LoadCommand) -> DataFrame:
         if cmd.fields:
             return df.select(*[f.name for f in cmd.fields])
         return df
+    if kind == "orc":
+        # LOAD ORC (beyond the reference): the other columnar lake
+        # format Spark reads natively — same pushdown/pruning story.
+        paths = _source_paths(cmd)
+        df = spark.read.orc(*paths)
+        if cmd.fields:
+            return df.select(*[f.name for f in cmd.fields])
+        return df
     if kind == "fixed":
         if (
             not cmd.fixed_fields

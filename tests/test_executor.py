@@ -191,3 +191,19 @@ LOAD PARQUET
     assert report.loaded == 2
     assert report.result.columns == ["id", "name"]
     assert {r["name"] for r in report.result.collect()} == {"a", "b"}
+
+
+def test_orc_source_end_to_end(spark, tmp_path):
+    src = tmp_path / "in.orc"
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id long, name string, score double"
+    ).write.orc(str(src))
+    cmd = f"""
+LOAD ORC
+  FROM '{src}' (id, name)
+  INTO postgresql:///db?scores (id, name);
+"""
+    report = run_command_text(spark, cmd, root_dir=str(tmp_path))
+    assert report.loaded == 2
+    assert report.result.columns == ["id", "name"]
+    assert {r["name"] for r in report.result.collect()} == {"a", "b"}
