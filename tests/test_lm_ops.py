@@ -165,3 +165,54 @@ def test_bigram_logprob_plan_contract(spark, sf_dir):
     # or feeds a join -- no blind corpus repartition
     n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_ex <= 8, plan
+
+
+def test_bigram_logprob_matches_python_model_on_random_corpora(spark):
+    """Randomized (seeded) cross-check against an independent pure-
+    Python implementation of the add-k bigram model — the randomized
+    layer the oracle (which shares no code but does share the SQL
+    formulation) can't provide."""
+    import math
+    import random
+    import re as _re
+    from collections import Counter
+    from decimal import Decimal
+
+    def py_model(docs: dict[int, str], min_count=2, k=0.5):
+        toks = {
+            i: [t for t in _re.split(r"[^a-z0-9]+", (s or "").lower()) if t]
+            for i, s in docs.items()
+        }
+        bigs = {i: list(zip(ts, ts[1:])) for i, ts in toks.items()}
+        c2 = Counter(b for bs in bigs.values() for b in bs)
+        c1 = Counter()
+        for (p, _c), n in c2.items():
+            c1[p] += n
+        v = len({c for (_p, c) in c2})
+        model = {b: n for b, n in c2.items() if n >= min_count}
+        out = {}
+        for i, bs in bigs.items():
+            if not bs:
+                out[i] = (0, 0.0)
+                continue
+            s = Decimal(0)
+            for b in bs:
+                lp = math.log((model.get(b, 0) + k) / (c1[b[0]] + k * v))
+                s += Decimal(str(round(lp, 6)))
+            out[i] = (len(bs), float(s) / len(bs))
+        return out
+
+    rng = random.Random(20260814)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "x1", "y2"]
+    for _trial in range(3):
+        docs = {
+            i: " ".join(rng.choices(vocab, k=rng.randrange(0, 25)))
+            for i in range(30)
+        }
+        want = py_model(docs)
+        df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+        got = {r.doc_id: (r.n_bigrams, r.avg_bigram_logprob) for r in bigram_logprob(df).collect()}
+        assert set(got) == set(want)
+        for i in want:
+            assert got[i][0] == want[i][0], i
+            assert got[i][1] == pytest.approx(want[i][1], abs=2e-6), i
