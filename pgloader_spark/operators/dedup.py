@@ -669,3 +669,88 @@ def band_buckets_expr(
     # null docs into O(n^2) false candidate pairs.
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.when(c.isNotNull(), let(hashed, body))
+
+
+def dup_span_remove(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 20,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span REMOVAL (Lee et al. 2022):
+    where :func:`dup_span_stats` measures, this rewrites — every token
+    covered by a w-token window that occurs >= 2 times corpus-wide is
+    dropped, EXCEPT in the window's canonical occurrence (lowest
+    (doc_id, position)), so exactly one copy of each duplicated span
+    survives.  Overlapping spans union their covered positions; a doc
+    holding one span's canonical copy can still lose tokens to a
+    different span's removal — deterministic and order-free.
+
+    Returns (id, n_tokens, n_removed, clean_md5): the cleaned token
+    stream is emitted as a digest so the result stays comparable;
+    callers wanting the text itself use the same ``clean`` expression.
+
+    100 TB shape: windows hash in one narrow map; the canonical pick
+    is a map-side-combinable MIN over a packed (doc,pos) key — NOT a
+    per-hash row_number window — so corpus-wide boilerplate (a license
+    header occurring 10^6 times) costs one partial-agg cell per task,
+    never a single-partition sort.  Covered positions materialize as
+    per-doc ARRAYS (collect_list of starts, expanded with array
+    ops), so removal never row-explodes: the only corpus-sized
+    shuffles are the h-keyed freq agg and the doc-keyed interval
+    collect.  Packing guard: documents must stay under 2^20 tokens
+    (chunk first — every real pretraining pipeline does).
+    """
+    base = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("tk"))
+    n = F.size("tk")
+    starts = F.when(n < w, F.array(F.lit(1))).otherwise(
+        F.sequence(F.lit(1), n - (w - 1))
+    )
+    wins = F.transform(
+        starts,
+        lambda p: F.struct(
+            p.alias("p"),
+            md5_hash64(F.array_join(F.slice(F.col("tk"), p, w), " "), seed=7).alias("h"),
+        ),
+    )
+    occ = (
+        base.select("id", F.explode(wins).alias("w"))
+        .select("id", F.col("w.p").alias("p"), F.col("w.h").alias("h"))
+        .withColumn("pk", F.col("id") * F.lit(1 << 20) + F.col("p"))
+    )
+    agg = occ.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("pk").alias("canon")
+    )
+    dup_starts = (
+        occ.join(agg, "h")
+        .filter((F.col("cnt") >= 2) & (F.col("pk") != F.col("canon")))
+        .groupBy("id")
+        .agg(F.collect_list("p").alias("ps"))
+    )
+    joined = base.join(dup_starts, "id", "left")
+    removed = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("ps"), F.array().cast("array<int>")),
+                # guard: an empty doc's whole-doc window has p=1 > n=0,
+                # and sequence(1, 0) runs DESCENDING in Spark
+                lambda p: F.when(
+                    F.size("tk") >= p,
+                    F.sequence(p, F.least(p + F.lit(w - 1), F.size("tk"))),
+                ).otherwise(F.array().cast("array<int>")),
+            )
+        )
+    )
+    clean = F.filter(
+        F.col("tk"),
+        lambda t, i: ~F.array_contains(F.col("__rm"), (i + 1).cast("long")),
+    )
+    return (
+        joined.withColumn("__rm", removed.cast("array<long>"))
+        .select(
+            F.col("id"),
+            F.size("tk").cast("int").alias("n_tokens"),
+            F.size("__rm").cast("int").alias("n_removed"),
+            F.md5(F.array_join(clean, " ")).alias("clean_md5"),
+        )
+    )

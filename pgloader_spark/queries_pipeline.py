@@ -1538,3 +1538,47 @@ def embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings", widen=True)
     return health(emb)
+
+
+@query(
+    "dedup_span_remove",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+sh AS (
+  SELECT doc_id, tk,
+         CASE WHEN len(tk) < 20
+              THEN [struct_pack(p := 1, s := array_to_string(tk, ' '))]
+              ELSE [struct_pack(p := i, s := array_to_string(tk[i:i+19], ' '))
+                    for i in range(1, len(tk) - 18)] END AS wins
+  FROM toks),
+occ AS (
+  SELECT doc_id, w.p AS p,
+         CAST(('0x' || substr(md5('7:' || w.s), 1, 15)) AS BIGINT) AS h,
+         doc_id * 1048576 + w.p AS pk
+  FROM (SELECT doc_id, unnest(wins) AS w FROM sh)),
+agg AS (SELECT h, COUNT(*) AS cnt, MIN(pk) AS canon FROM occ GROUP BY h),
+pos AS (
+  SELECT o.doc_id, unnest(range(o.p, least(o.p + 20, len(t.tk) + 1))) AS i
+  FROM occ o JOIN agg USING (h) JOIN toks t USING (doc_id)
+  WHERE cnt >= 2 AND pk != canon),
+rem AS (SELECT doc_id, list_sort(list(DISTINCT i)) AS rs FROM pos GROUP BY doc_id)
+SELECT t.doc_id AS id,
+       CAST(len(t.tk) AS INT) AS n_tokens,
+       CAST(COALESCE(len(r.rs), 0) AS INT) AS n_removed,
+       md5(COALESCE(array_to_string(
+         list_filter(
+           list_transform(range(1, len(t.tk) + 1),
+                          j -> CASE WHEN list_contains(COALESCE(r.rs, []), j)
+                               THEN NULL ELSE t.tk[j] END),
+           x -> x IS NOT NULL), ' '), '')) AS clean_md5
+FROM toks t LEFT JOIN rem r USING (doc_id)
+""",
+)
+def dedup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span REMOVAL: every token covered
+    by a corpus-duplicated 20-token window is dropped except in the
+    span's canonical (lowest doc,pos) occurrence — the rewrite stage
+    of Lee et al. 2022 dedup, not just the measurement
+    (operators/dedup.py:dup_span_remove)."""
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    return dedup.dup_span_remove(docs, w=20)
