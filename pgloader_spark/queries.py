@@ -919,7 +919,8 @@ ex AS (SELECT doc_id, {_duck_hash64("s", 7)} AS h
 freq AS (SELECT h, COUNT(*) AS cnt FROM ex GROUP BY h)
 SELECT ex.doc_id AS id,
        COUNT(*) AS n_windows,
-       SUM(CASE WHEN freq.cnt >= 2 THEN 1 ELSE 0 END) AS n_dup_windows,
+       CAST(SUM(CASE WHEN freq.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_windows,
        round(CAST(SUM(CASE WHEN freq.cnt >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*), 6) AS dup_frac
 FROM ex JOIN freq USING (h)

@@ -342,15 +342,16 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_shipping",
     oracle="""
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 WHERE l_returnflag = 'A'
   AND l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'
 GROUP BY l_linestatus
+ORDER BY l_linestatus
 """,
 )
 def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,6 +370,7 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
+        .orderBy("l_linestatus")
     )
 
 

@@ -1,0 +1,82 @@
+"""Driver-gate window invariants.
+
+The external correctness gate samples the FIRST 50 entries of
+``queries()`` in registration order and value-hashes Spark vs the DuckDB
+oracle with a TYPE-sensitive hash.  Round 3's only red row was an oracle
+whose ``SUM(CASE..)`` silently widened to DuckDB HUGEINT (int128) — a
+type Spark can never emit — so the hash mismatched despite identical
+values.  These tests make that class of flake impossible to reintroduce:
+every gate-window query must carry an oracle, and no oracle anywhere in
+the registry may yield an int128 (or other Spark-inexpressible) column.
+
+Pure DuckDB — no SparkSession needed, runs in seconds at sf0.001.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pgloader_spark.queries import ORACLES, QUERIES
+from pgloader_spark.session import TABLES
+
+GATE_N = 50
+
+# Types Spark SQL can produce (as DuckDB spells them).  Anything outside
+# this set either hash-mismatches trivially (HUGEINT) or needs a second
+# look before it enters an oracle.
+_SPARK_EXPRESSIBLE = (
+    "BOOLEAN", "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "FLOAT", "DOUBLE", "DECIMAL", "VARCHAR", "DATE", "TIMESTAMP",
+    "BLOB", "INTERVAL",
+)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _gate_window() -> list[str]:
+    return list(QUERIES)[:GATE_N]
+
+
+def test_gate_window_is_full() -> None:
+    assert len(QUERIES) >= GATE_N, "registry shrank below the gate size"
+
+
+def test_every_gate_query_has_an_oracle() -> None:
+    missing = [n for n in _gate_window() if n not in ORACLES]
+    assert not missing, (
+        f"gate-window queries without oracles (driver records only a "
+        f"weak rows-only check for these): {missing}"
+    )
+
+
+def _base_type(duck_type: str) -> str:
+    # "DECIMAL(18,2)" -> "DECIMAL"; "DOUBLE[]" -> "DOUBLE" (lists of
+    # expressible scalars are fine — Spark arrays).
+    t = str(duck_type).upper().replace("[]", "")
+    return t.split("(")[0].strip()
+
+
+@pytest.mark.parametrize("name", list(ORACLES))
+def test_oracle_types_are_spark_expressible(duck, name: str) -> None:
+    rel = duck.sql(ORACLES[name])
+    offending = [
+        f"{col}:{typ}"
+        for col, typ in zip(rel.columns, rel.types)
+        if _base_type(typ) not in _SPARK_EXPRESSIBLE
+    ]
+    assert not offending, (
+        f"oracle '{name}' yields Spark-inexpressible column type(s) "
+        f"{offending}; the driver's type-sensitive hash will mismatch — "
+        f"CAST the expression (HUGEINT SUMs -> BIGINT) in the oracle SQL"
+    )

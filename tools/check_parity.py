@@ -87,6 +87,7 @@ def main() -> int:
         try:
             rel = con.sql(ORACLES[name])
             d_cols = [c.lower() for c in rel.columns]
+            d_types = [str(t).upper() for t in rel.types]
             d_rows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0]}")
@@ -94,6 +95,21 @@ def main() -> int:
             continue
         sc = [c.lower() for c in s_cols]
         problems = []
+        # Oracle type lint: the driver's value hash is type-sensitive, and
+        # DuckDB SUM(INTEGER)/SUM(CASE..) silently widens to HUGEINT
+        # (int128), which Spark can never emit — so such an oracle can
+        # pass a stringified compare here yet red-flag the driver gate.
+        # Reject at the source (caught q12_priority_shipping, round 3).
+        bad_types = [
+            f"{c}:{t}"
+            for c, t in zip(d_cols, d_types)
+            if "HUGEINT" in t or t in ("INT128", "UINT128")
+        ]
+        if bad_types:
+            problems.append(
+                f"oracle emits int128 column(s) {bad_types} — "
+                "CAST the aggregate to BIGINT in the oracle SQL"
+            )
         if sorted(sc) != sorted(d_cols):
             problems.append(f"columns differ: spark={sorted(sc)} duck={sorted(d_cols)}")
         elif len(s_rows) != len(d_rows):
