@@ -33,7 +33,10 @@ _EXT_KINDS = {
     ".ixf": "ixf",
     ".jsonl": "jsonl",
     ".ndjson": "jsonl",
-    ".json": "jsonl",
+    # plain .json is usually ONE pretty-printed document (or a top-level
+    # array), not line-delimited — Spark's default line mode would yield
+    # _corrupt_record rows, so it gets its own multiLine kind
+    ".json": "json",
     ".parquet": "parquet",
     ".orc": "orc",
 }

@@ -691,15 +691,17 @@ def dup_span_remove(
     callers wanting the text itself use the same ``clean`` expression.
 
     100 TB shape: windows hash in one narrow map; the canonical pick
-    is a map-side-combinable MIN over a packed (doc,pos) key — NOT a
-    per-hash row_number window — so corpus-wide boilerplate (a license
-    header occurring 10^6 times) costs one partial-agg cell per task,
-    never a single-partition sort.  Covered positions materialize as
-    per-doc ARRAYS (collect_list of starts, expanded with array
-    ops), so removal never row-explodes: the only corpus-sized
-    shuffles are the h-keyed freq agg and the doc-keyed interval
-    collect.  Packing guard: documents must stay under 2^20 tokens
-    (chunk first — every real pretraining pipeline does).
+    is a map-side-combinable MIN over a (doc,pos) STRUCT key (struct
+    ordering is lexicographic) — NOT a per-hash row_number window — so
+    corpus-wide boilerplate (a license header occurring 10^6 times)
+    costs one partial-agg cell per task, never a single-partition
+    sort.  The struct key works for ANY id type (string doc ids
+    compare lexicographically; numeric ids numerically) with no
+    packing overflow, unlike the round-3 ``id*2^20+pos`` packing.
+    Covered positions materialize as per-doc ARRAYS (collect_list of
+    starts, expanded with array ops), so removal never row-explodes:
+    the only corpus-sized shuffles are the h-keyed freq agg and the
+    doc-keyed interval collect.
     """
     base = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("tk"))
     n = F.size("tk")
@@ -716,7 +718,7 @@ def dup_span_remove(
     occ = (
         base.select("id", F.explode(wins).alias("w"))
         .select("id", F.col("w.p").alias("p"), F.col("w.h").alias("h"))
-        .withColumn("pk", F.col("id") * F.lit(1 << 20) + F.col("p"))
+        .withColumn("pk", F.struct(F.col("id"), F.col("p")))
     )
     agg = occ.groupBy("h").agg(
         F.count(F.lit(1)).alias("cnt"), F.min("pk").alias("canon")

@@ -162,6 +162,7 @@ _SOURCE_KINDS = {
     # beyond the reference: the lake/corpus formats Spark reads natively
     # (JSONL is the de-facto training-corpus interchange format)
     "jsonl": "jsonl",
+    "json": "json",
     "parquet": "parquet",
     "orc": "orc",
 }

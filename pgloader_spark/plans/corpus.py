@@ -63,12 +63,12 @@ def curate_corpus(
     docs = _read_docs(spark, src)
     n_raw = docs.count()
 
-    if "ts" not in docs.columns:
+    had_ts = "ts" in docs.columns
+    if not had_ts:
         docs = docs.withColumn("ts", F.current_timestamp())
-    gated = streaming_curation_funnel(
-        docs, sample_frac=sample_frac
-    ).where(F.col("lang") == lang)
-    gated = gated.select(*[c for c in docs.columns if c != "ts"])
+    gated = streaming_curation_funnel(docs, sample_frac=sample_frac, lang=lang)
+    keep_cols = [c for c in docs.columns if had_ts or c != "ts"]
+    gated = gated.select(*keep_cols)
     n_gated = gated.count()
 
     if snapshot_dir:

@@ -135,6 +135,19 @@ def read_source(spark: SparkSession, cmd: LoadCommand) -> DataFrame:
             schema = ", ".join(f"`{f.name}` string" for f in cmd.fields)
             return spark.read.schema(schema).json(paths)
         return spark.read.json(paths)
+    if kind == "json":
+        # LOAD JSON: whole-document JSON (pretty-printed object or a
+        # top-level array) — multiLine mode parses each FILE as one
+        # value; a top-level array explodes to one row per element.
+        # Line-delimited corpora keep the parallel "jsonl" kind: in
+        # multiLine mode a file is one task, so use jsonl for anything
+        # big enough to want intra-file split points.
+        paths = _source_paths(cmd)
+        reader = spark.read.option("multiLine", True)
+        if cmd.fields:
+            schema = ", ".join(f"`{f.name}` string" for f in cmd.fields)
+            return reader.schema(schema).json(paths)
+        return reader.json(paths)
     if kind == "parquet":
         # LOAD PARQUET (beyond the reference): columnar lake input —
         # pushdown/pruning come free; declared fields just select.

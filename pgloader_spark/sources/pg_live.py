@@ -569,10 +569,22 @@ def write_pg_upsert(
             )
         else:
             action = "DO NOTHING"
+        # Dedupe the staged batch on key_cols first: ON CONFLICT DO
+        # UPDATE errors with "cannot affect row a second time" if the
+        # same key appears twice in one INSERT.  Last physical row wins
+        # (ctid order — matches the reference's replay-last semantics
+        # closely enough for idempotent re-runs, and any batch that
+        # cares about a specific winner should pre-aggregate anyway).
+        dedup_src = (
+            f"(SELECT {collist} FROM "
+            f"(SELECT {collist}, ROW_NUMBER() OVER "
+            f"(PARTITION BY {keylist} ORDER BY ctid DESC) AS __rn "
+            f"FROM {q_stage}) d WHERE __rn = 1) s"
+        )
         with PGConn(dsn) as conn:
             _, rows = conn.query(
                 f"WITH m AS (INSERT INTO {q_target} ({collist}) "
-                f"SELECT {collist} FROM {q_stage} "
+                f"SELECT {collist} FROM {dedup_src} "
                 f"ON CONFLICT ({keylist}) {action} RETURNING 1) "
                 "SELECT COUNT(*) FROM m"
             )

@@ -228,6 +228,7 @@ def streaming_curation_funnel(
     id_col: str = "doc_id",
     watermark: str = "1 hour",
     sample_frac: float = 0.5,
+    lang: str = "en",
 ) -> DataFrame:
     """The corpus-curation funnel as a STREAMING pipeline: every gate
     of the batch ``pipeline_quality_funnel`` applied to an unbounded
@@ -257,7 +258,7 @@ def streaming_curation_funnel(
         "g_quality",
         F.size(tk).between(10, 2000)
         & (txt.dup_ngram_fraction(text_col, 2) < 0.5),
-    ).withColumn("g_lang", F.col(lang_col) == "en").withColumn(
+    ).withColumn("g_lang", F.col(lang_col) == lang).withColumn(
         "g_sample",
         hash_bucket(F.col(id_col), seed=42) < int(sample_frac * 1_000_000),
     )

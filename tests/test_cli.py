@@ -123,3 +123,27 @@ def test_context_vars_expand(tmp_path):
     vars_ = _load_context_vars(str(ini))
     assert vars_["dstpath"] == "/tmp/plop"
     assert vars_["port"] == "5432"
+
+
+def test_sniff_plain_json_is_multiline_kind():
+    from pgloader_spark.cli import sniff_source_kind
+
+    assert sniff_source_kind("blob.json") == "json"
+
+
+def test_load_pretty_printed_json(spark, tmp_path):
+    """A pretty-printed top-level array must parse as rows, not
+    _corrupt_record (round-3 advice: line-mode sniffing broke it)."""
+    import json as _json
+
+    from pgloader_spark.parsers.loadcmd import LoadCommand
+    from pgloader_spark.plans.executor import read_source
+
+    p = tmp_path / "blob.json"
+    p.write_text(_json.dumps(
+        [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}], indent=2
+    ))
+    cmd = LoadCommand(source_kind="json", source=str(p), target="t")
+    df = read_source(spark, cmd)
+    assert "_corrupt_record" not in df.columns
+    assert sorted(r["a"] for r in df.collect()) == [1, 2]

@@ -63,3 +63,33 @@ def test_curate_corpus_two_increments(spark, tmp_path):
     # run 2 committed its own index for run 3
     assert spark.read.parquet(out2 + "/index_digests").count() == 1
     assert spark.read.parquet(out2 + "/index_bands").count() >= 1
+
+
+def test_curate_corpus_non_english_lang(spark, tmp_path):
+    """lang='fr' must keep French survivors (round-3 advice: the funnel
+    hard-coded 'en', so any other lang yielded an empty corpus)."""
+    good_fr = " ".join(f"mot{i}" for i in range(40))
+    good_en = " ".join(f"word{i}" for i in range(40))
+    src = tmp_path / "docs.jsonl"
+    _write_jsonl(
+        src,
+        [_doc(1, good_fr, "fr"), _doc(2, good_en, "en"), _doc(3, good_fr, "fr")],
+    )
+    out = str(tmp_path / "run_fr")
+    r = curate_corpus(spark, str(src), out, lang="fr")
+    kept = {r2["doc_id"] for r2 in spark.read.parquet(out + "/curated").collect()}
+    assert kept == {1}, kept  # doc 3 is an in-batch exact dup of doc 1
+    assert r["curated"] == 1
+
+
+def test_curate_corpus_preserves_source_ts(spark, tmp_path):
+    """A source-provided ts column must survive into the curated output
+    (only the synthesized ts is excluded)."""
+    good = " ".join(f"tok{i}" for i in range(40))
+    src = tmp_path / "docs_ts.jsonl"
+    _write_jsonl(src, [dict(_doc(1, good), ts="2026-01-02T03:04:05Z")])
+    out = str(tmp_path / "run_ts")
+    curate_corpus(spark, str(src), out)
+    cur = spark.read.parquet(out + "/curated")
+    assert "ts" in cur.columns
+    assert cur.count() == 1

@@ -1768,3 +1768,32 @@ def test_write_pg_upsert_do_nothing_mode(seeded, spark):
     with PGConn(seeded) as c:
         _, r = c.query("SELECT COUNT(*) FROM upsert_n")
     assert int(r[0][0]) == 2
+
+
+def test_write_pg_upsert_duplicate_keys_in_batch(seeded, spark):
+    """A batch carrying the same key twice must not error with
+    "ON CONFLICT DO UPDATE command cannot affect row a second time"
+    (round-3 advice); the staging select dedupes per key first."""
+    from pgloader_spark.sources.pg_live import write_pg_upsert
+
+    with PGConn(seeded) as c:
+        c.query("DROP TABLE IF EXISTS upsert_dup")
+        c.query(
+            "CREATE TABLE upsert_dup (id bigint PRIMARY KEY, name text)"
+        )
+    df = spark.createDataFrame(
+        [(1, "first"), (1, "second"), (2, "only")],
+        "id long, name string",
+    ).coalesce(1)
+    staged, merged = write_pg_upsert(df, seeded, "upsert_dup", ["id"])
+    assert staged == 3
+    assert merged == 2  # one row per distinct key reaches the target
+    with PGConn(seeded) as c:
+        _, rows = c.query("SELECT id, name FROM upsert_dup ORDER BY id")
+    got = {int(i): n for i, n in rows}
+    assert set(got) == {1, 2}
+    assert got[1] in ("first", "second")  # one of the dups, no error
+    assert got[2] == "only"
+    # converges on re-run, too
+    s2, m2 = write_pg_upsert(df, seeded, "upsert_dup", ["id"])
+    assert (s2, m2) == (3, 2)

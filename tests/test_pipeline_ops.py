@@ -161,3 +161,32 @@ def test_c4_line_clean_rules(spark):
     assert out[3].n_kept == 3  # the javascript line filtered out of 4
     assert out[4].keep_doc is False  # lorem ipsum kills the doc
     assert out[1].cleaned_len == 3 * len("this is a good long sentence.") + 2
+
+
+def test_dup_span_remove_string_ids_and_canonical(spark):
+    """dup_span_remove must work with STRING doc ids (round-3 advice:
+    the numeric id*2^20+pos packing cast-crashed on strings) and keep
+    exactly one canonical copy of each duplicated span."""
+    from pgloader_spark.operators.dedup import dup_span_remove
+
+    span = " ".join(f"w{i}" for i in range(6))  # 6-token window, w=6
+    rows = [
+        ("doc-a", span + " " + "uniq1 uniq2 uniq3"),
+        ("doc-b", "pre1 pre2 " + span),
+        ("doc-c", "only unique tokens here nothing shared"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {
+        r["id"]: r
+        for r in dup_span_remove(df, w=6).collect()
+    }
+    # canonical occurrence = lowest (id, pos): doc-a keeps the span
+    assert out["doc-a"]["n_removed"] == 0
+    assert out["doc-b"]["n_removed"] == 6   # its copy is stripped
+    assert out["doc-c"]["n_removed"] == 0
+    # huge numeric-looking ids (>= 2^43, the old packing overflow) work
+    big = spark.createDataFrame(
+        [(2**60, span), (2**60 + 1, span)], "doc_id long, text string"
+    )
+    got = {r["id"]: r["n_removed"] for r in dup_span_remove(big, w=6).collect()}
+    assert got == {2**60: 0, 2**60 + 1: 6}
