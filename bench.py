@@ -56,6 +56,7 @@ HEADLINE = [
     "events_hypertable_rollup",
     "text_bigram_logprob",
     "text_classifier_score",
+    "sample_leakage_split_bands",
 ]
 
 RUNS = 3

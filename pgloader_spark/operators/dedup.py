@@ -218,6 +218,35 @@ def minhash_candidate_pairs(
     )
 
 
+def band_link_edges(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Star edges (bucket-min id -> member) from LSH band buckets.
+
+    Connects exactly the same components as the full within-bucket
+    pair list (every member links to its bucket's minimum id, so the
+    bucket forms one star) at O(members) output instead of
+    O(members^2): a bucket of 10^4 boilerplate documents emits 10^4
+    edges, not 10^8.  This is the input for the APPROXIMATE leakage
+    split — clusters come straight from band co-membership with no
+    exact-Jaccard verification pass, trading a few false merges
+    (over-grouping is SAFE for a leakage fence: it can only move
+    whole groups to one side, never split a true near-dup pair across
+    splits) for skipping the PPJoin entirely.
+
+    Scale shape: two band-keyed exchanges (the min agg, map-side
+    combinable, and the re-join); text never shuffles.
+    """
+    bands = minhash_bands(df, id_col, text_col)
+    mins = bands.groupBy("band_ix", "bucket").agg(F.min(id_col).alias("id_a"))
+    return (
+        bands.join(mins, ["band_ix", "bucket"])
+        .filter(F.col(id_col) != F.col("id_a"))
+        .select("id_a", F.col(id_col).alias("id_b"))
+        .distinct()
+    )
+
+
 SIMHASH_BITS = 60  # md5_hash64 yields 60 usable bits; bit 63 would overflow int64
 
 

@@ -306,11 +306,12 @@ def cluster_balanced_sample(
 
 def leakage_safe_split(
     docs: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None = None,
     id_col: str = "doc_id",
     fractions: tuple[float, float, float] = (0.9, 0.05, 0.05),
     seed: int = 0,
     buckets: int = 1_000_000,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Train/val/test assignment that can NEVER leak a near-duplicate
     across splits: documents are first clustered by the dedup pair
@@ -323,6 +324,14 @@ def leakage_safe_split(
 
     ``pairs``: any (id_a, id_b) near-dup pair list (MinHash bands,
     PPJoin Jaccard, SemDeDup...).  Singletons are their own cluster.
+
+    ``clusters``: a PRECOMPUTED (id, component) mapping — e.g. the
+    output of an earlier ``connected_components`` /
+    ``dedup_components`` run — that replaces the pair list entirely.
+    With it the split costs ONE left join plus a hash expression (no
+    PPJoin, no CC rounds): the right shape when the curation pipeline
+    already resolved clusters for dedup, which at 100 TB it always
+    has.  Documents missing from the mapping become singletons.
 
     Scale shape: components is the O(log n)-round star algorithm
     (bounded lineage); the split itself is a pure md5 expression on
@@ -339,9 +348,23 @@ def leakage_safe_split(
     cut1 = int(f_train * buckets)
     cut2 = cut1 + int(f_val * buckets)
 
-    mapping = connected_components(
-        pairs, nodes=docs.select(F.col(id_col).alias("id")), id_col="id"
-    )
+    if clusters is not None:
+        cid = clusters.columns[0]
+        mapping = (
+            docs.select(F.col(id_col).alias("id"))
+            .join(
+                clusters.select(F.col(cid).alias("id"), "component"),
+                "id",
+                "left",
+            )
+            .select("id", F.coalesce("component", "id").alias("component"))
+        )
+    elif pairs is not None:
+        mapping = connected_components(
+            pairs, nodes=docs.select(F.col(id_col).alias("id")), id_col="id"
+        )
+    else:
+        raise ValueError("leakage_safe_split needs pairs or clusters")
     b = hash_bucket(F.col("component"), seed, buckets)
     return mapping.select(
         F.col("id").alias(id_col),

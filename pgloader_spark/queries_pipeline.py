@@ -1467,6 +1467,50 @@ def sample_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_leakage_split_bands",
+    oracle=f"""
+WITH RECURSIVE {_duck_minhash_sig_cte()},
+bands AS ({_duck_bands_select()}),
+jp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM bands a JOIN bands b
+         ON a.band_ix = b.band_ix AND a.bucket = b.bucket
+        AND a.doc_id < b.doc_id),
+edges AS (SELECT id_a AS u, id_b AS v FROM jp
+          UNION SELECT id_b, id_a FROM jp),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+comp AS (SELECT u AS did, MIN(v) AS mn FROM reach GROUP BY u),
+labeled AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(LEAST(c.mn, d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.did = d.doc_id)
+SELECT doc_id, cluster_id,
+       CASE WHEN b < 900000 THEN 'train'
+            WHEN b < 950000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, cluster_id,
+             CAST(('0x' || substr(md5('0:' || CAST(cluster_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) % 1000000 AS b
+      FROM labeled) t
+""",
+)
+def sample_leakage_split_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE leakage-safe split — the 100 TB fast path: clusters
+    come straight from MinHash band co-membership (star edges per
+    bucket, operators/dedup.py:band_link_edges) with no exact-Jaccard
+    verification, so the whole split costs two band-keyed exchanges
+    plus CC instead of the full PPJoin.  Over-grouping from LSH false
+    positives is safe for a leakage fence (it only moves whole groups
+    to one side); the exact variant remains sample_leakage_split."""
+    from pgloader_spark.operators.sampling import leakage_safe_split
+
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    return leakage_safe_split(docs, dedup.band_link_edges(docs))
+
+
+@query(
     "embedding_dim_stats",
     oracle="""
 WITH ex AS (

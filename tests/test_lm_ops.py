@@ -216,3 +216,64 @@ def test_bigram_logprob_matches_python_model_on_random_corpora(spark):
         for i in want:
             assert got[i][0] == want[i][0], i
             assert got[i][1] == pytest.approx(want[i][1], abs=2e-6), i
+
+
+def test_leakage_safe_split_reuses_precomputed_clusters(spark):
+    """clusters= mode: a precomputed (id, component) mapping replaces
+    the pair list and yields EXACTLY the pairs-mode assignment — the
+    one-join fast path when dedup already resolved components."""
+    from pgloader_spark.operators.components import connected_components
+
+    docs = spark.range(0, 300).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (50, 51), (200, 250)], "id_a long, id_b long"
+    )
+    via_pairs = {
+        r.doc_id: (r.cluster_id, r.split)
+        for r in leakage_safe_split(docs, pairs).collect()
+    }
+    mapping = connected_components(pairs)  # only clustered ids present
+    via_clusters = {
+        r.doc_id: (r.cluster_id, r.split)
+        for r in leakage_safe_split(docs, clusters=mapping).collect()
+    }
+    assert via_pairs == via_clusters  # missing ids became singletons
+    with pytest.raises(ValueError):
+        leakage_safe_split(docs)  # neither pairs nor clusters
+
+
+def test_band_link_edges_matches_pair_components(spark):
+    """Star edges from band buckets connect the same components as the
+    full within-bucket pair list."""
+    from pgloader_spark.operators.components import connected_components
+    from pgloader_spark.operators.dedup import (
+        band_link_edges,
+        minhash_candidate_pairs,
+    )
+
+    text = " ".join(f"tok{i}" for i in range(30))
+    rows = [
+        (1, text),
+        (2, text + " tail"),
+        (3, text),
+        (10, "completely different words " + " ".join(f"z{i}" for i in range(30))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    star = band_link_edges(docs)
+    full = minhash_candidate_pairs(docs)
+    cc_star = {
+        r.id: r.component
+        for r in connected_components(
+            star, nodes=docs.select(F.col("doc_id").alias("id"))
+        ).collect()
+    }
+    cc_full = {
+        r.id: r.component
+        for r in connected_components(
+            full, nodes=docs.select(F.col("doc_id").alias("id"))
+        ).collect()
+    }
+    assert cc_star == cc_full
+    # star output is linear in bucket membership: strictly fewer or
+    # equal edges than the quadratic pair list
+    assert star.count() <= full.count()
