@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -141,12 +141,61 @@ def fake_embedding(data: bytes, dim: int = 16) -> list[float]:
     return out
 
 
+# --- pluggable encoder registry -------------------------------------------
+#
+# Mirrors functions/transforms.py's register_transform: the engine owns
+# batching / Arrow transfer / schema / partitioning, the USER owns the
+# bytes -> vector forward pass.  An encoder is `fn(data: bytes, dim: int)
+# -> sequence[float]`; it runs executor-side inside mapInPandas, so it
+# must be picklable (a module-level function, not a lambda closing over
+# live objects) and import its model lazily inside the call or via a
+# module-level cache — the standard Spark pattern for model inference.
+
+Encoder = Callable[[bytes, int], Sequence[float]]
+
+ENCODERS: dict[str, Encoder] = {}
+
+
+def register_encoder(name: str, fn: Encoder) -> None:
+    """Public extension hook: add a named media-embedding encoder.
+
+    User plugin files (``--load-py-file``, cli.py) call this the same
+    way they call ``register_transform``; afterwards
+    ``embed_media(df, encoder="my-model")`` routes every Arrow batch
+    through ``fn``.  Both dash and underscore spellings register.
+    """
+    for n in (name, name.replace("-", "_")):
+        ENCODERS[n.strip().lower()] = fn
+
+
+def get_encoder(name: str) -> Encoder:
+    key = name.strip().lower()
+    if key not in ENCODERS:
+        raise KeyError(
+            f"unknown media encoder: {name!r} (registered: {sorted(ENCODERS)})"
+        )
+    return ENCODERS[key]
+
+
+register_encoder("fake", fake_embedding)  # deterministic default/test double
+
+
 def embed_media(
-    df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload", dim: int = 16
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    dim: int = 16,
+    encoder: str | Encoder = "fake",
 ) -> DataFrame:
-    """Feature-extraction stage shape: binary in, float vector out.
-    Swap ``fake_embedding`` for a model call; batching, schema, and
-    partitioning stay identical."""
+    """Feature-extraction stage: binary in, float vector out.
+
+    ``encoder`` is a registry name (see :func:`register_encoder`) or a
+    callable ``(bytes, dim) -> sequence[float]``; the default "fake"
+    is the deterministic test double.  Batching, Arrow transfer,
+    output schema, and partitioning (narrow — no shuffle) are fixed
+    by the engine regardless of the encoder plugged in.
+    """
+    enc: Encoder = get_encoder(encoder) if isinstance(encoder, str) else encoder
 
     def embed(batches: Iterator) -> Iterator:
         import pandas as pd  # noqa: PLC0415
@@ -156,7 +205,7 @@ def embed_media(
                 {
                     "doc_id": pdf[id_col],
                     "embedding": [
-                        fake_embedding(bytes(p) if p is not None else b"", dim)
+                        list(map(float, enc(bytes(p) if p is not None else b"", dim)))
                         for p in pdf[bin_col]
                     ],
                 }

@@ -102,3 +102,57 @@ def test_jpeg_without_sof_reports_error():
 
     with _pytest.raises(UnsupportedMediaError):
         decode_image_meta(b"\xff\xd8\xff\xd9")
+
+
+def test_user_registered_encoder_end_to_end(spark):
+    """register_encoder -> embed_media -> semantic_dedup: the round-3
+    verdict's pluggable-encoder contract. The user owns bytes->vector;
+    the engine owns batching/schema/partitioning and everything
+    downstream consumes the vectors unchanged."""
+    import pytest as _pytest
+
+    from pgloader_spark.operators import similarity
+    from pgloader_spark.operators.multimodal import (
+        get_encoder,
+        register_encoder,
+    )
+    from pgloader_spark.operators.semdedup import semantic_dedup
+
+    # nested def: cloudpickle ships it by VALUE, the same way a user's
+    # notebook-defined encoder reaches executors
+    def _length_encoder(data: bytes, dim: int) -> list[float]:
+        v = [0.0] * dim
+        v[0] = float(len(data))
+        if data and dim > 1:
+            v[1] = float(data[0])
+        return v
+
+    register_encoder("len-probe", _length_encoder)
+    assert get_encoder("len_probe") is _length_encoder  # both spellings
+    with _pytest.raises(KeyError):
+        get_encoder("nope")
+
+    rows = [
+        (1, b"aaaa"), (2, b"aaaa"),        # identical payloads
+        (3, b"\x00\x00"), (4, None),       # near-orthogonal + null
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    emb = embed_media(df, dim=4, encoder="len-probe")
+    got = {r["doc_id"]: r["embedding"] for r in emb.collect()}
+    assert got[1] == [4.0, 97.0, 0.0, 0.0]
+    assert got[1] == got[2]
+    assert got[3] == [2.0, 0.0, 0.0, 0.0]
+    assert got[4] == [0.0, 0.0, 0.0, 0.0]  # null payload -> b""
+
+    # downstream: semantic dedup over the user-encoded vectors drops
+    # one of the identical pair, keeps the distinct docs
+    vecs = emb.withColumnRenamed("doc_id", "vec_id")
+    cents = similarity.ivf_centroids(vecs, n_centroids=1)
+    kept = {r["vec_id"] for r in
+            semantic_dedup(vecs, cents, tau=0.9, id_col="vec_id").collect()}
+    assert 3 in kept
+    assert len({1, 2} & kept) == 1
+
+    # a direct callable works too (no registry entry needed)
+    direct = embed_media(df, dim=4, encoder=_length_encoder)
+    assert {r["doc_id"]: r["embedding"] for r in direct.collect()} == got
