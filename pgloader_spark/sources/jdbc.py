@@ -82,13 +82,26 @@ def parse_db_uri(uri: str) -> DbUri:
         for kv in m.group("query").split("&"):
             k, _, v = kv.partition("=")
             params[k] = v
+    password = m.group("password")
+    if password is None and kind in ("postgresql", "pgsql") and m.group("user"):
+        # no inline password: consult ~/.pgpass / $PGPASSFILE, like the
+        # reference (src/parsers/parse-pgpass.lisp wired into its
+        # pgsql connection strings)
+        from pgloader_spark.parsers.pgpass import lookup_password
+
+        password = lookup_password(
+            m.group("host") or "localhost",
+            int(m.group("port") or _DEFAULT_PORTS.get(kind, 0)),
+            m.group("db"),
+            m.group("user"),
+        )
     return DbUri(
         kind=kind,
         host=m.group("host") or "localhost",
         port=int(m.group("port") or _DEFAULT_PORTS.get(kind, 0)),
         database=m.group("db"),
         user=m.group("user"),
-        password=m.group("password"),
+        password=password,
         params=params,
     )
 

@@ -92,9 +92,19 @@ def test_wire_copy_roundtrip_escapes(pg_dsn):
         assert rows == [("a\tb",), (None,), ("line\nbreak",)]
 
 
-def test_dsn_parsing_unix_socket():
+def test_dsn_parsing_unix_socket(monkeypatch, tmp_path):
+    monkeypatch.setenv("PGPASSFILE", str(tmp_path / "nonexistent"))
     cfg = _parse_dsn("postgresql://u@/db?host=/tmp/sock&port=5440")
-    assert cfg == {"host": "/tmp/sock", "port": 5440, "user": "u", "database": "db"}
+    assert cfg == {
+        "host": "/tmp/sock",
+        "port": 5440,
+        "user": "u",
+        "database": "db",
+        "password": None,
+    }
+    # inline password wins without any pgpass consultation
+    cfg2 = _parse_dsn("postgresql://u:s3cr%40t@h:5440/db")
+    assert cfg2["password"] == "s3cr@t"
 
 
 # --------------------------------------------------- distributed read path
@@ -1797,3 +1807,57 @@ def test_write_pg_upsert_duplicate_keys_in_batch(seeded, spark):
     # converges on re-run, too
     s2, m2 = write_pg_upsert(df, seeded, "upsert_dup", ["id"])
     assert (s2, m2) == (3, 2)
+
+
+def test_password_auth_scram_md5_and_pgpass(pg_dsn, monkeypatch, tmp_path):
+    """Real-server auth matrix: SCRAM-SHA-256 (PG-14+ default verifier),
+    MD5, wrong-password rejection, and password resolution from a
+    pgpass file instead of the DSN (reference parse-pgpass.lisp)."""
+    host_port = pg_dsn.split("@", 1)[1].split("/", 1)[0]
+    with PGConn(pg_dsn) as c:
+        hba_path = c.query("SHOW hba_file")[1][0][0]
+        c.query("DROP ROLE IF EXISTS scram_user")
+        c.query("DROP ROLE IF EXISTS md5_user")
+        c.query("SET password_encryption = 'scram-sha-256'")
+        c.query("CREATE ROLE scram_user LOGIN PASSWORD 'sc-pw'")
+        c.query("SET password_encryption = 'md5'")
+        c.query("CREATE ROLE md5_user LOGIN PASSWORD 'md5-pw'")
+    original = open(hba_path).read()
+    try:
+        with open(hba_path, "w") as fh:
+            fh.write(
+                "host all scram_user 127.0.0.1/32 scram-sha-256\n"
+                "host all md5_user 127.0.0.1/32 md5\n" + original
+            )
+        with PGConn(pg_dsn) as c:
+            assert c.query("SELECT pg_reload_conf()")[1] == [("t",)]
+        # inline-password DSNs: full SCRAM and MD5 handshakes
+        with PGConn(f"postgresql://scram_user:sc-pw@{host_port}/postgres") as c:
+            assert c.query("SELECT current_user")[1] == [("scram_user",)]
+        with PGConn(f"postgresql://md5_user:md5-pw@{host_port}/postgres") as c:
+            assert c.query("SELECT current_user")[1] == [("md5_user",)]
+        # wrong password is rejected by the server
+        with pytest.raises(PGError, match="28P01|password"):
+            PGConn(f"postgresql://scram_user:WRONG@{host_port}/postgres")
+        # no password anywhere: clear failure, not a hang
+        monkeypatch.setenv("PGPASSFILE", str(tmp_path / "absent"))
+        with pytest.raises(PGError, match="password"):
+            PGConn(f"postgresql://scram_user@{host_port}/postgres")
+        # pgpass-resolved password (DSN carries none)
+        pgpass = tmp_path / "pgpass"
+        host, port = host_port.split(":")
+        pgpass.write_text(
+            f"# comment\n{host}:{port}:*:scram_user:sc-pw\n*:*:*:md5_user:md5-pw\n"
+        )
+        monkeypatch.setenv("PGPASSFILE", str(pgpass))
+        with PGConn(f"postgresql://scram_user@{host_port}/postgres") as c:
+            assert c.query("SELECT current_user")[1] == [("scram_user",)]
+        with PGConn(f"postgresql://md5_user@{host_port}/postgres") as c:
+            assert c.query("SELECT current_user")[1] == [("md5_user",)]
+    finally:
+        with open(hba_path, "w") as fh:
+            fh.write(original)
+        with PGConn(pg_dsn) as c:
+            c.query("SELECT pg_reload_conf()")
+            c.query("DROP ROLE IF EXISTS scram_user")
+            c.query("DROP ROLE IF EXISTS md5_user")
