@@ -15,8 +15,11 @@ sink or just take the returned DataFrame.
 
 from __future__ import annotations
 
+import logging
 import os
 from dataclasses import dataclass, field
+
+log = logging.getLogger(__name__)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -509,10 +512,17 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
             read_sqlite_table as _read,
         )
 
+        from pgloader_spark.sources.sqlite_live import (
+            introspect_sqlite_keys as _keys,
+        )
+
         src_loc = src.split("://", 1)[1] if "://" in src else src
         engine = CastEngine("sqlite", user_rules=_user_rules(cmd))
     elif src.startswith(("postgresql://", "pgsql://", "postgres://")):
         from pgloader_spark.sources.pg_live import introspect_pg as _introspect
+        from pgloader_spark.sources.pg_live import (
+            introspect_pg_keys as _keys,
+        )
         from pgloader_spark.sources.pg_live import read_pg_table as _read
 
         src_loc = src
@@ -520,6 +530,9 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
     elif src.startswith("mysql://"):
         from pgloader_spark.sources.mysql_live import (
             introspect_mysql as _introspect,
+        )
+        from pgloader_spark.sources.mysql_live import (
+            introspect_mysql_keys as _keys,
         )
         from pgloader_spark.sources.mysql_live import (
             read_mysql_table as _read,
@@ -530,6 +543,9 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
     elif src.startswith("mssql://"):
         from pgloader_spark.sources.mssql_live import (
             introspect_mssql as _introspect,
+        )
+        from pgloader_spark.sources.mssql_live import (
+            introspect_mssql_keys as _keys,
         )
         from pgloader_spark.sources.mssql_live import (
             read_mssql_table as _read,
@@ -726,6 +742,73 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
     # no table may be created, no row copied)
     cat.check_identifier_collisions()
 
+    # PKs / secondary indexes / foreign keys from the source catalog
+    # (reference list-all-indexes / list-all-fkeys per source) attach
+    # to the target tables so the complete phase can emit them.
+    from pgloader_spark.catalog import FKey, Index, apply_identifier_case
+
+    def _fold(name: str) -> str:
+        return apply_identifier_case(name, case_mode)
+
+    try:
+        src_keys = _keys(src_loc)
+    except Exception:  # noqa: BLE001 — keys are best-effort extras
+        src_keys = {}
+    for t, tbl in tables.items():
+        k = src_keys.get(t) or {}
+        if k.get("pk"):
+            tbl.indexes.append(
+                Index(
+                    name=_fold(f"{tbl.name}_pkey"),
+                    table_name=tbl.name,
+                    columns=[_fold(c) for c in k["pk"]],
+                    unique=True,
+                    primary=True,
+                )
+            )
+        for iname, icols, uniq in k.get("indexes", []):
+            # uniquify index names, the reference's default (WITH
+            # preserve index names keeps the source spelling)
+            target_name = (
+                _fold(iname)
+                if cmd.options.get("preserve_index_names")
+                else _fold(f"idx_{tbl.name}_{iname}")
+            )
+            tbl.indexes.append(
+                Index(
+                    name=target_name,
+                    table_name=tbl.name,
+                    columns=[_fold(c) for c in icols],
+                    unique=uniq,
+                )
+            )
+        for fcols, ftable, ffcols, on_update, on_delete in k.get("fkeys", []):
+            ft = tables.get(ftable)
+            if ft is None:
+                continue  # referenced table excluded from the migration
+            # sqlite's foreign_key_list leaves the referenced column
+            # NULL when the FK targets the PK implicitly
+            resolved = [
+                c if c is not None else pk_c
+                for c, pk_c in zip(
+                    ffcols,
+                    (src_keys.get(ftable) or {}).get("pk", [None] * len(ffcols)),
+                )
+            ]
+            if any(c is None for c in resolved):
+                continue
+            tbl.fkeys.append(
+                FKey(
+                    name=_fold(f"fk_{tbl.name}_{'_'.join(fcols)}"),
+                    table_name=tbl.name,
+                    columns=[_fold(c) for c in fcols],
+                    foreign_table=ft.name,
+                    foreign_columns=[_fold(c) for c in resolved],
+                    on_delete=on_delete,
+                    on_update=on_update,
+                )
+            )
+
     def _schema_of(tbl) -> str | None:
         for s in cat.schemas:
             if tbl in s.tables:
@@ -787,6 +870,38 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
             df.write.mode("overwrite").parquet(out)
             n = ctx.spark.read.parquet(out).count()
         reports.append(LoadReport(table=tbl.name, read=n, loaded=n, result=df))
+
+    # complete phase (complete-pgsql-database): PK promotion ->
+    # indexes -> FKs -> sequence resets -> CHECKs -> triggers ->
+    # comments, with reconnect-and-resume on connection loss.  Skipped
+    # under WITH data only (no DDL at all) — schema_only still builds
+    # the keys, like the reference.
+    if (
+        pg_target
+        and not cmd.options.get("data_only")
+        and not cmd.options.get("create_no_tables")
+    ):
+        from pgloader_spark.plans.orchestrate import (
+            post_load_statements,
+            run_post_load,
+        )
+
+        post = post_load_statements(
+            cat,
+            create_indexes=not cmd.options.get("create_no_indexes"),
+            foreign_keys=not cmd.options.get("no_foreign_keys"),
+            reset_sequences=not (
+                cmd.options.get("reset_no_sequences")
+                or cmd.options.get("schema_only")
+            ),
+        )
+        if post:
+            post_errors: list[str] = []
+            run_post_load(
+                target, post, transactional=False, errors=post_errors
+            )
+            for err in post_errors:
+                log.warning("post-load: %s", err)
 
     if pg_target and (cmd.after_load or cmd.after_execute_files):
         from pgloader_spark.sources.pgwire import PGConn

@@ -146,14 +146,116 @@ def migrate(
     return summary
 
 
-def post_load_statements(catalog: Catalog) -> list[str]:
+def _is_connection_loss(exc: Exception) -> bool:
+    """The postgresql-unavailable condition class
+    (migrate-database.lisp:227): socket-level failures, the server's
+    connection-exception SQLSTATEs (08xxx), and admin/crash shutdown
+    (57P01/57P02) or cannot-connect-now (57P03, mid-restart)."""
+    if isinstance(exc, OSError):
+        return True
+    state = getattr(exc, "sqlstate", "") or ""
+    return (
+        state.startswith("08")
+        or state in ("57P01", "57P02", "57P03")
+        or "closed connection" in str(exc)
+    )
+
+
+def run_post_load(
+    dsn: str,
+    statements: list[str],
+    max_retries: int = 5,
+    retry_sleep: float = 2.0,
+    transactional: bool = True,
+    errors: list[str] | None = None,
+) -> int:
+    """Run the complete-phase DDL with reconnect-and-retry on
+    connection loss (``complete-pgsql-database``'s
+    ``postgresql-unavailable`` handler,
+    ``src/load/migrate-database.lisp:227-250``).
+
+    ``transactional=True`` (the reference's shape): the statements run
+    in ONE transaction, so a dropped connection — common during long
+    index builds on flaky links — implies nothing was committed; after
+    the reference's 2-second grace (ECONNREFUSED if we reconnect too
+    soon, its comment verbatim) the whole list re-runs on a fresh
+    connection.  Non-connection SQL errors propagate (the handler-case
+    catches only unavailability).
+
+    ``transactional=False`` (the migration executor's shape): each
+    statement autocommits; on connection loss the retry RESUMES from
+    the failed statement (committed DDL never re-runs, so no
+    idempotency demands), and ordinary SQL errors are collected into
+    ``errors`` and skipped — the reference's per-statement
+    log-and-continue (``pgsql-execute-with-timing``), so one
+    unbuildable index cannot abort a finished data load.
+
+    Bounded retries instead of the reference's unbounded recursion.
+    Returns the number of statements that executed successfully.
+    """
+    from pgloader_spark.sources.pgwire import PGConn, PGError
+
+    last: Exception | None = None
+    pos = 0
+    n_ok = 0
+    for attempt in range(max_retries + 1):
+        if attempt:
+            time.sleep(retry_sleep)
+        try:
+            with PGConn(dsn) as conn:
+                if transactional:
+                    conn.query("BEGIN")
+                    for stmt in statements:
+                        conn.query(stmt)
+                    conn.query("COMMIT")
+                    return len(statements)
+                while pos < len(statements):
+                    try:
+                        conn.query(statements[pos])
+                        n_ok += 1
+                    except PGError as exc:
+                        if _is_connection_loss(exc):
+                            raise
+                        if getattr(exc, "sqlstate", "") in (
+                            "42P07", "42710", "42711", "42P16",
+                        ):
+                            # duplicate object: the statement committed
+                            # on a previous attempt before the line
+                            # dropped — at-least-once + duplicate-
+                            # tolerant = converged
+                            n_ok += 1
+                        elif errors is not None:
+                            errors.append(f"{statements[pos]} -- {exc}")
+                    pos += 1
+                return n_ok
+        except (OSError, PGError) as exc:
+            if not _is_connection_loss(exc):
+                raise
+            last = exc
+            # non-transactional: pos is NOT advanced — the in-flight
+            # statement re-runs on the fresh connection, and if it had
+            # actually committed the duplicate-object branch above
+            # counts it done
+    raise RuntimeError(
+        f"post-load DDL failed after {max_retries} reconnect attempts: {last}"
+    )
+
+
+def post_load_statements(
+    catalog: Catalog,
+    create_indexes: bool = True,
+    foreign_keys: bool = True,
+    reset_sequences: bool = True,
+) -> list[str]:
     """The complete-phase DDL in dependency order
     (``complete-pgsql-database``, ``migrate-database.lisp:153-226``):
     indexes, unique-index -> PRIMARY KEY promotion, FKs (which need
     the PKs/unique indexes on the referenced side), sequence resets
     (max() benefits from the fresh indexes), CHECK constraints,
     triggers + procedures, comments last — emitted as SQL for the
-    JDBC runner."""
+    JDBC runner.  The three booleans mirror the reference's WITH
+    flags (create no indexes / no foreign keys / reset no
+    sequences)."""
     from pgloader_spark.plans.ddl import (
         check_constraint_statements,
         comment_statements,
@@ -161,29 +263,47 @@ def post_load_statements(catalog: Catalog) -> list[str]:
     )
 
     stmts: list[str] = []
-    for schema in catalog.schemas:
-        for t in schema.tables:
-            for idx in t.indexes:
-                if idx.primary:
-                    cols = ", ".join(idx.columns)
-                    stmts.append(
-                        f"ALTER TABLE {t.name} ADD PRIMARY KEY ({cols});"
-                    )
-                else:
-                    stmts.append(idx.to_ddl(schema.name if schema.name != "public" else None))
-    for schema in catalog.schemas:
-        for t in schema.tables:
-            for fk in t.fkeys:
-                stmts.append(fk.to_ddl(schema.name if schema.name != "public" else None))
-    for schema in catalog.schemas:
-        for t in schema.tables:
-            for c in t.columns:
-                if c.extra.get("serial"):
-                    seq = f"{t.name}_{c.name}_seq"
-                    stmts.append(
-                        f"SELECT setval('{seq}', "
-                        f"(SELECT GREATEST(MAX({c.name}), 1) FROM {t.name}));"
-                    )
+    if create_indexes:
+        for schema in catalog.schemas:
+            for t in schema.tables:
+                qt = (
+                    f"{schema.name}.{t.name}"
+                    if schema.name != "public"
+                    else t.name
+                )
+                for idx in t.indexes:
+                    if idx.primary:
+                        cols = ", ".join(idx.columns)
+                        stmts.append(
+                            f"ALTER TABLE {qt} ADD PRIMARY KEY ({cols});"
+                        )
+                    else:
+                        stmts.append(idx.to_ddl(schema.name if schema.name != "public" else None))
+    if foreign_keys:
+        for schema in catalog.schemas:
+            for t in schema.tables:
+                for fk in t.fkeys:
+                    stmts.append(fk.to_ddl(schema.name if schema.name != "public" else None))
+    if reset_sequences:
+        for schema in catalog.schemas:
+            for t in schema.tables:
+                qt = (
+                    f"{schema.name}.{t.name}"
+                    if schema.name != "public"
+                    else t.name
+                )
+                for c in t.columns:
+                    if c.extra.get("serial"):
+                        seq = f"{t.name}_{c.name}_seq"
+                        qseq = (
+                            f"{schema.name}.{seq}"
+                            if schema.name != "public"
+                            else seq
+                        )
+                        stmts.append(
+                            f"SELECT setval('{qseq}', "
+                            f"(SELECT GREATEST(MAX({c.name}), 1) FROM {qt}));"
+                        )
     stmts += check_constraint_statements(catalog)
     stmts += create_trigger_statements(catalog)
     stmts += comment_statements(catalog)

@@ -82,6 +82,61 @@ def introspect_mssql_extras(dsn: str) -> dict:
         }
 
 
+def introspect_mssql_keys(dsn: str) -> dict[str, dict]:
+    """Per-table PK / secondary indexes / foreign keys from the sys
+    catalogs (reference list-all-indexes.sql / list-all-fkeys.sql).
+    Same shape as ``introspect_sqlite_keys``; tables keyed like
+    ``introspect_mssql`` (dbo bare, others ``schema.table``)."""
+    extras = introspect_mssql_extras(dsn)
+    out: dict[str, dict] = {}
+
+    def entry(t: str) -> dict:
+        return out.setdefault(t, {"pk": [], "indexes": [], "fkeys": []})
+
+    def key_of(schema: str, table: str) -> str:
+        return table if schema == "dbo" else f"{schema}.{table}"
+
+    grouped: dict[tuple[str, str], dict] = {}
+    for r in extras["indexes"]:
+        k = (key_of(r["schema_name"], r["table_name"]), r["index_name"])
+        g = grouped.setdefault(
+            k,
+            {
+                "cols": [],
+                "unique": str(r["is_unique"]) in ("1", "True", "true"),
+                "primary": str(r["is_primary_key"]) in ("1", "True", "true"),
+            },
+        )
+        g["cols"].append(r["column_name"])
+    for (t, iname), g in grouped.items():
+        if g["primary"]:
+            entry(t)["pk"] = g["cols"]
+        else:
+            entry(t)["indexes"].append((iname, g["cols"], g["unique"]))
+    fk_grouped: dict[tuple[str, str], dict] = {}
+    for r in extras["fkeys"]:
+        t = key_of(r["table_schema"], r["table_name"])
+        g = fk_grouped.setdefault(
+            (t, r["constraint_name"]),
+            {
+                "cols": [],
+                "ftable": key_of(
+                    r["unique_table_schema"], r["unique_table_name"]
+                ),
+                "fcols": [],
+                "on_update": r.get("update_rule"),
+                "on_delete": r.get("delete_rule"),
+            },
+        )
+        g["cols"].append(r["column_name"])
+        g["fcols"].append(r["unique_column_name"])
+    for (t, _name), g in fk_grouped.items():
+        entry(t)["fkeys"].append(
+            (g["cols"], g["ftable"], g["fcols"], g["on_update"], g["on_delete"])
+        )
+    return out
+
+
 def _schema_for(fields: list[SourceField], engine: CastEngine) -> T.StructType:
     # read-side fields always nullable: per-cell recovery may null any
     # cell; NOT NULL is enforced at the target (see sqlite_live.py)

@@ -42,6 +42,7 @@ from pgloader_spark.sources.jdbc import (
     mysql_column_comments_sql,
     mysql_columns_sql,
     mysql_fkeys_sql,
+    mysql_indexes_sql,
     mysql_row_counts_sql,
     mysql_select_expr,
     mysql_table_comments_sql,
@@ -65,6 +66,50 @@ def introspect_mysql(dsn: str) -> dict[str, list[SourceField]]:
     out: dict[str, list[SourceField]] = {}
     for f in fields_from_mysql_columns(_dict_rows(cols, rows)):
         out.setdefault(f.table_name, []).append(f)
+    return out
+
+
+def introspect_mysql_keys(dsn: str) -> dict[str, dict]:
+    """Per-table PK / secondary indexes / foreign keys from
+    information_schema (reference list-all-indexes / list-all-fkeys,
+    ``src/sources/mysql/sql/list-all-indexes.sql`` /
+    ``list-all-fkeys.sql`` — same catalog views, rewritten).
+
+    Same shape as ``introspect_sqlite_keys``: ``{table: {"pk": [...],
+    "indexes": [(name, [cols], unique)], "fkeys": [(cols, ftable,
+    fcols, on_update, on_delete)]}}``.
+    """
+    db = parse_my_dsn(dsn)["database"]
+    with MyConn(dsn) as conn:
+        idx_rows = _dict_rows(*conn.query(mysql_indexes_sql(db)))
+        fk_rows = _dict_rows(*conn.query(mysql_fkeys_sql(db)))
+    out: dict[str, dict] = {}
+
+    def entry(t: str) -> dict:
+        return out.setdefault(t, {"pk": [], "indexes": [], "fkeys": []})
+
+    grouped: dict[tuple[str, str], dict] = {}
+    for r in idx_rows:  # ordered by table, index, seq_in_index
+        g = grouped.setdefault(
+            (r["table_name"], r["index_name"]),
+            {"cols": [], "unique": not int(r["non_unique"])},
+        )
+        g["cols"].append(r["column_name"])
+    for (t, iname), g in grouped.items():
+        if iname == "PRIMARY":
+            entry(t)["pk"] = g["cols"]
+        else:
+            entry(t)["indexes"].append((iname, g["cols"], g["unique"]))
+    fk_grouped: dict[tuple[str, str], dict] = {}
+    for r in fk_rows:  # ordered by constraint, ordinal_position
+        g = fk_grouped.setdefault(
+            (r["table_name"], r["constraint_name"]),
+            {"cols": [], "ftable": r["referenced_table_name"], "fcols": []},
+        )
+        g["cols"].append(r["column_name"])
+        g["fcols"].append(r["referenced_column_name"])
+    for (t, _name), g in fk_grouped.items():
+        entry(t)["fkeys"].append((g["cols"], g["ftable"], g["fcols"], None, None))
     return out
 
 

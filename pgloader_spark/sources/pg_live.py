@@ -100,6 +100,72 @@ def introspect_pg(dsn: str, schema: str = "public") -> dict[str, list[SourceFiel
     return out
 
 
+def introspect_pg_keys(dsn: str, schema: str = "public") -> dict[str, dict]:
+    """Per-table PK / secondary indexes / foreign keys from
+    pg_catalog (reference pgsql list-all-indexes / list-all-fkeys,
+    ``src/pgsql/pgsql-schema.lisp`` — same catalogs, rewritten).
+
+    Same shape as ``introspect_sqlite_keys``.
+    """
+    idx_sql = f"""
+SELECT t.relname, i.relname, ix.indisunique, ix.indisprimary,
+       a.attname, k.ord
+FROM pg_index ix
+JOIN pg_class t ON t.oid = ix.indrelid
+JOIN pg_class i ON i.oid = ix.indexrelid
+JOIN pg_namespace n ON n.oid = t.relnamespace AND n.nspname = '{schema}'
+CROSS JOIN LATERAL unnest(ix.indkey) WITH ORDINALITY AS k(attnum, ord)
+JOIN pg_attribute a ON a.attrelid = t.oid AND a.attnum = k.attnum
+WHERE t.relkind = 'r'
+ORDER BY t.relname, i.relname, k.ord
+"""
+    fk_sql = f"""
+SELECT c.conname, t.relname, ft.relname, a.attname, fa.attname, k.ord
+FROM pg_constraint c
+JOIN pg_class t ON t.oid = c.conrelid
+JOIN pg_class ft ON ft.oid = c.confrelid
+JOIN pg_namespace n ON n.oid = t.relnamespace AND n.nspname = '{schema}'
+CROSS JOIN LATERAL unnest(c.conkey, c.confkey)
+     WITH ORDINALITY AS k(attnum, fattnum, ord)
+JOIN pg_attribute a ON a.attrelid = t.oid AND a.attnum = k.attnum
+JOIN pg_attribute fa ON fa.attrelid = ft.oid AND fa.attnum = k.fattnum
+WHERE c.contype = 'f'
+ORDER BY c.conname, k.ord
+"""
+    with PGConn(dsn) as conn:
+        _, idx_rows = conn.query(idx_sql)
+        _, fk_rows = conn.query(fk_sql)
+    out: dict[str, dict] = {}
+
+    def entry(t: str) -> dict:
+        return out.setdefault(t, {"pk": [], "indexes": [], "fkeys": []})
+
+    grouped: dict[tuple[str, str], dict] = {}
+    for t, iname, uniq, prim, col, _ord in idx_rows:
+        g = grouped.setdefault(
+            (t, iname),
+            {"cols": [], "unique": uniq == "t", "primary": prim == "t"},
+        )
+        g["cols"].append(col)
+    for (t, iname), g in grouped.items():
+        if g["primary"]:
+            entry(t)["pk"] = g["cols"]
+        else:
+            entry(t)["indexes"].append((iname, g["cols"], g["unique"]))
+    fk_grouped: dict[tuple[str, str], dict] = {}
+    for cname, t, ftable, col, fcol, _ord in fk_rows:
+        g = fk_grouped.setdefault(
+            (t, cname), {"cols": [], "ftable": ftable, "fcols": []}
+        )
+        g["cols"].append(col)
+        g["fcols"].append(fcol)
+    for (t, _name), g in fk_grouped.items():
+        entry(t)["fkeys"].append(
+            (g["cols"], g["ftable"], g["fcols"], None, None)
+        )
+    return out
+
+
 def _schema_for(fields: list[SourceField], engine: CastEngine) -> T.StructType:
     # read-side fields always nullable: per-cell recovery may null any
     # cell; NOT NULL is enforced at the target (see sqlite_live.py)

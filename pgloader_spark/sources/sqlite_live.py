@@ -74,6 +74,71 @@ def introspect_sqlite(db_path: str) -> dict[str, list[SourceField]]:
         con.close()
 
 
+def introspect_sqlite_keys(db_path: str) -> dict[str, dict]:
+    """Per-table PK / secondary indexes / foreign keys, via the same
+    pragmas the reference walks (``sqlite-schema.lisp``:
+    list-all-indexes over ``PRAGMA index_list`` + ``index_info``,
+    list-all-fkeys over ``PRAGMA foreign_key_list``).
+
+    Returns ``{table: {"pk": [cols], "indexes": [(name, [cols],
+    unique)], "fkeys": [(cols, ftable, fcols, on_update,
+    on_delete)]}}``.  An INTEGER PRIMARY KEY (rowid alias) has no
+    index_list entry — the PK comes from table_info's pk ordinals,
+    exactly the case the reference special-cases.  Auto-generated
+    ``sqlite_autoindex_*`` entries backing the PK are folded into the
+    pk, not emitted as separate indexes.
+    """
+    con = sqlite3.connect(f"file:{db_path}?mode=ro", uri=True)
+    try:
+        tables = [
+            r[0]
+            for r in con.execute(
+                "SELECT name FROM sqlite_master "
+                "WHERE type = 'table' AND name NOT LIKE 'sqlite_%'"
+            )
+        ]
+        out: dict[str, dict] = {}
+        for t in tables:
+            pk_cols = [
+                (pk, name)
+                for _cid, name, _d, _nn, _df, pk in con.execute(
+                    f'PRAGMA table_info("{t}")'
+                )
+                if pk > 0
+            ]
+            pk = [name for _, name in sorted(pk_cols)]
+            indexes = []
+            for _seq, iname, unique, origin, _partial in con.execute(
+                f'PRAGMA index_list("{t}")'
+            ):
+                if origin == "pk" or iname.startswith("sqlite_autoindex_"):
+                    continue  # PK-backing/auto entries ride the pk
+                cols = [
+                    r[2]
+                    for r in con.execute(f'PRAGMA index_info("{iname}")')
+                ]
+                indexes.append((iname, cols, bool(unique)))
+            fk_groups: dict[int, dict] = {}
+            for (fid, _seq, ftable, col, fcol, on_update, on_delete,
+                 _match) in con.execute(f'PRAGMA foreign_key_list("{t}")'):
+                g = fk_groups.setdefault(
+                    fid,
+                    {"cols": [], "ftable": ftable, "fcols": [],
+                     "on_update": on_update, "on_delete": on_delete},
+                )
+                g["cols"].append(col)
+                g["fcols"].append(fcol)
+            fkeys = [
+                (g["cols"], g["ftable"], g["fcols"],
+                 g["on_update"], g["on_delete"])
+                for g in fk_groups.values()
+            ]
+            out[t] = {"pk": pk, "indexes": indexes, "fkeys": fkeys}
+        return out
+    finally:
+        con.close()
+
+
 def _schema_for(fields: list[SourceField], engine: CastEngine) -> T.StructType:
     # Every read-side field is nullable regardless of the source's NOT
     # NULL: per-cell error recovery may null any cell (a non-nullable

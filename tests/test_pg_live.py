@@ -1861,3 +1861,111 @@ def test_password_auth_scram_md5_and_pgpass(pg_dsn, monkeypatch, tmp_path):
             c.query("SELECT pg_reload_conf()")
             c.query("DROP ROLE IF EXISTS scram_user")
             c.query("DROP ROLE IF EXISTS md5_user")
+
+
+def test_post_load_retry_survives_connection_kill(pg_dsn):
+    """complete-pgsql-database semantics (migrate-database.lisp:227-250):
+    the post-load phase runs in one transaction; a connection killed
+    mid-phase (here: pg_terminate_backend during a pg_sleep between the
+    index and FK statements) rolls everything back, and the automatic
+    reconnect re-runs the whole list to convergence."""
+    import threading
+
+    from pgloader_spark.plans.orchestrate import run_post_load
+
+    with PGConn(pg_dsn) as c:
+        c.query("DROP TABLE IF EXISTS plr_child")
+        c.query("DROP TABLE IF EXISTS plr_parent")
+        c.query("CREATE TABLE plr_parent (id bigint NOT NULL)")
+        c.query("CREATE TABLE plr_child (id bigint, pid bigint)")
+        c.query("INSERT INTO plr_parent VALUES (1), (2)")
+        c.query("INSERT INTO plr_child VALUES (10, 1), (20, 2)")
+
+    marker = "/* post-load-phase-gap */"
+    statements = [
+        "ALTER TABLE plr_parent ADD PRIMARY KEY (id)",
+        "CREATE INDEX plr_child_pid_idx ON plr_child (pid)",
+        f"SELECT pg_sleep(5) {marker}",  # the long "index build"
+        "ALTER TABLE plr_child ADD CONSTRAINT plr_fk "
+        "FOREIGN KEY (pid) REFERENCES plr_parent (id)",
+    ]
+
+    killed = threading.Event()
+
+    def killer():
+        # watch for the sleeping statement, terminate that backend once
+        with PGConn(pg_dsn) as k:
+            for _ in range(100):
+                _, rows = k.query(
+                    "SELECT pg_terminate_backend(pid) FROM pg_stat_activity "
+                    f"WHERE query LIKE '%{marker}%' "
+                    "AND pid <> pg_backend_pid() AND state = 'active'"
+                )
+                if rows:
+                    killed.set()
+                    return
+                time.sleep(0.1)
+
+    t = threading.Thread(target=killer)
+    t.start()
+    n = run_post_load(pg_dsn, statements, max_retries=3, retry_sleep=0.5)
+    t.join()
+    assert killed.is_set(), "killer never fired — test proved nothing"
+    assert n == len(statements)
+    with PGConn(pg_dsn) as c:
+        # all DDL converged exactly once despite the mid-phase kill
+        _, rows = c.query(
+            "SELECT COUNT(*) FROM pg_indexes WHERE indexname = 'plr_child_pid_idx'"
+        )
+        assert rows == [("1",)]
+        _, rows = c.query(
+            "SELECT COUNT(*) FROM pg_constraint WHERE conname = 'plr_fk'"
+        )
+        assert rows == [("1",)]
+        c.query("DROP TABLE plr_child")
+        c.query("DROP TABLE plr_parent")
+
+
+def test_post_load_retry_raises_on_sql_error(pg_dsn):
+    """Ordinary SQL errors are NOT retried (the reference's
+    handler-case catches only postgresql-unavailable)."""
+    from pgloader_spark.plans.orchestrate import run_post_load
+
+    with pytest.raises(PGError, match="42P01"):
+        run_post_load(pg_dsn, ["SELECT * FROM table_that_is_not_there"])
+
+
+def test_chinook_migration_carries_keys(seeded, spark, tmp_path):
+    """The complete phase now migrates PKs, secondary indexes, and
+    FOREIGN KEYs from the source catalog (complete-pgsql-database /
+    list-all-indexes / list-all-fkeys), not just the data."""
+    _run_ref_db_scenario("sqlite-chinook", seeded, spark, tmp_path)
+    with PGConn(seeded) as c:
+        # every core table got its PRIMARY KEY promoted
+        _, rows = c.query(
+            "SELECT COUNT(*) FROM pg_constraint pc "
+            "JOIN pg_class t ON t.oid = pc.conrelid "
+            "WHERE pc.contype = 'p' AND t.relname IN "
+            "('album', 'track', 'customer', 'staff', 'genre')"
+        )
+        assert rows == [("5",)]
+        # FKs followed the ALTER TABLE rename (employee -> staff)
+        _, rows = c.query(
+            "SELECT COUNT(*) FROM pg_constraint pc "
+            "JOIN pg_class t ON t.oid = pc.conrelid "
+            "JOIN pg_class ft ON ft.oid = pc.confrelid "
+            "WHERE pc.contype = 'f' AND t.relname = 'album' "
+            "AND ft.relname = 'artist'"
+        )
+        assert rows == [("1",)]
+        # track's composer index (a Chinook secondary index) exists
+        _, rows = c.query(
+            "SELECT COUNT(*) FROM pg_indexes "
+            "WHERE tablename = 'track' AND indexdef LIKE '%(trackid)%'"
+            " AND indexdef LIKE '%UNIQUE%'"
+        )
+        # PK index counts as unique on trackid
+        assert int(rows[0][0]) >= 1
+        # FK integrity is live: an orphan insert fails
+        with pytest.raises(PGError, match="23503"):
+            c.query("INSERT INTO album VALUES (99999, 'x', 987654)")
