@@ -311,7 +311,23 @@ def main(argv: list[str] | None = None) -> int:
             )
         return parse_load(text)
 
-    if args.source.endswith(".load"):
+    extra_cmds: list[LoadCommand] = []
+    if args.source.endswith((".conf", ".ini")):
+        # legacy pgloader v2 INI configuration: each data section
+        # translates to a modern LOAD CSV command (parse-ini.lisp)
+        from pgloader_spark.parsers.ini_compat import convert_ini_into_commands
+
+        texts = convert_ini_into_commands(args.source)
+        if not texts:
+            ap.error(f"no loadable sections in {args.source}")
+        ini_dir = os.path.dirname(os.path.abspath(args.source))
+        cmds = []
+        for text in texts:
+            c = _parse(text)
+            c.source_dir = ini_dir  # filenames resolve INI-relative
+            cmds.append(c)
+        cmd, extra_cmds = cmds[0], cmds[1:]
+    elif args.source.endswith(".load"):
         with open(args.source) as fh:
             cmd = _parse(fh.read())
         cmd.source_dir = cmd.source_dir or os.path.dirname(
@@ -355,32 +371,36 @@ def main(argv: list[str] | None = None) -> int:
     try:
         # BEFORE/AFTER LOAD DO/EXECUTE statements run against the
         # PostgreSQL target when there is one (api.lisp's
-        # pgsql-execute-with-timing surface)
-        sql_runner = None
-        tgt = cmd.target or args.target or ""
-        if tgt.startswith(("postgresql://", "pgsql://", "postgres://")):
-            from pgloader_spark.sources.pgwire import PGConn
+        # pgsql-execute-with-timing surface).  A legacy INI file may
+        # carry several data sections -> several commands, run in
+        # file order like the reference's section loop.
+        reports = []
+        for one_cmd in (cmd, *extra_cmds):
+            sql_runner = None
+            tgt = one_cmd.target or args.target or ""
+            if tgt.startswith(("postgresql://", "pgsql://", "postgres://")):
+                from pgloader_spark.sources.pgwire import PGConn
 
-            def sql_runner(stmt: str) -> None:
-                with PGConn(tgt) as conn:
-                    conn.query(stmt)
+                def sql_runner(stmt: str, tgt: str = tgt) -> None:
+                    with PGConn(tgt) as conn:
+                        conn.query(stmt)
 
-        ctx = ExecutionContext(
-            spark=spark,
-            root_dir=args.root_dir,
-            on_error_stop=args.on_error_stop,
-            sql_runner=sql_runner,
-        )
-        if cmd.source_kind == "database":
-            from pgloader_spark.plans.executor import execute_database
+            ctx = ExecutionContext(
+                spark=spark,
+                root_dir=args.root_dir,
+                on_error_stop=args.on_error_stop,
+                sql_runner=sql_runner,
+            )
+            if one_cmd.source_kind == "database":
+                from pgloader_spark.plans.executor import execute_database
 
-            reports = execute_database(ctx, cmd)
-        else:
-            report = execute(ctx, cmd)
+                reports.extend(execute_database(ctx, one_cmd))
+                continue
+            report = execute(ctx, one_cmd)
             # parquet-dir targets land the data; a postgresql:// target
             # goes through the COPY sink (live server required); a
             # .load file's own INTO target sinks the same way
-            dest = args.target or cmd.target
+            dest = args.target or one_cmd.target
             is_pg = bool(dest) and dest.startswith(
                 ("postgresql://", "pgsql://", "postgres://")
             )
@@ -392,10 +412,10 @@ def main(argv: list[str] | None = None) -> int:
                     write_pg_copy,
                 )
 
-                if cmd.options.get("truncate"):
+                if one_cmd.options.get("truncate"):
                     sql_runner(f"TRUNCATE {quote_qualified(report.table)}")
                 write_pg_copy(report.result, dest, report.table)
-            reports = [report]
+            reports.append(report)
 
         if args.regress:
             from pgloader_spark.plans.regress import (

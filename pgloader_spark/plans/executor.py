@@ -98,6 +98,13 @@ def _source_paths(cmd: LoadCommand) -> list[str]:
     src = cmd.source
     if src.startswith(("http://", "https://")):
         return expand_spec(PathSpec("http", src))
+    # a relative filename resolves against the command file's own
+    # directory first (the reference resolves INI/load-file paths
+    # relative to the file that names them)
+    if cmd.source_dir and not os.path.isabs(src):
+        cand = os.path.join(cmd.source_dir, src)
+        if os.path.exists(cand):
+            return [cand]
     return [src]
 
 

@@ -7,16 +7,16 @@ per-batch transactions (``src/pg-copy/copy-rows-in-batch.lisp:31-117``,
 
 - ``write_jdbc``: the baseline ``df.write.jdbc`` — one executor task
   per partition, ``batchsize`` plays the 25k-row role.
-- ``write_copy``: the fast path — ``foreachPartition`` opening a
-  psycopg COPY per partition, so every executor streams its partition
-  straight into PostgreSQL concurrently (the reference is limited to
-  one writer per table by default; we get one per partition).
+- ``write_copy``: the COPY entry point — a psycopg/psycopg2 COPY per
+  partition when a driver is installed, else it delegates to the
+  Arrow-batched ``sources.pg_live.write_pg_copy`` (the measured fast
+  path on the stdlib wire client; see its docstring and PERF.md).
 - ``write_copy_files``: COPY-format text files (for air-gapped bulk
   load via ``psql \\copy``), fully distributed.
 
-psycopg (or psycopg2) is not in this container: the COPY path is
-import-gated and unit tests cover the file variants; the partition
-callback is factored so its logic is testable without a server.
+psycopg (or psycopg2) is not in this container: the driver path is
+import-gated; the partition callback is factored so its logic is
+testable without a server.
 """
 
 from __future__ import annotations
@@ -90,8 +90,27 @@ def _copy_partition(rows: Iterator, dsn: str, table: str, columns: list[str]) ->
 
 
 def write_copy(df: DataFrame, dsn: str, table: str) -> None:
-    """COPY fast path: one COPY stream per partition, all executors
-    concurrent. Repartition upstream to control connection count."""
+    """COPY into PostgreSQL, one stream per partition.
+
+    Routing: with a real driver installed (psycopg's binary pipeline,
+    or psycopg2's copy_expert) each partition streams through it; with
+    neither — this container, and any stock Spark image — the write
+    delegates to ``sources.pg_live.write_pg_copy``, whose JVM-side
+    text encode + Arrow batching runs ~40x faster than iterating
+    Python rows over the same stdlib wire client (measured 18k vs
+    780k rows/s per stream, PERF.md).  One public COPY entry point,
+    always the fast path for the environment.
+    """
+    try:
+        import psycopg  # noqa: F401, PLC0415
+    except ImportError:
+        try:
+            import psycopg2  # noqa: F401, PLC0415
+        except ImportError:
+            from pgloader_spark.sources.pg_live import write_pg_copy  # noqa: PLC0415
+
+            write_pg_copy(df, dsn, table)
+            return
     columns = list(df.columns)
     df.foreachPartition(lambda it: _copy_partition(it, dsn, table, columns))
 

@@ -1969,3 +1969,44 @@ def test_chinook_migration_carries_keys(seeded, spark, tmp_path):
         # FK integrity is live: an orphan insert fails
         with pytest.raises(PGError, match="23503"):
             c.query("INSERT INTO album VALUES (99999, 'x', 987654)")
+
+
+def test_legacy_ini_config_end_to_end(seeded, spark, tmp_path):
+    """pgloader v2 pgloader.conf through the CLI: two data sections,
+    template inheritance, truncate + skip_head_lines, loaded into the
+    live server (parse-ini.lisp compatibility)."""
+    from pgloader_spark.cli import main
+
+    host_port = seeded.split("@", 1)[1].split("/", 1)[0]
+    host, port = host_port.split(":")
+    (tmp_path / "ini_people.csv").write_text(
+        "id,name\n1,ada\n2,grace\n"
+    )
+    (tmp_path / "ini_tags.csv").write_text("10;x\n20;y\n30;z\n")
+    conf = tmp_path / "pgloader.conf"
+    conf.write_text(
+        f"[pgsql]\nhost = {host}\nport = {port}\nuser = postgres\n"
+        "base = postgres\n"
+        "\n"
+        "[semi]\ntemplate = True\nfield_sep = ;\n"
+        "\n"
+        "[ini_people]\ntable = ini_people\nfilename = ini_people.csv\n"
+        "field_sep = ,\nskip_head_lines = 1\ntruncate = True\n"
+        "columns = id, name\n"
+        "\n"
+        "[ini_tags]\nuse_template = semi\ntable = ini_tags\n"
+        "filename = ini_tags.csv\ncolumns = id, tag\n"
+    )
+    with PGConn(seeded) as c:
+        c.query("DROP TABLE IF EXISTS ini_people")
+        c.query("DROP TABLE IF EXISTS ini_tags")
+        c.query("CREATE TABLE ini_people (id int, name text)")
+        c.query("CREATE TABLE ini_tags (id int, tag text)")
+        c.query("INSERT INTO ini_people VALUES (99, 'stale')")  # truncated
+    assert main([str(conf), "--master", "local[4]",
+                 "--root-dir", str(tmp_path / "rej")]) == 0
+    with PGConn(seeded) as c:
+        _, rows = c.query("SELECT id, name FROM ini_people ORDER BY id")
+        assert rows == [("1", "ada"), ("2", "grace")]
+        _, rows = c.query("SELECT id, tag FROM ini_tags ORDER BY id")
+        assert rows == [("10", "x"), ("20", "y"), ("30", "z")]
