@@ -270,3 +270,36 @@ def test_load_database_mssql_to_live_pg(spark, tmp_path):
         import shutil as _sh
 
         _sh.rmtree(base, ignore_errors=True)
+
+
+def test_introspect_mssql_keys_against_stub():
+    """PK / index / FK extraction via the TDS stub's sys-catalog
+    resultsets (list-all-indexes.sql / list-all-fkeys.sql shapes)."""
+    from pgloader_spark.sources.mssql_live import introspect_mssql_keys
+
+    tables = [
+        MsStubTable(
+            name="Parent",
+            columns=[MsStubColumn("pid", "int", nullable=False)],
+            pkey=["pid"],
+            indexes=[("ix_parent_name", 1, ["pname"], None)],
+        ),
+        MsStubTable(
+            name="Child",
+            columns=[
+                MsStubColumn("cid", "int", nullable=False),
+                MsStubColumn("pid", "int"),
+            ],
+            pkey=["cid"],
+            fkeys=[("fk_child_parent", ["pid"], "Parent", ["pid"])],
+        ),
+    ]
+    with MsSQLStubServer("bank", tables, user="sa", password="pw") as srv:
+        keys = introspect_mssql_keys(
+            f"mssql://sa:pw@127.0.0.1:{srv.port}/bank"
+        )
+    assert keys["Parent"]["pk"] == ["pid"]
+    assert keys["Parent"]["indexes"] == [("ix_parent_name", ["pname"], True)]
+    assert keys["Child"]["pk"] == ["cid"]
+    (fk,) = keys["Child"]["fkeys"]
+    assert fk == (["pid"], "Parent", ["pid"], "NO ACTION", "NO ACTION")

@@ -256,3 +256,20 @@ def test_load_database_mysql_with_cast_rule(spark, mysql_dsn, tmp_path):
     execute_database(ctx, cmd)
     got = spark.read.parquet(f"{tmp_path}/lake2/film.parquet")
     assert dict(got.dtypes)["release_year"] == "string"
+
+
+def test_introspect_mysql_keys_against_stub(mysql_dsn):
+    """PK / secondary index / FK extraction through the wire protocol
+    (information_schema.statistics + key_column_usage)."""
+    from pgloader_spark.sources.mysql_live import introspect_mysql_keys
+
+    keys = introspect_mysql_keys(mysql_dsn)
+    assert keys["actor"]["pk"] == ["actor_id"]
+    assert keys["actor"]["indexes"] == [
+        ("idx_actor_last_name", ["last_name"], False)
+    ]
+    assert keys["film_actor"]["pk"] == ["actor_id", "film_id"]  # composite
+    fks = {tuple(c for c in cols): (ft, tuple(fc))
+           for cols, ft, fc, _u, _d in keys["film_actor"]["fkeys"]}
+    assert fks[("actor_id",)] == ("actor", ("actor_id",))
+    assert fks[("film_id",)] == ("film", ("film_id",))

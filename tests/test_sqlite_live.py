@@ -114,3 +114,51 @@ LOAD DATABASE FROM sqlite://{db}
     back = spark.read.parquet(f"{tmp_path}/lake/people.parquet")
     assert back.count() == 4
     assert dict(back.dtypes)["id"] == "bigint"
+
+
+def test_introspect_sqlite_keys(tmp_path):
+    """PRAGMA-based key extraction: rowid-alias PK (no index_list
+    entry), composite PK autoindex folding, secondary + unique
+    indexes, implicit-PK foreign keys."""
+    import sqlite3
+
+    from pgloader_spark.sources.sqlite_live import introspect_sqlite_keys
+
+    db = str(tmp_path / "keys.db")
+    con = sqlite3.connect(db)
+    con.executescript(
+        """
+        CREATE TABLE artist (
+          artist_id INTEGER PRIMARY KEY,      -- rowid alias
+          name TEXT);
+        CREATE INDEX idx_artist_name ON artist (name);
+        CREATE TABLE album (
+          album_id INTEGER PRIMARY KEY,
+          title TEXT,
+          artist_id INTEGER REFERENCES artist,  -- implicit PK target
+          UNIQUE (title, artist_id));
+        CREATE TABLE pair (
+          a INTEGER, b INTEGER,
+          PRIMARY KEY (a, b));                -- composite -> autoindex
+        CREATE TABLE track (
+          track_id INTEGER PRIMARY KEY,
+          album_id INTEGER,
+          FOREIGN KEY (album_id) REFERENCES album (album_id));
+        """
+    )
+    con.close()
+    keys = introspect_sqlite_keys(db)
+    assert keys["artist"]["pk"] == ["artist_id"]
+    assert keys["artist"]["indexes"] == [("idx_artist_name", ["name"], False)]
+    assert keys["pair"]["pk"] == ["a", "b"]
+    assert keys["pair"]["indexes"] == []  # autoindex folded into the pk
+    # album: unique constraint is a real (auto-named) unique index in
+    # sqlite_autoindex_ form -> folded out; PK from table_info
+    assert keys["album"]["pk"] == ["album_id"]
+    # implicit-PK FK: referenced column comes back None (resolved to
+    # the referenced table's pk by the executor)
+    (alb_fk,) = keys["album"]["fkeys"]
+    assert alb_fk[0] == ["artist_id"] and alb_fk[1] == "artist"
+    assert alb_fk[2] == [None]
+    (trk_fk,) = keys["track"]["fkeys"]
+    assert trk_fk[:3] == (["album_id"], "album", ["album_id"])
