@@ -415,6 +415,10 @@ def main(argv: list[str] | None = None) -> int:
                 if one_cmd.options.get("truncate"):
                     sql_runner(f"TRUNCATE {quote_qualified(report.table)}")
                 write_pg_copy(report.result, dest, report.table)
+                if report.post_load:  # WITH drop indexes: rebuild now
+                    from pgloader_spark.plans.orchestrate import run_post_load
+
+                    run_post_load(dest, report.post_load, transactional=False)
             reports.append(report)
 
         if args.regress:

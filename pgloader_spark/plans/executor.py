@@ -45,6 +45,9 @@ class LoadReport:
     loaded: int = 0
     errors: int = 0
     result: DataFrame | None = None
+    # index-rebuild DDL deferred past a caller-side sink (WITH drop
+    # indexes when the caller, not ctx.sink, lands the data)
+    post_load: list[str] = field(default_factory=list)
 
 
 @dataclass
@@ -856,6 +859,22 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
                 for tbl in tables.values():
                     conn.query(f"TRUNCATE {quote_qualified(_qualified(tbl))}")
 
+    # WITH drop indexes: for loads into pre-existing tables (data
+    # only / create no tables), drop every target index first and
+    # rebuild after the COPY — bulk-load-then-index beats maintaining
+    # btrees row by row (the reference's drop-indexes kernel)
+    rebuild_stmts: list[str] = []
+    if pg_target and cmd.options.get("drop_indexes"):
+        from pgloader_spark.sources.pg_live import capture_and_drop_indexes
+
+        for tbl in tables.values():
+            try:
+                rebuild_stmts += capture_and_drop_indexes(
+                    target, _qualified(tbl)
+                )
+            except Exception as exc:  # noqa: BLE001 — table may not exist yet
+                log.warning("drop indexes: %s: %s", tbl.name, exc)
+
     reports: list[LoadReport] = []
     # WITH workers = N (copy-data.lisp:64-66 / migrate-database.lisp
     # worker-pool knob) -> concurrent COPY streams per table
@@ -877,6 +896,16 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
             df.write.mode("overwrite").parquet(out)
             n = ctx.spark.read.parquet(out).count()
         reports.append(LoadReport(table=tbl.name, read=n, loaded=n, result=df))
+
+    if rebuild_stmts:
+        from pgloader_spark.plans.orchestrate import run_post_load
+
+        rebuild_errors: list[str] = []
+        run_post_load(
+            target, rebuild_stmts, transactional=False, errors=rebuild_errors
+        )
+        for err in rebuild_errors:
+            log.warning("index rebuild: %s", err)
 
     # complete phase (complete-pgsql-database): PK promotion ->
     # indexes -> FKs -> sequence resets -> CHECKs -> triggers ->
@@ -990,6 +1019,18 @@ def execute(ctx: ExecutionContext, cmd: LoadCommand) -> LoadReport:
     else:
         good = projected
 
+    # WITH drop indexes: drop before the load, rebuild after — the
+    # reference's kernel for fast data-only loads into existing tables
+    rebuild_stmts: list[str] = []
+    tgt_dsn = cmd.target or ""
+    if (
+        cmd.options.get("drop_indexes")
+        and tgt_dsn.startswith(("postgresql://", "pgsql://", "postgres://"))
+    ):
+        from pgloader_spark.sources.pg_live import capture_and_drop_indexes
+
+        rebuild_stmts = capture_and_drop_indexes(tgt_dsn, table)
+
     if ctx.sink is not None:
         from pyspark.sql import Observation
 
@@ -1011,6 +1052,17 @@ def execute(ctx: ExecutionContext, cmd: LoadCommand) -> LoadReport:
         report.loaded = good.count()
         report.result = good
     report.read = report.loaded + report.errors
+
+    if rebuild_stmts:
+        if ctx.sink is not None:
+            # the data landed inside this call: rebuild now
+            from pgloader_spark.plans.orchestrate import run_post_load
+
+            run_post_load(tgt_dsn, rebuild_stmts, transactional=False)
+        else:
+            # the caller sinks report.result itself (cli write_pg_copy):
+            # hand the rebuild DDL back to run after that COPY
+            report.post_load = rebuild_stmts
 
     for stmt in cmd.after_load:
         if ctx.sql_runner:

@@ -100,6 +100,54 @@ def introspect_pg(dsn: str, schema: str = "public") -> dict[str, list[SourceFiel
     return out
 
 
+def capture_and_drop_indexes(dsn: str, table: str) -> list[str]:
+    """WITH drop indexes (docs/ref/pgsql.rst; the reference's
+    drop-indexes -> load -> create-indexes-again kernel,
+    ``src/pgsql/pgsql-create-schema.lisp:416-537``): drop every index
+    on TABLE — PRIMARY KEY / UNIQUE constraints via DROP CONSTRAINT,
+    plain indexes via DROP INDEX — and return the statements that
+    recreate them, constraint definitions captured with
+    ``pg_get_constraintdef`` and index definitions with
+    ``pg_indexes.indexdef`` so the rebuild is textually faithful.
+
+    A constraint that cannot drop (e.g. a PK referenced by another
+    table's FK) is left in place and excluded from the recreate list.
+    Plain CREATE INDEX statements order before ADD CONSTRAINT on
+    rebuild, mirroring the complete-phase ordering.
+    """
+    q = quote_qualified(table)
+    parts = table.split(".")
+    schema, bare = (parts[0], parts[1]) if len(parts) == 2 else ("public", table)
+    recreate_constraints: list[str] = []
+    recreate_indexes: list[str] = []
+    with PGConn(dsn) as conn:
+        _, cons = conn.query(
+            "SELECT c.conname, pg_get_constraintdef(c.oid) "
+            "FROM pg_constraint c "
+            f"WHERE c.conrelid = '{q}'::regclass AND c.contype IN ('p', 'u')"
+        )
+        for name, condef in cons:
+            try:
+                conn.query(f'ALTER TABLE {q} DROP CONSTRAINT "{name}"')
+                recreate_constraints.append(
+                    f'ALTER TABLE {q} ADD CONSTRAINT "{name}" {condef};'
+                )
+            except PGError:
+                pass  # depended-upon (FK target): keep it live
+        # exclude indexes still backing a constraint (a PK that could
+        # not drop above): dropping them directly is 2BP01
+        _, idx = conn.query(
+            "SELECT indexname, indexdef FROM pg_indexes "
+            f"WHERE schemaname = '{schema}' AND tablename = '{bare}' "
+            "AND indexname NOT IN (SELECT conname FROM pg_constraint "
+            f"WHERE conrelid = '{q}'::regclass)"
+        )
+        for name, indexdef in idx:
+            conn.query(f'DROP INDEX "{schema}"."{name}"')
+            recreate_indexes.append(indexdef + ";")
+    return recreate_indexes + recreate_constraints
+
+
 def introspect_pg_keys(dsn: str, schema: str = "public") -> dict[str, dict]:
     """Per-table PK / secondary indexes / foreign keys from
     pg_catalog (reference pgsql list-all-indexes / list-all-fkeys,

@@ -2010,3 +2010,83 @@ def test_legacy_ini_config_end_to_end(seeded, spark, tmp_path):
         assert rows == [("1", "ada"), ("2", "grace")]
         _, rows = c.query("SELECT id, tag FROM ini_tags ORDER BY id")
         assert rows == [("10", "x"), ("20", "y"), ("30", "z")]
+
+
+def test_capture_and_drop_indexes_roundtrip(seeded):
+    """WITH drop indexes kernel: constraints + plain indexes drop and
+    the returned DDL rebuilds them; a PK referenced by another table's
+    FK survives (cannot drop) and is excluded from the rebuild."""
+    from pgloader_spark.plans.orchestrate import run_post_load
+    from pgloader_spark.sources.pg_live import capture_and_drop_indexes
+
+    with PGConn(seeded) as c:
+        for t in ("cdi_child", "cdi_t", "cdi_ref"):
+            c.query(f"DROP TABLE IF EXISTS {t}")
+        c.query(
+            "CREATE TABLE cdi_t (id bigint PRIMARY KEY, u text UNIQUE,"
+            " v int)"
+        )
+        c.query("CREATE INDEX cdi_t_v_idx ON cdi_t (v)")
+        c.query("CREATE TABLE cdi_ref (id bigint PRIMARY KEY)")
+        c.query(
+            "CREATE TABLE cdi_child (rid bigint REFERENCES cdi_ref (id))"
+        )
+
+    stmts = capture_and_drop_indexes(seeded, "cdi_t")
+    with PGConn(seeded) as c:
+        _, rows = c.query(
+            "SELECT COUNT(*) FROM pg_indexes WHERE tablename = 'cdi_t'"
+        )
+        assert rows == [("0",)]  # everything dropped
+    assert len(stmts) == 3  # pkey + unique + plain index
+    run_post_load(seeded, stmts, transactional=False)
+    with PGConn(seeded) as c:
+        _, rows = c.query(
+            "SELECT COUNT(*) FROM pg_indexes WHERE tablename = 'cdi_t'"
+        )
+        assert rows == [("3",)]  # all back
+
+    # FK-referenced PK is kept live and NOT in the rebuild list
+    stmts_ref = capture_and_drop_indexes(seeded, "cdi_ref")
+    assert stmts_ref == []
+    with PGConn(seeded) as c:
+        _, rows = c.query(
+            "SELECT COUNT(*) FROM pg_indexes WHERE tablename = 'cdi_ref'"
+        )
+        assert rows == [("1",)]
+        for t in ("cdi_child", "cdi_t", "cdi_ref"):
+            c.query(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_load_csv_with_drop_indexes_rebuilds(seeded, spark, tmp_path):
+    """File load WITH truncate, drop indexes: target indexes drop
+    before the COPY and rebuild after it (docs/ref/pgsql.rst 'drop
+    indexes')."""
+    from pgloader_spark.cli import main
+
+    with PGConn(seeded) as c:
+        c.query("DROP TABLE IF EXISTS di_people")
+        c.query("CREATE TABLE di_people (id bigint PRIMARY KEY, name text)")
+        c.query("CREATE INDEX di_people_name_idx ON di_people (name)")
+        c.query("INSERT INTO di_people VALUES (99, 'stale')")
+    csv = tmp_path / "di.csv"
+    csv.write_text("1,ada\n2,grace\n")
+    load = tmp_path / "di.load"
+    load.write_text(
+        f"LOAD CSV FROM '{csv}' (id, name)\n"
+        f"  INTO {seeded}?di_people (id, name)\n"
+        "  WITH truncate, drop indexes, fields terminated by ',';\n"
+    )
+    assert main([str(load), "--master", "local[4]",
+                 "--root-dir", str(tmp_path / "rej")]) == 0
+    with PGConn(seeded) as c:
+        _, rows = c.query("SELECT id, name FROM di_people ORDER BY id")
+        assert rows == [("1", "ada"), ("2", "grace")]
+        _, rows = c.query(
+            "SELECT indexname FROM pg_indexes WHERE tablename = 'di_people'"
+            " ORDER BY indexname"
+        )
+        assert [r[0] for r in rows] == ["di_people_name_idx", "di_people_pkey"]
+        # the rebuilt PK still enforces
+        with pytest.raises(PGError, match="23505"):
+            c.query("INSERT INTO di_people VALUES (1, 'dup')")
