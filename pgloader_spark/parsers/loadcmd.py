@@ -112,7 +112,9 @@ _TOKEN_RE = re.compile(
   | (?P<rparen>\))
   | (?P<comma>,)
   | (?P<semi>;)
-  | (?P<word>[^\s(),;]+)
+  | (?P<word>(?:(?!--)[^\s(),;])+)   # a word ends where a -- comment
+                                     # starts, even glued: `= 4-- ,`
+                                     # (sakila.load) is `4` + comment
     """,
     re.VERBOSE | re.DOTALL,
 )

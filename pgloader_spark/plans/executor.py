@@ -918,13 +918,33 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
         and not cmd.options.get("create_no_tables")
     ):
         from pgloader_spark.plans.orchestrate import (
+            plain_index_statements,
             post_load_statements,
+            run_parallel_indexes,
             run_post_load,
         )
 
+        create_indexes = not cmd.options.get("create_no_indexes")
+        post_errors: list[str] = []
+        if create_indexes:
+            # secondary indexes build on N concurrent connections
+            # (idx-kernel; WITH max parallel create index = N, default
+            # = the max index count of any one table)
+            idx_stmts = plain_index_statements(cat)
+            n_par = int(cmd.options.get("max_parallel_create_index", 0)) or (
+                max(
+                    (sum(1 for i in t.indexes if not i.primary)
+                     for t in tables.values()),
+                    default=0,
+                )
+            )
+            run_parallel_indexes(
+                target, idx_stmts, workers=n_par, errors=post_errors
+            )
         post = post_load_statements(
             cat,
-            create_indexes=not cmd.options.get("create_no_indexes"),
+            create_indexes=create_indexes,
+            plain_indexes=False,  # built above, in parallel
             foreign_keys=not cmd.options.get("no_foreign_keys"),
             reset_sequences=not (
                 cmd.options.get("reset_no_sequences")
@@ -932,12 +952,11 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
             ),
         )
         if post:
-            post_errors: list[str] = []
             run_post_load(
                 target, post, transactional=False, errors=post_errors
             )
-            for err in post_errors:
-                log.warning("post-load: %s", err)
+        for err in post_errors:
+            log.warning("post-load: %s", err)
 
     if pg_target and (cmd.after_load or cmd.after_execute_files):
         from pgloader_spark.sources.pgwire import PGConn

@@ -241,11 +241,57 @@ def run_post_load(
     )
 
 
+def plain_index_statements(catalog: Catalog) -> list[str]:
+    """Non-PK CREATE INDEX DDL only — the parallelizable phase (each
+    index builds independently on its own connection)."""
+    stmts: list[str] = []
+    for schema in catalog.schemas:
+        for t in schema.tables:
+            for idx in t.indexes:
+                if not idx.primary:
+                    stmts.append(
+                        idx.to_ddl(schema.name if schema.name != "public" else None)
+                    )
+    return stmts
+
+
+def run_parallel_indexes(
+    dsn: str,
+    statements: list[str],
+    workers: int | None = None,
+    errors: list[str] | None = None,
+) -> int:
+    """CREATE INDEX across WORKERS concurrent connections — the
+    reference's idx-kernel (``migrate-database.lisp:414-423``: kernel
+    size = ``max-parallel-create-index`` or the max index count of any
+    one table).  Index builds dominate complete-phase wall clock on a
+    big migration, and PostgreSQL sorts each build independently, so N
+    connections buy ~N×.  Each statement gets :func:`run_post_load`'s
+    single-statement reconnect/duplicate-tolerant resilience.  Returns
+    the number built."""
+    if not statements:
+        return 0
+    workers = workers or min(len(statements), 8)
+    shared: list[str] = [] if errors is None else errors
+    n_ok = 0
+    with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
+        futs = [
+            pool.submit(
+                run_post_load, dsn, [stmt], transactional=False, errors=shared
+            )
+            for stmt in statements
+        ]
+        for f in as_completed(futs):
+            n_ok += f.result()
+    return n_ok
+
+
 def post_load_statements(
     catalog: Catalog,
     create_indexes: bool = True,
     foreign_keys: bool = True,
     reset_sequences: bool = True,
+    plain_indexes: bool = True,
 ) -> list[str]:
     """The complete-phase DDL in dependency order
     (``complete-pgsql-database``, ``migrate-database.lisp:153-226``):
@@ -277,7 +323,7 @@ def post_load_statements(
                         stmts.append(
                             f"ALTER TABLE {qt} ADD PRIMARY KEY ({cols});"
                         )
-                    else:
+                    elif plain_indexes:
                         stmts.append(idx.to_ddl(schema.name if schema.name != "public" else None))
     if foreign_keys:
         for schema in catalog.schemas:

@@ -2090,3 +2090,33 @@ def test_load_csv_with_drop_indexes_rebuilds(seeded, spark, tmp_path):
         # the rebuilt PK still enforces
         with pytest.raises(PGError, match="23505"):
             c.query("INSERT INTO di_people VALUES (1, 'dup')")
+
+
+def test_run_parallel_indexes_builds_concurrently(seeded):
+    """The idx-kernel shape: N CREATE INDEX statements across
+    concurrent connections, duplicate-tolerant per statement."""
+    from pgloader_spark.plans.orchestrate import run_parallel_indexes
+
+    with PGConn(seeded) as c:
+        c.query("DROP TABLE IF EXISTS pidx")
+        c.query("CREATE TABLE pidx (a int, b int, c int, d int)")
+        c.query("INSERT INTO pidx SELECT i, i, i, i FROM generate_series(1, 1000) i")
+    stmts = [f"CREATE INDEX pidx_{col} ON pidx ({col})" for col in "abcd"]
+    errors: list[str] = []
+    assert run_parallel_indexes(seeded, stmts, workers=4, errors=errors) == 4
+    assert errors == []
+    with PGConn(seeded) as c:
+        _, rows = c.query(
+            "SELECT COUNT(*) FROM pg_indexes WHERE tablename = 'pidx'"
+        )
+        assert rows == [("4",)]
+    # re-run converges (duplicate-object tolerance), a genuine error is
+    # collected without failing the phase
+    errors2: list[str] = []
+    n = run_parallel_indexes(
+        seeded, stmts + ["CREATE INDEX bad ON pidx (missing_col)"],
+        workers=3, errors=errors2,
+    )
+    assert n == 4 and len(errors2) == 1
+    with PGConn(seeded) as c:
+        c.query("DROP TABLE pidx")
