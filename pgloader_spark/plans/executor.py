@@ -853,6 +853,15 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
                 cmd.options.get("data_only")
                 or cmd.options.get("create_no_tables")
             ):
+                # WITH drop schema: drop the whole target schema(s)
+                # CASCADE before recreating (docs/ref/mysql.rst; the
+                # default only drops the tables via include_drop)
+                if cmd.options.get("drop_schema"):
+                    for s in cat.schemas:
+                        if s.name != "public":
+                            conn.query(
+                                f'DROP SCHEMA IF EXISTS "{s.name}" CASCADE'
+                            )
                 for stmt in prepare_statements(cat, include_drop=True):
                     conn.query(stmt)
             if cmd.options.get("truncate"):

@@ -656,3 +656,38 @@ def test_f1db_citus_distribute_rules(pg_root, spark, tmp_path):
     with PGConn(_dsn("dim")) as c:
         _, rows = c.query("SELECT COUNT(*) FROM f1db.races")
         assert rows == [("3",)]
+
+
+def test_with_drop_schema_clears_stale_objects(pg_root, spark, tmp_path):
+    """WITH drop schema: the target schema drops CASCADE before the
+    migration recreates it, so stale objects from earlier runs (even
+    ones the table-level include-drop would miss) are gone."""
+    with PGConn(_dsn("postgres")) as c:
+        _, have = c.query(
+            "SELECT COUNT(*) FROM pg_database WHERE datname = 'dropschema'"
+        )
+        if have == [("0",)]:
+            c.query("CREATE DATABASE dropschema")
+    dsn = _dsn("dropschema")
+    with PGConn(dsn) as c:
+        c.query("CREATE SCHEMA IF NOT EXISTS sakila")
+        c.query("CREATE TABLE IF NOT EXISTS sakila.stale_leftover (x int)")
+    load = tmp_path / "ds.load"
+    with sakila_stub() as srv:
+        load.write_text(
+            f"LOAD DATABASE FROM mysql://root@127.0.0.1:{srv.port}/sakila\n"
+            f"  INTO {dsn}\n"
+            "  WITH drop schema, include drop, create tables;\n"
+        )
+        from pgloader_spark.cli import main
+
+        assert main([str(load), "--master", "local[4]",
+                     "--root-dir", str(tmp_path / "rej")]) == 0
+    with PGConn(dsn) as c:
+        _, rows = c.query(
+            "SELECT COUNT(*) FROM information_schema.tables "
+            "WHERE table_schema = 'sakila' AND table_name = 'stale_leftover'"
+        )
+        assert rows == [("0",)]  # CASCADE took it
+        _, rows = c.query("SELECT COUNT(*) FROM sakila.actor")
+        assert rows == [("35",)]
