@@ -210,6 +210,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-V", "--version", action="store_true", help="print version and exit")
     ap.add_argument("-E", "--list-encodings", action="store_true",
                     help="list known encodings and exit")
+    ap.add_argument("--upgrade-config", action="store_true",
+                    help="parse SOURCE as a v2 pgloader.conf INI file and "
+                    "print the modern command syntax (reference v3 flag; "
+                    "v4 removed it — we keep both the flag and direct "
+                    ".conf execution)")
     ap.add_argument("-D", "--root-dir", default="/tmp/pgloader_spark", help="reject-file root")
     ap.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
     ap.add_argument("--summary", choices=["text", "csv", "json"], default="text")
@@ -268,6 +273,13 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if not args.source:
         ap.error("SOURCE is required")
+    if args.upgrade_config:
+        # convert-ini-into-commands (parse-ini.lisp:322-330): print the
+        # modern syntax for each section, blank-line separated
+        from pgloader_spark.parsers.ini_compat import convert_ini_into_commands
+
+        print("\n\n\n".join(convert_ini_into_commands(args.source)))
+        return 0
 
     import logging
 
