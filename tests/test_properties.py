@@ -335,3 +335,57 @@ def test_csv_state_machine_unquoted_trim_mode(rows):
     for rec, r in zip(got, rows):
         vals = [v.strip(" \t") for v, _ in rec]
         assert vals == r
+
+
+def _pgpass_escape(field: str) -> str:
+    return field.replace("\\", "\\\\").replace(":", "\\:")
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_characters="\n\r", blacklist_categories=("Cs",)
+            ),
+            min_size=1,
+            max_size=20,
+        ).filter(lambda s: not s.startswith(("#", "[", " "))),
+        min_size=5,
+        max_size=5,
+    )
+)
+@settings(max_examples=200)
+def test_pgpass_line_escape_roundtrip(fields):
+    """Any 5 fields, escaped per the libpq rules, parse back exactly —
+    the reference's pgpass-escaped-char grammar as a law."""
+    from pgloader_spark.parsers.pgpass import parse_pgpass_line
+
+    line = ":".join(_pgpass_escape(f) for f in fields)
+    e = parse_pgpass_line(line)
+    assert e is not None
+    got = [e.hostname, e.port, e.database, e.username, e.password]
+    assert got == fields
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcdefghij_", min_size=1, max_size=8),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda kv: kv[1],
+    )
+)
+@settings(max_examples=200)
+def test_ini_columns_spec_field_order_law(specs):
+    """columns = 'n1:p1, n2:p2, ...' — fields always come back sorted
+    by position, columns in spec order, regardless of input order."""
+    from pgloader_spark.parsers.ini_compat import _parse_columns_spec
+
+    spec = ", ".join(f"{n}:{p}" for n, p in specs)
+    fields, columns = _parse_columns_spec(spec)
+    by_pos = [n for n, _ in sorted(specs, key=lambda kv: kv[1])]
+    assert fields == by_pos
+    assert columns == [n for n, _ in specs]
