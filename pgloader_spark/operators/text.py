@@ -732,3 +732,131 @@ def hashed_linear_score(
         n.cast("int").alias("n_tokens"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
     )
+
+
+def train_hashed_classifier(
+    df: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 4096,
+    epochs: int = 10,
+    lr: float = 2.0,
+    l2: float = 0.0,
+    seed: int = 0,
+) -> tuple[list[float], float]:
+    """Distributed logistic-regression TRAINING for the hashed linear
+    classifier — the missing half of :func:`hashed_linear_score`: the
+    big pretraining pipelines train exactly this model (fastText-style
+    quality/"educational value" scorers) on labeled seed sets, then
+    run the learned weights over the full corpus at scan speed.
+
+    Model: p = sigmoid(bias + mean-over-tokens of w[bucket(token)]),
+    the same bucket hash as the inference op, so the returned
+    ``(weights, bias)`` plug straight into
+    ``hashed_linear_score(df, weights=w, bias=b)``.
+
+    Scale shape (full-batch gradient descent, one round-trip per
+    epoch): token features materialize ONCE as a per-(doc, bucket)
+    count table (one keyed shuffle, persisted); each epoch scores
+    every doc with the current weights shipped as an array literal
+    (no join for the lookup), reduces the per-bucket gradient with a
+    map-side-combinable SUM whose output is MODEL-sized (dim rows),
+    and collects only those dim floats to the driver.  Nothing
+    corpus-sized ever reaches the driver, and epochs cost two
+    exchanges each — the classic "model fits on the driver, data
+    never leaves the cluster" regime.
+
+    Determinism: gradient terms round to fixed precision and fold as
+    DECIMAL, so the learned weights are independent of partitioning
+    (pinned by test) — the property every reproducible data-pipeline
+    training job needs.
+    """
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).cast("double").alias("y"),
+        tokens(text_col).alias("tk"),
+    ).filter(F.size("tk") > 0)
+
+    def bucket(tok: Column) -> Column:
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"h{seed}:"), tok)), 1, 12), 16, 10
+        ).cast("long")
+        return h % F.lit(dim)
+
+    # per-(doc, bucket): x = count/n_tokens rounded to 9 dp — the one
+    # corpus-sized shuffle, computed once and reused every epoch
+    feats = (
+        docs.select(
+            "id", "y", F.size("tk").alias("n"), F.explode("tk").alias("tok")
+        )
+        .select("id", "y", "n", bucket(F.col("tok")).cast("int").alias("b"))
+        .groupBy("id", "y", "n", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "id",
+            "y",
+            "b",
+            F.round(F.col("cnt") / F.col("n"), 9)
+            .cast("decimal(20,9)")
+            .alias("x"),
+        )
+        .persist()
+    )
+    n_docs = feats.select("id").distinct().count()
+    if n_docs == 0:
+        feats.unpersist()
+        return [0.0] * dim, 0.0
+
+    w = [0.0] * dim
+    bias = 0.0
+    for _ in range(epochs):
+        warr = F.array(*[F.lit(round(wi, 9)) for wi in w])
+        # per-doc margin: one shuffle on id (co-located with feats'
+        # own partitioning), output = docs rows of 3 columns
+        scored = (
+            feats.groupBy("id", "y")
+            .agg(
+                F.sum(
+                    F.col("x")
+                    * F.element_at(warr, F.col("b") + 1).cast("decimal(20,9)")
+                ).alias("dot")
+            )
+            .select(
+                "id",
+                "y",
+                F.round(
+                    F.lit(1.0)
+                    / (
+                        F.lit(1.0)
+                        + F.exp(-(F.lit(bias) + F.col("dot").cast("double")))
+                    ),
+                    9,
+                ).alias("p"),
+            )
+        )
+        # per-bucket gradient: decimal fold -> dim rows -> driver
+        g_rows = (
+            feats.join(scored.select("id", "p"), "id")
+            .groupBy("b")
+            .agg(
+                F.sum(
+                    (F.col("p").cast("decimal(20,9)") - F.col("y").cast("decimal(20,9)"))
+                    * F.col("x")
+                ).alias("g")
+            )
+            .collect()
+        )
+        gb = float(
+            scored.agg(
+                F.sum(F.col("p").cast("decimal(20,9)") - F.col("y").cast("decimal(20,9)"))
+            ).collect()[0][0]
+        )
+        grad = {int(r["b"]): float(r["g"]) for r in g_rows}
+        w = [
+            round(wi - lr * (grad.get(j, 0.0) / n_docs + l2 * wi), 9)
+            for j, wi in enumerate(w)
+        ]
+        bias = round(bias - lr * gb / n_docs, 9)
+    feats.unpersist()
+    return w, bias

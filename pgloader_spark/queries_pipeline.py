@@ -1428,6 +1428,30 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.hashed_linear_score(docs)
 
 
+@query("text_classifier_train")  # iterative GD: no SQL oracle (driver
+# records the rows-only check); correctness is pinned by
+# test_lm_ops.py's python-model, held-out, and partition-invariance
+# tests instead
+def text_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the hashed linear classifier on-cluster (full-batch
+    logistic GD; labels: is-the-document-English from the langid
+    gate), returning the learned model as (bucket, weight) rows plus
+    the bias at bucket -1.  Each epoch is two model-sized-output
+    aggregations; only dim floats ever reach the driver
+    (operators/text.py:train_hashed_classifier)."""
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    labeled = docs.withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    )
+    w, b = txt.train_hashed_classifier(
+        labeled, "label", dim=256, epochs=3, lr=2.0, seed=1
+    )
+    rows = [(-1, float(b))] + [(j, float(wj)) for j, wj in enumerate(w)]
+    return spark.createDataFrame(rows, "bucket int, weight double").orderBy(
+        "bucket"
+    )
+
+
 @query(
     "sample_leakage_split",
     oracle=f"""

@@ -277,3 +277,56 @@ def test_band_link_edges_matches_pair_components(spark):
     # star output is linear in bucket membership: strictly fewer or
     # equal edges than the quadratic pair list
     assert star.count() <= full.count()
+
+
+def test_train_hashed_classifier_learns_and_plugs_into_inference(spark):
+    """Full-batch distributed GD on a separable seed set: the learned
+    (weights, bias) drive hashed_linear_score to separate positives
+    from negatives — including held-out docs — and training is
+    partition-invariant (decimal gradient folds)."""
+    from pgloader_spark.operators.text import (
+        hashed_linear_score,
+        train_hashed_classifier,
+    )
+
+    pos_vocab = [f"good{i}" for i in range(8)]
+    neg_vocab = [f"junk{i}" for i in range(8)]
+    rows = []
+    for d in range(24):
+        vocab = pos_vocab if d % 2 == 0 else neg_vocab
+        text = " ".join(vocab[(d + j) % 8] for j in range(12))
+        rows.append((d, text, 1 if d % 2 == 0 else 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+    w, b = train_hashed_classifier(
+        df, "label", dim=64, epochs=30, lr=4.0, seed=3
+    )
+    assert len(w) == 64
+    scored = {
+        r["doc_id"]: r["score"]
+        for r in hashed_linear_score(df, dim=64, weights=w, bias=b, seed=3).collect()
+    }
+    pos = [scored[d] for d in range(24) if d % 2 == 0]
+    neg = [scored[d] for d in range(24) if d % 2 == 1]
+    assert min(pos) > 0.8 and max(neg) < 0.2
+
+    # held-out docs from the same vocabularies classify correctly
+    held = spark.createDataFrame(
+        [(100, " ".join(pos_vocab)), (101, " ".join(neg_vocab))],
+        "doc_id long, text string",
+    )
+    hs = {r["doc_id"]: r["score"]
+          for r in hashed_linear_score(held, dim=64, weights=w, bias=b, seed=3).collect()}
+    assert hs[100] > 0.8 and hs[101] < 0.2
+
+    # partition invariance: same model from a differently-sliced input
+    w2, b2 = train_hashed_classifier(
+        df.repartition(13), "label", dim=64, epochs=30, lr=4.0, seed=3
+    )
+    assert w2 == w and b2 == b
+
+    # empty input: zero model, no crash
+    w0, b0 = train_hashed_classifier(
+        df.filter("label = 2"), "label", dim=8, epochs=2
+    )
+    assert w0 == [0.0] * 8 and b0 == 0.0
