@@ -100,3 +100,63 @@ def ngram_decontaminate(
         .alias("overlap_frac"),
         (F.col("n_overlap") > 0).alias("contaminated"),
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    tau: float = 0.90,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level decontamination: drop every corpus row whose
+    vector lies within cosine ``tau`` of ANY eval-set vector — the
+    semantic complement of :func:`ngram_decontaminate`, catching
+    paraphrased/reformatted eval contamination that token matching
+    misses (the standard second pass in modern pretraining hygiene).
+
+    Scale shape mirrors ``similarity.cosine_topk_blas``: the eval set
+    is the operator's BOUNDED side (collected and broadcast as one
+    E x dim float64 matrix); each Arrow batch of the corpus scores
+    against it with a single gemm and emits only a boolean — corpus
+    embeddings never shuffle, driver traffic is the eval set once.
+    Cosines round to 6 dp before the threshold compare, so membership
+    is engine- and partition-invariant.
+    """
+    import numpy as np
+
+    erows = (
+        eval_df.select(F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    if not erows:
+        return corpus
+    Em = np.stack([np.asarray(r[0], dtype=np.float64) for r in erows])
+    e_n2 = (Em * Em).sum(axis=1)
+    sc = corpus.sparkSession.sparkContext
+    be = sc.broadcast((Em, e_n2))
+
+    schema = "id long, contaminated boolean"
+
+    def flag(batches):
+        import pandas as pd
+
+        Em, e_n2 = be.value
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            n2 = (V * V).sum(axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = V @ Em.T / np.sqrt(np.outer(n2, e_n2))
+            cos = np.round(cos, 6)
+            hit = np.nanmax(cos, axis=1) >= tau if cos.size else np.zeros(len(ids), bool)
+            yield pd.DataFrame({"id": ids, "contaminated": hit})
+
+    flags = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(flag, schema)
+    return corpus.join(
+        flags.filter("contaminated").select(F.col("id").alias(id_col)),
+        id_col,
+        "left_anti",
+    )

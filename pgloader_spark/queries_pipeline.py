@@ -1428,6 +1428,39 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.hashed_linear_score(docs)
 
 
+@query(
+    "pipeline_decontam_semantic",
+    oracle=f"""
+WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ev AS (SELECT v FROM q WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id, v FROM q WHERE vec_id % 50 <> 0),
+hits AS (
+  SELECT DISTINCT c.vec_id
+  FROM c JOIN ev ON {_DUCK_COS.format(a="c.v", b="ev.v")} >= 0.55)
+SELECT c.vec_id FROM c
+WHERE c.vec_id NOT IN (SELECT vec_id FROM hits)
+ORDER BY c.vec_id
+""",
+)
+def pipeline_decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination: corpus vectors within cosine
+    tau of ANY held-out eval vector are dropped — catches paraphrased
+    eval contamination n-gram matching misses.  Eval side broadcasts
+    as one matrix, each corpus Arrow batch scores with a single gemm
+    and emits a boolean; corpus embeddings never shuffle
+    (operators/decontam.py:semantic_decontaminate)."""
+    from pgloader_spark.operators.decontam import semantic_decontaminate
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    return (
+        semantic_decontaminate(corpus, ev, tau=0.55)
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
+
+
 @query("text_classifier_train")  # iterative GD: no SQL oracle (driver
 # records the rows-only check); correctness is pinned by
 # test_lm_ops.py's python-model, held-out, and partition-invariance

@@ -190,3 +190,30 @@ def test_dup_span_remove_string_ids_and_canonical(spark):
     )
     got = {r["id"]: r["n_removed"] for r in dup_span_remove(big, w=6).collect()}
     assert got == {2**60: 0, 2**60 + 1: 6}
+
+
+def test_semantic_decontaminate_drops_near_eval_vectors(spark):
+    """Planted contamination: an exact copy and a near-copy of an eval
+    vector drop; an orthogonal vector survives; empty eval set is a
+    no-op."""
+    from pgloader_spark.operators.decontam import semantic_decontaminate
+
+    ev = spark.createDataFrame(
+        [(1000, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),       # exact copy -> drop
+            (2, [0.99, 0.1, 0.0, 0.0]),      # near copy -> drop
+            (3, [0.0, 0.0, 1.0, 0.0]),       # orthogonal -> keep
+            (4, [0.0, 0.0, 0.0, 0.0]),       # zero vector -> keep (nan cos)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    kept = {r["vec_id"]
+            for r in semantic_decontaminate(corpus, ev, tau=0.9).collect()}
+    assert kept == {3, 4}
+    # empty eval set: everything survives
+    kept_all = {r["vec_id"] for r in semantic_decontaminate(
+        corpus, ev.filter("vec_id < 0"), tau=0.9).collect()}
+    assert kept_all == {1, 2, 3, 4}
