@@ -1353,9 +1353,10 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_merged_rollup(docs, "k", "source")
 
 
-@query(
-    "text_bigram_logprob",
-    oracle=f"""
+# shared CTE chain: per-document bigram-model stats (used by the
+# logprob query and the CCNet-style bucket query — identical text so
+# both oracles score identically)
+_DUCK_BIGRAM_PER = f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
 big AS (
   SELECT doc_id, tk[i] AS prev, tk[i + 1] AS cur
@@ -1375,6 +1376,12 @@ per AS (
   SELECT doc_id, COUNT(*) AS n_bigrams,
          SUM(CAST(logp AS DECIMAL(18,6))) AS slp
   FROM scored GROUP BY 1)
+"""
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=f"""{_DUCK_BIGRAM_PER}
 SELECT d.doc_id,
        CAST(COALESCE(p.n_bigrams, 0) AS INT) AS n_bigrams,
        CASE WHEN p.n_bigrams > 0
@@ -1392,6 +1399,61 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.py:bigram_logprob)."""
     docs = read_table(spark, sf_dir, "documents", widen=True)
     return txt.bigram_logprob(docs)
+
+
+@query(
+    "sample_ccnet_buckets",
+    oracle=f"""{_DUCK_BIGRAM_PER},
+lp AS (
+  SELECT d.doc_id, d.lang,
+         CASE WHEN p.n_bigrams > 0
+              THEN round(CAST(p.slp AS DOUBLE) / p.n_bigrams, 6)
+              ELSE 0.0 END AS avg_lp
+  FROM documents d LEFT JOIN per p USING (doc_id)),
+t AS (
+  SELECT doc_id, lang, avg_lp,
+         CAST(NTILE(3) OVER (PARTITION BY lang
+                             ORDER BY avg_lp DESC, doc_id) AS INTEGER) AS tercile
+  FROM lp)
+SELECT doc_id, lang, avg_lp,
+       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM t
+""",
+)
+def sample_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: per LANGUAGE, documents rank
+    by bigram-model mean log-prob and split into head / middle / tail
+    terciles — the classic curation move (keep head+middle, drop or
+    re-sample tail).  One model build + one window per language
+    partition; the rank never leaves its language's partition, and
+    ties break on doc_id so the split is deterministic across engines
+    (operators/text.py:bigram_logprob + ntile)."""
+    from pyspark.sql.window import Window as W
+
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    lp = (
+        txt.bigram_logprob(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("n_bigrams") > 0, F.col("avg_bigram_logprob"))
+            .otherwise(F.lit(0.0))
+            .alias("avg_lp"),
+        )
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("avg_lp"), F.asc("doc_id"))
+    tercile = F.ntile(3).over(w)
+    return lp.select(
+        "doc_id",
+        "lang",
+        "avg_lp",
+        F.when(tercile == 1, "head")
+        .when(tercile == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
 
 
 @query(
