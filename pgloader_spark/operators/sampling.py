@@ -374,3 +374,56 @@ def leakage_safe_split(
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def mix_with_temperature(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    temperature: float = 2.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling: stratum s gets target
+    share ``n_s^(1/T) / sum_s n_s^(1/T)`` — the standard multilingual
+    / multi-domain rebalancing (T=1 keeps the natural mix, T -> inf
+    approaches uniform), then the largest nested subsample honoring
+    those shares is kept via :func:`mix_to_target`'s quota logic.
+
+    Scale shape: the share computation is a stratum-sized aggregate
+    (tiny) riding broadcasts; the data-sized work remains one window
+    rank per stratum.  Shares round to 9 dp so an external engine
+    derives identical quotas.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    inv_t = 1.0 / temperature
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    powed = counts.withColumn(
+        "__w", F.round(F.pow(F.col("__n").cast("double"), F.lit(inv_t)), 9)
+    )
+    tot = powed.agg(F.round(F.sum("__w"), 9).alias("__tot"))
+    j = powed.crossJoin(F.broadcast(tot)).select(
+        strata_col,
+        "__n",
+        F.round(F.col("__w") / F.col("__tot"), 9).alias("__frac"),
+    )
+    scale = j.agg(
+        F.min(F.floor(F.col("__n") / F.col("__frac"))).alias("__scale")
+    )
+    quotas = j.crossJoin(F.broadcast(scale)).select(
+        strata_col,
+        F.least(
+            F.col("__n"), F.floor(F.col("__frac") * F.col("__scale"))
+        ).alias("__quota"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy(strata_col).orderBy(
+            hash_bucket(key_col, seed), F.col(key_col)
+        )
+    )
+    return (
+        df.withColumn("__rn", rn)
+        .join(F.broadcast(quotas), strata_col)
+        .filter(F.col("__rn") <= F.col("__quota"))
+        .drop("__rn", "__quota")
+    )

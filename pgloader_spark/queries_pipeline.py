@@ -589,6 +589,45 @@ def sample_mix_to_target(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_mix_temperature",
+    oracle="""
+WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+powed AS (SELECT lang, n, round(pow(n::DOUBLE, 0.25), 9) AS w FROM cnt),
+tot AS (SELECT round(SUM(w), 9) AS tot FROM powed),
+fr AS (SELECT lang, n, round(w / tot, 9) AS frac FROM powed CROSS JOIN tot),
+scale AS (SELECT MIN(CAST(floor(n / frac) AS BIGINT)) AS s FROM fr),
+quotas AS (
+  SELECT lang, LEAST(n, CAST(floor(frac * s) AS BIGINT)) AS q
+  FROM fr CROSS JOIN scale),
+ranked AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 12))
+                         AS BIGINT) % 1000000, doc_id) AS rn
+  FROM documents)
+SELECT r.doc_id, r.lang
+FROM ranked r JOIN quotas USING (lang)
+WHERE rn <= q
+""",
+)
+def sample_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled rebalancing (T=4): stratum share is
+    n^(1/T) / sum n^(1/T) — flattens the natural language mix toward
+    uniform, the standard multilingual-training move (XLM-R style).
+    Shares are a stratum-sized aggregate on broadcasts; data-sized
+    work is one window rank per stratum
+    (operators/sampling.py:mix_with_temperature)."""
+    from pgloader_spark.operators.sampling import mix_with_temperature
+
+    docs = read_table(spark, sf_dir, "documents")
+    picked = mix_with_temperature(
+        docs, "lang", "doc_id", temperature=4.0, seed=0
+    )
+    return picked.select("doc_id", "lang")
+
+
+@query(
     "text_unigram_logprob",
     oracle=f"""
 WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),

@@ -531,3 +531,40 @@ def test_cluster_balanced_sample_quota_and_determinism(spark):
     assert sorted((r["vec_id"], r["rk"]) for r in out) == sorted(
         (r["vec_id"], r["rk"]) for r in again
     )  # deterministic, no RNG
+
+
+def test_mix_with_temperature_flattens_toward_uniform(spark):
+    """T=1 reproduces the natural mix (quota = own count for every
+    stratum); higher T narrows the gap between big and small strata;
+    results are nested/deterministic; T<=0 rejects."""
+    import pytest as _pytest
+
+    from pgloader_spark.operators.sampling import mix_with_temperature
+
+    rows = [(i, "big") for i in range(900)] + [
+        (i + 1000, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+
+    def shares(t):
+        out = (
+            mix_with_temperature(df, "src", "doc_id", temperature=t)
+            .groupBy("src")
+            .count()
+            .collect()
+        )
+        d = {r["src"]: r["count"] for r in out}
+        return d.get("big", 0), d.get("small", 0)
+
+    b1, s1 = shares(1.0)
+    assert (b1, s1) == (900, 100)  # natural mix: everything kept
+    b4, s4 = shares(4.0)
+    # T=4: small stratum binds (kept near-whole — double floor may
+    # shave one row), big downsampled hard
+    assert s4 >= 99
+    assert b4 < 900
+    assert b4 / s4 < 900 / 100  # flatter than natural
+    # determinism
+    assert shares(4.0) == (b4, s4)
+    with _pytest.raises(ValueError):
+        mix_with_temperature(df, "src", "doc_id", temperature=0.0)
