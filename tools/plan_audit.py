@@ -44,6 +44,7 @@ ARROW_OK = {
     "pipeline_pack_sequences",
     "similarity_cosine_topk",   # BLAS batch kernel (operators/similarity.py:cosine_topk_blas)
     "dedup_embedding_near",     # blocked BLAS pair kernel
+    "pipeline_decontam_semantic",  # gemm-vs-eval-matrix batch kernel
 }
 
 # Queries whose small side is literal/driver-bounded, where a
@@ -65,6 +66,8 @@ BNLJ_OK_PATTERNS = (
     "text_tfidf_topk",          # N (doc count) scalar
     "join_range_bucket",        # bounded bucket-spine side
     "layout_zorder_keys",       # min/max bounds scalar
+    "sample_mix_temperature",   # share-total + binding-scale scalars
+    "sample_ccnet_buckets",     # bigram V scalar (same as bigram_logprob)
 )
 
 
