@@ -217,7 +217,12 @@ def main(argv: list[str] | None = None) -> int:
                     ".conf execution)")
     ap.add_argument("-D", "--root-dir", default="/tmp/pgloader_spark", help="reject-file root")
     ap.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
-    ap.add_argument("--summary", choices=["text", "csv", "json"], default="text")
+    ap.add_argument(
+        "--summary", default="text",
+        help="summary format (text|csv|json) — or, like the reference, a "
+        "FILENAME to copy the summary to (relative paths expand under "
+        "--root-dir; format from the extension: .csv/.json/.copy, else "
+        "human-readable text)")
     ap.add_argument("--on-error-stop", action="store_true")
     ap.add_argument("--dry-run", action="store_true",
                     help="only check connections, load nothing")
@@ -467,12 +472,26 @@ def main(argv: list[str] | None = None) -> int:
                 for r in reports
             ]
         )
-        out = {
+        fmts = {
             "text": summary.to_text,
             "csv": summary.to_csv,
             "json": summary.to_json,
-        }[args.summary]()
-        print(out)
+            "copy": summary.to_copy,
+        }
+        if args.summary in fmts:
+            print(fmts[args.summary]())
+        else:
+            # reference semantics: --summary FILENAME copies the
+            # summary there (relative -> *root-dir*), format from the
+            # extension (.csv/.json/.copy, else human-readable)
+            path = args.summary
+            if not os.path.isabs(path):
+                os.makedirs(args.root_dir, exist_ok=True)
+                path = os.path.join(args.root_dir, path)
+            ext = os.path.splitext(path)[1].lstrip(".").lower()
+            with open(path, "w") as fh:
+                fh.write(fmts.get(ext, summary.to_text)() + "\n")
+            print(summary.to_text())
         return 0
     finally:
         if not preexisting:

@@ -83,6 +83,14 @@ class MigrationSummary:
         ]
         return "\n".join(rows)
 
+    def to_copy(self) -> str:
+        """PostgreSQL COPY text format (the reference's .copy summary
+        flavor, report.lisp): tab-separated, no header."""
+        return "\n".join(
+            f"{r.table}\t{r.read}\t{r.loaded}\t{r.errors}\t{r.seconds:.3f}"
+            for r in self.results
+        )
+
     def to_json(self) -> str:
         return json.dumps(
             {

@@ -147,3 +147,31 @@ def test_load_pretty_printed_json(spark, tmp_path):
     df = read_source(spark, cmd)
     assert "_corrupt_record" not in df.columns
     assert sorted(r["a"] for r in df.collect()) == [1, 2]
+
+
+def test_summary_filename_with_extension(spark, tmp_path):
+    """--summary FILENAME copies the summary to the file (relative ->
+    --root-dir), format by extension (reference pgloader.rst)."""
+    import json as _json
+
+    from pgloader_spark.cli import main
+
+    csv = tmp_path / "s.csv"
+    csv.write_text("id,name\n1,a\n2,b\n")
+    load = tmp_path / "s.load"
+    out_dir = tmp_path / "out.parquet"
+    load.write_text(
+        f"LOAD CSV FROM '{csv}' (id, name)\n"
+        f"  INTO '{out_dir}' TARGET TABLE people (id, name)\n"
+        "  WITH skip header = 1, fields terminated by ',';\n"
+    )
+    root = tmp_path / "root"
+    assert main([str(load), "--master", "local[2]",
+                 "--root-dir", str(root), "--summary", "sum.json"]) == 0
+    data = _json.loads((root / "sum.json").read_text())
+    assert data["tables"][0]["loaded"] == 2
+    # .copy flavor: tab-separated, no header
+    assert main([str(load), "--master", "local[2]",
+                 "--root-dir", str(root), "--summary", "sum.copy"]) == 0
+    line = (root / "sum.copy").read_text().strip().split("\n")[0]
+    assert line.split("\t")[0] == "people" and line.split("\t")[2] == "2"
