@@ -210,15 +210,19 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-V", "--version", action="store_true", help="print version and exit")
     ap.add_argument("-E", "--list-encodings", action="store_true",
                     help="list known encodings and exit")
-    ap.add_argument("--upgrade-config", action="store_true",
+    ap.add_argument("-U", "--upgrade-config", action="store_true",
                     help="parse SOURCE as a v2 pgloader.conf INI file and "
                     "print the modern command syntax (reference v3 flag; "
                     "v4 removed it — we keep both the flag and direct "
                     ".conf execution)")
     ap.add_argument("-D", "--root-dir", default="/tmp/pgloader_spark", help="reject-file root")
     ap.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
+    ap.add_argument("--no-ssl-cert-verification", action="store_true",
+                    help="accepted for reference CLI compatibility (the "
+                    "stdlib wire client connects without TLS; JDBC SSL "
+                    "modes pass through the URI's sslmode params)")
     ap.add_argument(
-        "--summary", default="text",
+        "-S", "--summary", default="text",
         help="summary format (text|csv|json) — or, like the reference, a "
         "FILENAME to copy the summary to (relative paths expand under "
         "--root-dir; format from the extension: .csv/.json/.copy, else "
