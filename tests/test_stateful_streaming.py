@@ -320,3 +320,56 @@ def test_streaming_curation_funnel_batch_equivalence(spark):
     # 3 survives iff its hash-sample gate passes; 7 deduped; 11/13 gated
     assert 7 not in ids and 11 not in ids and 13 not in ids
     assert all(r["g_quality"] and r["g_lang"] for r in rows)
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Kill-and-restart recovery: a streaming dedup query stopped after
+    batch 1 and restarted from the SAME checkpoint processes only the
+    new files — committed offsets are not replayed and the sink holds
+    no duplicates (Structured Streaming's exactly-once file-source
+    contract, which the curation pipeline leans on)."""
+    src = tmp_path / "in_ck"
+    out = tmp_path / "out_ck"
+    ck = tmp_path / "ck_restart"
+    src.mkdir()
+    (src / "b1.csv").write_text("1,alpha\n2,beta\n2,beta\n")
+
+    def start():
+        stream = (
+            spark.readStream.format("csv")
+            .schema("doc_id long, text string")
+            .load(str(src))
+        )
+        deduped = stream.dropDuplicates(["text"])
+        return (
+            deduped.writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ck))
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    first = spark.read.parquet(str(out))
+    assert first.count() == 2  # alpha + beta once
+
+    # new file arrives while the query is DOWN; restart from checkpoint
+    (src / "b2.csv").write_text("3,gamma\n1,alpha\n")
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    rows = spark.read.parquet(str(out))
+    texts = sorted(r["text"] for r in rows.collect())
+    # batch 1 NOT replayed (offsets committed), gamma appended once,
+    # and the cross-restart repeat of 'alpha' is deduped against the
+    # RESTORED state store — dedup state survives the restart too
+    assert texts.count("beta") == 1
+    assert texts.count("gamma") == 1
+    assert texts.count("alpha") == 1
+    assert rows.count() == 3
