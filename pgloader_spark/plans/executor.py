@@ -868,6 +868,42 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
                 for tbl in tables.values():
                     conn.query(f"TRUNCATE {quote_qualified(_qualified(tbl))}")
 
+    # MySQL catalog extras (list-all-checks / table & column comments /
+    # row-count estimates, mysql-schema.lisp): CHECKs and comments ride
+    # the complete phase; row counts drive largest-first COPY ordering
+    # (optimize-table-copy-ordering, migrate-database.lisp:304-320)
+    if src_is_my:
+        from pgloader_spark.sources.jdbc import (
+            attach_mysql_checks,
+            attach_mysql_comments,
+        )
+        from pgloader_spark.sources.mysql_live import introspect_mysql_extras
+
+        try:
+            extras = introspect_mysql_extras(src_loc)
+        except Exception as exc:  # noqa: BLE001 — extras are best-effort
+            log.warning("mysql extras introspection failed: %s", exc)
+            extras = None
+        if extras:
+            attach_mysql_checks(cat, extras["checks"])
+            attach_mysql_comments(
+                cat, extras["table_comments"], extras["column_comments"]
+            )
+            est = {
+                r["table_name"]: int(r["table_rows"] or 0)
+                for r in extras["row_counts"]
+                if r.get("table_name") and r.get("table_rows") is not None
+            }
+            for t, tbl in tables.items():
+                tbl.row_count_estimate = est.get(t)
+            if est:
+                catalog_fields = dict(
+                    sorted(
+                        catalog_fields.items(),
+                        key=lambda kv: -(est.get(kv[0]) or 0),
+                    )
+                )
+
     # WITH drop indexes: for loads into pre-existing tables (data
     # only / create no tables), drop every target index first and
     # rebuild after the COPY — bulk-load-then-index beats maintaining

@@ -30,7 +30,7 @@ from pgloader_spark.sources.mysql_stub import (
     StubColumn,
     StubTable,
 )
-from pgloader_spark.sources.pgwire import PGConn
+from pgloader_spark.sources.pgwire import PGConn, PGError
 
 PORT = 54343
 REF = "/root/reference/test"
@@ -114,10 +114,12 @@ def sakila_stub() -> MySQLStubServer:
     tables = [
         StubTable(
             name="actor",
+            comment="cast members",
             columns=[
                 StubColumn("actor_id", "smallint(5) unsigned",
                            nullable=False, extra="auto_increment"),
-                StubColumn("first_name", "varchar(45)", nullable=False),
+                StubColumn("first_name", "varchar(45)", nullable=False,
+                           comment="given name"),
                 StubColumn("last_name", "varchar(45)", nullable=False),
                 StubColumn("last_update", "timestamp", nullable=False),
             ],
@@ -138,6 +140,7 @@ def sakila_stub() -> MySQLStubServer:
             ],
             rows=films,
             pkey=["film_id"],
+            checks=[("film_chk_1", "`rental_rate` >= 0")],
         ),
         StubTable(
             name="store",
@@ -207,6 +210,27 @@ def test_sakila_load_runs_verbatim(pg_root, spark, tmp_path):
             "SELECT typname FROM pg_type WHERE typname LIKE 'film_rating%'"
         )
         assert rows != []
+        # catalog extras migrated (round 4): the table comment, the
+        # column comment, and the CHECK constraint (renamed table)
+        _, rows = c.query(
+            "SELECT obj_description('pagila.actor'::regclass, 'pg_class')"
+        )
+        assert rows == [("cast members",)]
+        _, rows = c.query(
+            "SELECT col_description('pagila.actor'::regclass, 2)"
+        )
+        assert rows == [("given name",)]
+        _, rows = c.query(
+            "SELECT COUNT(*) FROM pg_constraint pc "
+            "JOIN pg_class t ON t.oid = pc.conrelid "
+            "WHERE pc.contype = 'c' AND t.relname = 'films'"
+        )
+        assert int(rows[0][0]) >= 1
+        with pytest.raises(PGError, match="23514"):  # CHECK enforces
+            c.query(
+                "INSERT INTO pagila.films (film_id, title, rental_rate) "
+                "VALUES (999, 'BAD', -1)"
+            )
 
 
 def test_sakila_data_reload_into_existing_schema(pg_root, spark, tmp_path):
