@@ -904,6 +904,33 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
                     )
                 )
 
+    # PostgreSQL-source extras: comments + CHECKs (already PG syntax,
+    # attached verbatim) — the pgsql-source counterpart of the block
+    # above
+    if src_is_pg:
+        from pgloader_spark.sources.jdbc import attach_mysql_comments
+        from pgloader_spark.sources.pg_live import introspect_pg_extras
+
+        try:
+            pg_extras = introspect_pg_extras(src_loc)
+        except Exception as exc:  # noqa: BLE001 — extras are best-effort
+            log.warning("pg extras introspection failed: %s", exc)
+            pg_extras = None
+        if pg_extras:
+            attach_mysql_comments(
+                cat,
+                pg_extras["table_comments"],
+                pg_extras["column_comments"],
+            )
+            for r in pg_extras["checks"]:
+                for s in cat.schemas:
+                    t = s.find_table(r["table_name"])
+                    if t is not None:
+                        t.check_constraints.append(
+                            (r["constraint_name"], r["check_clause"])
+                        )
+                        break
+
     # WITH drop indexes: for loads into pre-existing tables (data
     # only / create no tables), drop every target index first and
     # rebuild after the COPY — bulk-load-then-index beats maintaining

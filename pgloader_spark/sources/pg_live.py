@@ -100,6 +100,60 @@ def introspect_pg(dsn: str, schema: str = "public") -> dict[str, list[SourceFiel
     return out
 
 
+def introspect_pg_extras(dsn: str, schema: str = "public") -> dict:
+    """Catalog extras for a PostgreSQL SOURCE: table/column comments
+    (pg_description) and CHECK constraints (pg_constraint contype 'c',
+    clause via pg_get_constraintdef) — the pgsql-source counterpart of
+    the MySQL list-all-checks / comments scans."""
+    tc_sql = f"""
+SELECT c.relname, d.description
+FROM pg_class c
+JOIN pg_namespace n ON n.oid = c.relnamespace AND n.nspname = '{schema}'
+JOIN pg_description d ON d.objoid = c.oid AND d.objsubid = 0
+WHERE c.relkind = 'r'
+"""
+    cc_sql = f"""
+SELECT c.relname, a.attname, d.description
+FROM pg_class c
+JOIN pg_namespace n ON n.oid = c.relnamespace AND n.nspname = '{schema}'
+JOIN pg_description d ON d.objoid = c.oid AND d.objsubid > 0
+JOIN pg_attribute a ON a.attrelid = c.oid AND a.attnum = d.objsubid
+WHERE c.relkind = 'r'
+"""
+    chk_sql = f"""
+SELECT t.relname, con.conname, pg_get_constraintdef(con.oid)
+FROM pg_constraint con
+JOIN pg_class t ON t.oid = con.conrelid
+JOIN pg_namespace n ON n.oid = t.relnamespace AND n.nspname = '{schema}'
+WHERE con.contype = 'c'
+"""
+    with PGConn(dsn) as conn:
+        _, tc = conn.query(tc_sql)
+        _, cc = conn.query(cc_sql)
+        _, chk = conn.query(chk_sql)
+    checks = []
+    for tname, cname, condef in chk:
+        clause = condef
+        if clause.upper().startswith("CHECK"):
+            clause = clause[5:].strip()
+        if clause.startswith("(") and clause.endswith(")"):
+            clause = clause[1:-1]
+        checks.append(
+            {"table_name": tname, "constraint_name": cname,
+             "check_clause": clause}
+        )
+    return {
+        "table_comments": [
+            {"table_name": t, "table_comment": d} for t, d in tc
+        ],
+        "column_comments": [
+            {"table_name": t, "column_name": c, "column_comment": d}
+            for t, c, d in cc
+        ],
+        "checks": checks,
+    }
+
+
 def capture_and_drop_indexes(dsn: str, table: str) -> list[str]:
     """WITH drop indexes (docs/ref/pgsql.rst; the reference's
     drop-indexes -> load -> create-indexes-again kernel,

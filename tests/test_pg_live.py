@@ -2120,3 +2120,47 @@ def test_run_parallel_indexes_builds_concurrently(seeded):
     assert n == 4 and len(errors2) == 1
     with PGConn(seeded) as c:
         c.query("DROP TABLE pidx")
+
+
+def test_pg_to_pg_migrates_comments_and_checks(seeded, spark, tmp_path):
+    """PG-source extras (round 4): table/column comments and CHECK
+    constraints introspected from pg_description / pg_constraint carry
+    into the target, alongside the PK."""
+    from pgloader_spark.parsers.loadcmd import parse_load
+    from pgloader_spark.plans.executor import (
+        ExecutionContext,
+        execute_database,
+    )
+
+    base = seeded.rsplit("/", 1)[0]
+    with PGConn(seeded) as c:
+        for db in ("src_extras", "tgt_extras"):
+            c.query(f"DROP DATABASE IF EXISTS {db}")
+            c.query(f"CREATE DATABASE {db}")
+    src = f"{base}/src_extras"
+    tgt = f"{base}/tgt_extras"
+    with PGConn(src) as c:
+        c.query(
+            "CREATE TABLE items (id bigint PRIMARY KEY, qty int,"
+            " CONSTRAINT items_qty_chk CHECK (qty >= 0))"
+        )
+        c.query("COMMENT ON TABLE items IS 'inventory lines'")
+        c.query("COMMENT ON COLUMN items.qty IS 'on-hand count'")
+        c.query("INSERT INTO items VALUES (1, 5), (2, 0)")
+    cmd = parse_load(
+        f"LOAD DATABASE FROM {src} INTO {tgt} WITH include drop;"
+    )
+    ctx = ExecutionContext(spark=spark, root_dir=str(tmp_path))
+    reports = execute_database(ctx, cmd)
+    assert {r.table: r.loaded for r in reports} == {"items": 2}
+    with PGConn(tgt) as c:
+        _, rows = c.query(
+            "SELECT obj_description('items'::regclass, 'pg_class')"
+        )
+        assert rows == [("inventory lines",)]
+        _, rows = c.query("SELECT col_description('items'::regclass, 2)")
+        assert rows == [("on-hand count",)]
+        with pytest.raises(PGError, match="23514"):
+            c.query("INSERT INTO items VALUES (3, -1)")
+        with pytest.raises(PGError, match="23505"):  # PK migrated too
+            c.query("INSERT INTO items VALUES (1, 9)")
