@@ -265,6 +265,13 @@ def test_load_database_mssql_to_live_pg(spark, tmp_path):
                 "SELECT balance FROM globalaccount WHERE id = 7"
             )
             assert rows == [("7.50",)]
+            # round 4: the source PK migrated and enforces
+            _, rows = c.query(
+                "SELECT COUNT(*) FROM pg_constraint pc "
+                "JOIN pg_class t ON t.oid = pc.conrelid "
+                "WHERE pc.contype = 'p' AND t.relname = 'globalaccount'"
+            )
+            assert rows == [("1",)]
     finally:
         su_pg(f"pg_ctl -D {data} -m immediate stop")
         import shutil as _sh
