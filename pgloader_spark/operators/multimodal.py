@@ -13,13 +13,18 @@ untouched; this is the training-data-pipeline extension):
 - the *plumbing* is real and tested: batch iteration, binary columns
   through Arrow, output schemas, partition-preserving behavior.
 
-Stub policy: ``decode_image_meta`` parses only deterministic
-container headers (PNG and GIF dimensions — pure byte math, public
-format layout); anything else raises ``UnsupportedMediaError``
-inside the batch and lands in the ``error`` column rather than
-killing the job (the validation-first philosophy of the sink layer).
-``fake_embedding`` derives a deterministic float vector from content
-bytes — the stand-in for a real encoder forward pass.
+Stub policy: ``decode_image_meta`` parses deterministic container
+headers (PNG/GIF/JPEG dimensions — pure byte math, public format
+layout); PNG additionally gets a REAL pixel decode
+(``decode_png_gray``: stdlib zlib + the spec's five row filters, 8-bit
+gray/RGB/RGBA), which powers the perceptual-hash image-dedup pipeline
+(``ahash64`` -> ``media_ahash`` -> ``ahash_near_pairs``).  Anything
+else raises ``UnsupportedMediaError`` inside the batch and lands in
+the ``error`` column rather than killing the job (the
+validation-first philosophy of the sink layer).  ``fake_embedding``
+derives a deterministic float vector from content bytes — the
+stand-in for a real encoder forward pass (see ``register_encoder``
+for plugging a real one).
 """
 
 from __future__ import annotations
@@ -420,4 +425,225 @@ def make_png(width: int, height: int) -> bytes:
         + b"IHDR"
         + ihdr
         + b"\x00\x00\x00\x00"
+    )
+
+
+# --- real PNG pixel decode + perceptual hashing ---------------------------
+#
+# The container ships no image libraries, but PNG needs only zlib
+# (stdlib): signature + chunked layout + per-row filters are public
+# spec (RFC 2083).  Supporting non-interlaced 8-bit grayscale / RGB /
+# RGBA covers every fixture this repo generates — enough to make the
+# image-dedup pipeline REAL end to end: decode -> downsample ->
+# average hash -> banded Hamming near-dup.
+
+
+def encode_png_gray8(pixels: list[list[int]]) -> bytes:
+    """Minimal real PNG encoder (8-bit grayscale, filter 0) — fixture
+    builder for the decode path; output opens in any viewer."""
+    import struct as _struct
+    import zlib as _zlib
+
+    h = len(pixels)
+    w = len(pixels[0]) if h else 0
+    raw = b"".join(b"\x00" + bytes(row) for row in pixels)
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + _struct.pack(">I", _zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # gray8
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_gray(data: bytes) -> tuple[int, int, list[list[float]]]:
+    """Decode a non-interlaced 8-bit gray/RGB/RGBA PNG to a grayscale
+    float matrix (ITU-R 601 luma for color).  All five per-row filters
+    (None/Sub/Up/Average/Paeth) are implemented per the spec."""
+    import struct as _struct
+    import zlib as _zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise UnsupportedMediaError("not a PNG")
+    pos = 8
+    w = h = bit_depth = color_type = interlace = None
+    idat = b""
+    while pos + 8 <= len(data):
+        (length,) = _struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = (
+                _struct.unpack(">IIBBBBB", payload)
+            )
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        raise UnsupportedMediaError("PNG missing IHDR/IDAT")
+    if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 6):
+        raise UnsupportedMediaError(
+            f"unsupported PNG (depth={bit_depth}, color={color_type}, "
+            f"interlace={interlace})"
+        )
+    nch = {0: 1, 2: 3, 6: 4}[color_type]
+    raw = _zlib.decompress(idat)
+    stride = w * nch
+    prev = bytearray(stride)
+    rows: list[list[float]] = []
+    for y in range(h):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        for i in range(stride):
+            a = line[i - nch] if i >= nch else 0          # left
+            b = prev[i]                                    # up
+            c = prev[i - nch] if i >= nch else 0           # up-left
+            if ftype == 1:
+                line[i] = (line[i] + a) & 0xFF
+            elif ftype == 2:
+                line[i] = (line[i] + b) & 0xFF
+            elif ftype == 3:
+                line[i] = (line[i] + (a + b) // 2) & 0xFF
+            elif ftype == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        prev = line
+        if nch == 1:
+            rows.append([float(v) for v in line])
+        else:
+            rows.append(
+                [
+                    0.299 * line[i] + 0.587 * line[i + 1] + 0.114 * line[i + 2]
+                    for i in range(0, stride, nch)
+                ]
+            )
+    return w, h, rows
+
+
+def ahash64(data: bytes) -> int:
+    """64-bit average hash: decode, box-downsample to 8x8, threshold
+    each cell against the mean — the classic perceptual fingerprint
+    (robust to resize/re-encode, cheap enough for 10^10 images)."""
+    w, h, rows = decode_png_gray(data)
+    if w == 0 or h == 0:
+        raise UnsupportedMediaError("empty image")
+    cells = [[0.0] * 8 for _ in range(8)]
+    counts = [[0] * 8 for _ in range(8)]
+    for y in range(h):
+        cy = min(y * 8 // h, 7)
+        row = rows[y]
+        for x in range(w):
+            cx = min(x * 8 // w, 7)
+            cells[cy][cx] += row[x]
+            counts[cy][cx] += 1
+    vals = [
+        cells[cy][cx] / counts[cy][cx] if counts[cy][cx] else 0.0
+        for cy in range(8)
+        for cx in range(8)
+    ]
+    mean = sum(vals) / 64.0
+    out = 0
+    for i, v in enumerate(vals):
+        if v > mean:
+            out |= 1 << i
+    # fold to SIGNED int64 (bit 63 set would overflow Arrow/Spark
+    # LongType); xor-based Hamming distances are unaffected
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def media_ahash(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload"
+) -> DataFrame:
+    """Perceptual-hash stage: one 64-bit aHash per image payload,
+    Arrow-batched and narrow (no shuffle); undecodable payloads land
+    in the error column instead of killing the job."""
+
+    def stage(batches: Iterator) -> Iterator:
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                data = bytes(payload) if payload is not None else b""
+                try:
+                    rows.append((doc_id, ahash64(data), None))
+                except Exception as exc:  # noqa: BLE001 — per-row isolation
+                    rows.append((doc_id, None, str(exc)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AHASH_SCHEMA.fields]
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(stage, AHASH_SCHEMA)
+
+
+def ahash_near_pairs(
+    hashes: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Image near-duplicate candidate pairs: split each 64-bit aHash
+    into 4 x 16-bit bands and bucket-join — by pigeonhole, any pair
+    within Hamming distance 3 shares at least one intact band, so the
+    banded join is EXACT for the <=3 regime (same LSH-band mechanics
+    as MinHash text dedup, no all-pairs scan); candidates then verify
+    with a popcount filter.  Returns (id_a, id_b, hamming)."""
+    h = hashes.filter(F.col("ahash").isNotNull()).select(
+        F.col(id_col).alias("id"), F.col("ahash")
+    )
+    bands = h.select(
+        "id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_ix"),
+                        F.shiftright(F.col("ahash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bucket"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "ahash", F.col("b.band_ix"), F.col("b.bucket"))
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(
+        F.col("a.ahash").bitwiseXOR(F.col("b.ahash"))
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_ix") == F.col("b.band_ix"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -1321,6 +1321,64 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_image_neardup",
+    oracle="""
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
+FROM documents a JOIN documents b
+  ON a.doc_id % 40 = b.doc_id % 40 AND a.doc_id < b.doc_id
+""",
+)
+def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection END TO END on real bytes: each
+    document synthesizes a real 8x8 grayscale PNG (one of 40 md5-
+    derived patterns, executor-side zlib encode), the perceptual
+    ahash64 decodes the actual pixels back out (stdlib inflate + the
+    spec's row filters), and near-dup candidate pairs come from the
+    4x16-bit banded Hamming join — by pigeonhole EXACT for the <=3
+    regime, the same LSH-band mechanics as MinHash text dedup, never
+    an all-pairs scan.  The oracle states the planted ground truth:
+    documents sharing a pattern pair up at Hamming 0
+    (operators/multimodal.py:decode_png_gray/ahash64/ahash_near_pairs).
+    """
+    import pandas as pd  # noqa: F401 — executor-side
+
+    from pgloader_spark.operators.multimodal import (
+        ahash_near_pairs,
+        media_ahash,
+    )
+
+    def synth(batches):
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                from pgloader_spark.operators.multimodal import (
+                    encode_png_gray8,
+                )
+
+                g = int(d) % 40
+                raw = b"".join(
+                    _hl.md5(f"img{g}:{i}".encode()).digest() for i in range(4)
+                )
+                px = [
+                    [raw[y * 8 + x] for x in range(8)] for y in range(8)
+                ]
+                payloads.append(encode_png_gray8(px))
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    docs = read_table(spark, sf_dir, "documents", widen=True).select("doc_id")
+    imgs = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return ahash_near_pairs(media_ahash(imgs), max_hamming=0).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
     "multimodal_decode_jpeg",
     oracle="""
 SELECT doc_id,

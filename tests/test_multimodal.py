@@ -156,3 +156,115 @@ def test_user_registered_encoder_end_to_end(spark):
     # a direct callable works too (no registry entry needed)
     direct = embed_media(df, dim=4, encoder=_length_encoder)
     assert {r["doc_id"]: r["embedding"] for r in direct.collect()} == got
+
+
+def test_png_encode_decode_roundtrip_all_filters():
+    """The real PNG path: encoder output decodes back bit-exactly, and
+    externally-filtered rows (Sub/Up/Average/Paeth) reconstruct."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from pgloader_spark.operators.multimodal import (
+        decode_png_gray,
+        encode_png_gray8,
+    )
+
+    pixels = [[(x * 7 + y * 13) % 256 for x in range(16)] for y in range(12)]
+    data = encode_png_gray8(pixels)
+    w, h, rows = decode_png_gray(data)
+    assert (w, h) == (16, 12)
+    assert [[int(v) for v in r] for r in rows] == pixels
+
+    # hand-build a PNG using every filter type once (gray8, 4x5)
+    ref = [[10, 20, 30, 40], [12, 22, 32, 42], [50, 50, 50, 50],
+           [60, 70, 80, 90], [61, 72, 83, 94]]
+    flt = [0, 2, 1, 4, 3]  # None, Up, Sub, Paeth, Average
+
+    def filt_row(y):
+        row, ftype = ref[y], flt[y]
+        prev = ref[y - 1] if y else [0] * 4
+        out = []
+        for i, v in enumerate(row):
+            a = row[i - 1] if i else 0
+            b = prev[i]
+            c = prev[i - 1] if i else 0
+            if ftype == 0:
+                out.append(v)
+            elif ftype == 1:
+                out.append((v - a) % 256)
+            elif ftype == 2:
+                out.append((v - b) % 256)
+            elif ftype == 3:
+                out.append((v - (a + b) // 2) % 256)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out.append((v - pred) % 256)
+        return bytes([ftype]) + bytes(out)
+
+    raw = b"".join(filt_row(y) for y in range(5))
+
+    def chunk(tag, payload):
+        return (_struct.pack(">I", len(payload)) + tag + payload
+                + _struct.pack(">I", _zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    data2 = (b"\x89PNG\r\n\x1a\n"
+             + chunk(b"IHDR", _struct.pack(">IIBBBBB", 4, 5, 8, 0, 0, 0, 0))
+             + chunk(b"IDAT", _zlib.compress(raw)) + chunk(b"IEND", b""))
+    _, _, rows2 = decode_png_gray(data2)
+    assert [[int(v) for v in r] for r in rows2] == ref
+
+
+def test_ahash_invariant_to_resize_and_sensitive_to_content():
+    from pgloader_spark.operators.multimodal import ahash64, encode_png_gray8
+
+    def gradient(w, h):
+        return [[min(255, (x * 256) // w) for x in range(w)] for y in range(h)]
+
+    small = ahash64(encode_png_gray8(gradient(16, 16)))
+    big = ahash64(encode_png_gray8(gradient(64, 64)))
+    assert small == big  # resize-invariant (same 8x8 box means)
+    inverted = ahash64(
+        encode_png_gray8([[255 - v for v in row] for row in gradient(16, 16)])
+    )
+    ham = bin((small ^ inverted) & ((1 << 64) - 1)).count("1")
+    assert ham > 20  # content-sensitive (inversion flips ~every bit)
+
+
+def test_media_ahash_and_banded_near_pairs(spark):
+    """End-to-end image dedup: exact copy, re-encoded resize, 1-cell
+    tweak (hamming<=3 candidate), and a distinct image; bad payloads
+    isolate into the error column."""
+    from pgloader_spark.operators.multimodal import (
+        ahash_near_pairs,
+        encode_png_gray8,
+        media_ahash,
+    )
+
+    def img(w, h, tweak=0):
+        # resolution-independent ramp so the 64x64 render box-averages
+        # to the same 8x8 cells as the 16x16 one
+        px = [[min(255, x * 256 // w + (tweak if (x == 2 and y == 1) else 0))
+               for x in range(w)] for y in range(h)]
+        return encode_png_gray8(px)
+
+    rows = [
+        (1, img(16, 16)),
+        (2, img(16, 16)),          # exact duplicate
+        (3, img(64, 64)),          # same content re-rendered larger
+        (4, img(16, 16, tweak=200)),  # one-cell tweak: small hamming
+        (5, encode_png_gray8([[255 - ((x * 16) % 256) for x in range(16)]
+                              for _ in range(16)])),  # distinct
+        (6, b"not a png"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashes = media_ahash(df)
+    got = {r["doc_id"]: r for r in hashes.collect()}
+    assert got[1]["ahash"] == got[2]["ahash"] == got[3]["ahash"]
+    assert got[6]["ahash"] is None and "PNG" in got[6]["error"]
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in ahash_near_pairs(hashes, max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0 and pairs[(2, 3)] == 0
+    assert all(5 not in p for p in pairs)  # distinct image pairs with no one
