@@ -647,3 +647,120 @@ def ahash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# --- real WAV PCM decode + audio fingerprinting ---------------------------
+
+
+def decode_wav_samples(data: bytes) -> tuple[int, int, list[float]]:
+    """(sample_rate, n_channels, mono float samples in [-1, 1]) from a
+    PCM16 RIFF/WAVE file — a REAL decode, pure struct math on the
+    public chunk layout; channels average down to mono."""
+    if sniff_mime(data) != "audio/wav":
+        raise UnsupportedMediaError("not a WAV")
+    n_channels, sample_rate = struct.unpack_from("<HI", data, 22)
+    bits = struct.unpack_from("<H", data, 34)[0]
+    if bits != 16:
+        raise UnsupportedMediaError(f"only PCM16 supported, got {bits}-bit")
+    # find the data chunk (canonical files put it at 36, but chunks
+    # may be reordered / extended)
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        if tag == b"data":
+            body = data[pos + 8 : pos + 8 + size]
+            n = len(body) // (2 * n_channels)
+            out = []
+            for i in range(n):
+                acc = 0
+                for ch in range(n_channels):
+                    (v,) = struct.unpack_from(
+                        "<h", body, (i * n_channels + ch) * 2
+                    )
+                    acc += v
+                out.append(acc / (n_channels * 32768.0))
+            return sample_rate, n_channels, out
+        pos += 8 + size + (size & 1)
+    raise UnsupportedMediaError("WAV missing data chunk")
+
+
+def audio_envelope_hash64(data: bytes) -> int:
+    """64-bit energy-envelope fingerprint: the mono signal splits into
+    64 equal windows, each bit is that window's RMS energy vs the
+    track median — robust to volume scaling (median threshold) and to
+    resampling (fixed window COUNT, not length); the audio analogue
+    of the image aHash."""
+    _, _, samples = decode_wav_samples(data)
+    if not samples:
+        raise UnsupportedMediaError("empty audio")
+    n = len(samples)
+    rms = []
+    for w in range(64):
+        lo = w * n // 64
+        hi = max((w + 1) * n // 64, lo + 1)
+        seg = samples[lo:hi]
+        rms.append(sum(v * v for v in seg) / len(seg))
+    med = sorted(rms)[32]
+    out = 0
+    for i, v in enumerate(rms):
+        if v > med:
+            out |= 1 << i
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+AUDIO_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fp", T.LongType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def media_audio_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched envelope-fingerprint stage (narrow, no shuffle);
+    undecodable payloads isolate into the error column."""
+
+    def stage(batches: Iterator) -> Iterator:
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                data = bytes(payload) if payload is not None else b""
+                try:
+                    rows.append((doc_id, audio_envelope_hash64(data), None))
+                except Exception as exc:  # noqa: BLE001 — per-row isolation
+                    rows.append((doc_id, None, str(exc)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_HASH_SCHEMA.fields]
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(stage, AUDIO_HASH_SCHEMA)
+
+
+def encode_wav_pcm16(
+    samples: list[float], sample_rate: int = 8000, n_channels: int = 1
+) -> bytes:
+    """Minimal real PCM16 WAV encoder (fixture builder; plays in any
+    player)."""
+    body = b"".join(
+        struct.pack("<h", max(-32768, min(32767, int(v * 32767))))
+        * n_channels
+        for v in samples
+    )
+    byte_rate = sample_rate * n_channels * 2
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(body))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, n_channels, sample_rate,
+                      byte_rate, n_channels * 2, 16)
+        + b"data"
+        + struct.pack("<I", len(body))
+        + body
+    )

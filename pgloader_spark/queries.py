@@ -1379,6 +1379,73 @@ def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_neardup",
+    oracle="""
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM documents a JOIN documents b
+  ON a.doc_id % 30 = b.doc_id % 30 AND a.doc_id < b.doc_id
+""",
+)
+def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate detection on REAL bytes: each document
+    synthesizes a PCM16 WAV (one of 30 md5-derived beep patterns,
+    executor-side), ``audio_envelope_hash64`` decodes the actual
+    samples back (chunk walk, stereo downmix) and fingerprints the
+    64-window energy envelope — volume- and resample-invariant — and
+    duplicates group on the exact fingerprint (a single map-side-
+    combinable group-by, no pair explosion).  Oracle: the planted
+    ground truth — documents sharing a pattern pair up
+    (operators/multimodal.py:decode_wav_samples/audio_envelope_hash64).
+    """
+    from pgloader_spark.operators.multimodal import media_audio_fingerprint
+
+    def synth(batches):
+        import hashlib as _hl
+        import math as _math
+
+        import pandas as _pd
+
+        from pgloader_spark.operators.multimodal import encode_wav_pcm16
+
+        rate = 2048
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                g = int(d) % 30
+                dig = _hl.md5(f"aud{g}".encode()).digest()
+                loud = set()
+                i = 0
+                while len(loud) < 16:  # 16 < 32: silence is the median
+                    loud.add(dig[i % 16] * (i // 16 + 1) % 64)
+                    i += 1
+                samples = [
+                    (0.8 if (i * 64 // rate) in loud else 0.0)
+                    * _math.sin(2 * _math.pi * 440 * i / rate)
+                    for i in range(rate)
+                ]
+                payloads.append(encode_wav_pcm16(samples, rate))
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    docs = read_table(spark, sf_dir, "documents", widen=True).select("doc_id")
+    wavs = docs.mapInPandas(synth, "doc_id long, payload binary")
+    fps = media_audio_fingerprint(wavs).filter(F.col("fp").isNotNull())
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
     "multimodal_decode_jpeg",
     oracle="""
 SELECT doc_id,

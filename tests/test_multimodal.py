@@ -268,3 +268,60 @@ def test_media_ahash_and_banded_near_pairs(spark):
              for r in ahash_near_pairs(hashes, max_hamming=3).collect()}
     assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0 and pairs[(2, 3)] == 0
     assert all(5 not in p for p in pairs)  # distinct image pairs with no one
+
+
+def test_wav_decode_and_envelope_fingerprint(spark):
+    """Real PCM16 WAV decode (chunk walk, stereo downmix) + the
+    64-window energy-envelope fingerprint: volume-invariant,
+    resample-tolerant, content-sensitive."""
+    import math
+
+    from pgloader_spark.operators.multimodal import (
+        audio_envelope_hash64,
+        decode_wav_samples,
+        encode_wav_pcm16,
+        media_audio_fingerprint,
+    )
+
+    def beep_silence(rate, loud_windows):
+        # 64 logical windows; 'loud' ones carry a sine, others silence
+        n = rate  # 1 second
+        out = []
+        for i in range(n):
+            w = i * 64 // n
+            amp = 0.8 if w in loud_windows else 0.0
+            out.append(amp * math.sin(2 * math.pi * 440 * i / rate))
+        return out
+
+    loud = {1, 5, 9, 20, 40, 63}
+    wav = encode_wav_pcm16(beep_silence(8000, loud), 8000)
+    rate, ch, samples = decode_wav_samples(wav)
+    assert (rate, ch, len(samples)) == (8000, 1, 8000)
+    fp = audio_envelope_hash64(wav)
+    # exactly the loud windows set bits (median of mostly-silence = 0)
+    assert {i for i in range(64) if fp & (1 << i)} == loud
+
+    # volume scaling: same fingerprint
+    half = encode_wav_pcm16(
+        [v * 0.5 for v in beep_silence(8000, loud)], 8000
+    )
+    assert audio_envelope_hash64(half) == fp
+    # resampled rendition: same fingerprint (window COUNT is fixed)
+    res = encode_wav_pcm16(beep_silence(16000, loud), 16000)
+    assert audio_envelope_hash64(res) == fp
+    # stereo downmix decodes and fingerprints identically
+    st = encode_wav_pcm16(beep_silence(8000, loud), 8000, n_channels=2)
+    assert audio_envelope_hash64(st) == fp
+    # different content -> different fingerprint
+    other = encode_wav_pcm16(beep_silence(8000, {2, 30, 50}), 8000)
+    assert audio_envelope_hash64(other) != fp
+
+    # distributed stage with error isolation
+    df = spark.createDataFrame(
+        [(1, wav), (2, half), (3, other), (4, b"junk")],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in media_audio_fingerprint(df).collect()}
+    assert got[1]["fp"] == got[2]["fp"] == fp
+    assert got[3]["fp"] != fp
+    assert got[4]["fp"] is None and got[4]["error"]
