@@ -764,3 +764,116 @@ def encode_wav_pcm16(
         + struct.pack("<I", len(body))
         + body
     )
+
+
+# --- real AVI (MJPEG) container demux -------------------------------------
+#
+# Video's container layer is plain RIFF chunk math (public AVI spec):
+# LIST/hdrl carries the main header, LIST/movi carries '00dc' frame
+# chunks.  With MJPEG each frame chunk IS a JPEG, so demux + the
+# existing JPEG/PNG machinery give real frame-level work — dimension
+# checks, per-frame perceptual hashes, video near-dup — without any
+# codec library.  (Inter-coded codecs would need a real decoder; the
+# demux layer and the per-frame pipeline shape are identical.)
+
+
+def encode_avi_mjpeg(frames: list[bytes], fps: int = 30,
+                     width: int = 0, height: int = 0) -> bytes:
+    """Minimal real AVI writer (MJPEG vids stream) — fixture builder;
+    plays in ffplay/VLC."""
+    import struct as _struct
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return tag + _struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(four_cc: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", four_cc + payload)
+
+    avih = _struct.pack(
+        "<14I", 1_000_000 // max(fps, 1), 0, 0, 0x10, len(frames),
+        0, 1, 0, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + _struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1,
+                                         fps, len(frames), 0, 0, 0, 0, 0)
+    )
+    strf = _struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0x47504A4D,  # 'MJPG'
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def demux_avi_frames(data: bytes) -> list[bytes]:
+    """Frame payloads ('00dc'/'01dc' chunks inside LIST/movi) from a
+    RIFF AVI — real chunk-walk demux, no codec needed."""
+    import struct as _struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise UnsupportedMediaError("not an AVI")
+    frames: list[bytes] = []
+
+    def walk(buf: bytes) -> None:
+        pos = 0
+        while pos + 8 <= len(buf):
+            tag = buf[pos : pos + 4]
+            (size,) = _struct.unpack_from("<I", buf, pos + 4)
+            payload = buf[pos + 8 : pos + 8 + size]
+            if tag == b"LIST":
+                four_cc, rest = payload[:4], payload[4:]
+                if four_cc in (b"movi", b"hdrl", b"rec "):
+                    walk(rest)
+            elif tag[2:] == b"dc":  # 00dc, 01dc... compressed frames
+                frames.append(payload)
+            pos += 8 + size + (size & 1)
+
+    walk(data[12:])
+    return frames
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_ix", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def video_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    every: int = 1,
+) -> DataFrame:
+    """Demux stage: one row per (sampled) frame — the real counterpart
+    of ``frame_sample_plan``.  ``every`` keeps frames 0, every,
+    2*every... (the standard keyframe-ish sampling).  Narrow
+    mapInPandas; a corrupt container yields one error row, not a dead
+    job.  Downstream, frames are ordinary image payloads for
+    image_metadata / media_ahash / embed_media."""
+
+    def stage(batches: Iterator) -> Iterator:
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                data = bytes(payload) if payload is not None else b""
+                try:
+                    for ix, frame in enumerate(demux_avi_frames(data)):
+                        if ix % every == 0:
+                            rows.append((doc_id, ix, frame, None))
+                except Exception as exc:  # noqa: BLE001 — per-row isolation
+                    rows.append((doc_id, None, None, str(exc)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_FRAME_SCHEMA.fields]
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(stage, VIDEO_FRAME_SCHEMA)

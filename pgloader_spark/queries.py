@@ -1379,6 +1379,76 @@ def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_video_frames",
+    oracle="""
+SELECT doc_id,
+       CAST((doc_id % 7) + 1 AS INT) AS n_frames,
+       CAST(8 AS INT) AS frame_w,
+       CAST(8 AS INT) AS frame_h
+FROM documents
+""",
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video demux END TO END on real bytes: each document synthesizes
+    a real AVI container holding (doc_id % 7)+1 PNG frames
+    (executor-side), the chunk-walk demux explodes it to per-frame
+    rows, and each frame's dimensions decode through the real PNG
+    path.  Oracle: the planted frame counts and dimensions
+    (operators/multimodal.py:encode_avi_mjpeg/demux_avi_frames/
+    video_frames)."""
+    from pgloader_spark.operators.multimodal import video_frames
+
+    def synth(batches):
+        import pandas as _pd
+
+        from pgloader_spark.operators.multimodal import (
+            encode_avi_mjpeg,
+            encode_png_gray8,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                n = int(d) % 7 + 1
+                frames = [
+                    encode_png_gray8(
+                        [[(x * 32 + f * 10 + int(d)) % 256 for x in range(8)]
+                         for _ in range(8)]
+                    )
+                    for f in range(n)
+                ]
+                payloads.append(encode_avi_mjpeg(frames, fps=10))
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    docs = read_table(spark, sf_dir, "documents", widen=True).select("doc_id")
+    avis = docs.mapInPandas(synth, "doc_id long, payload binary")
+    frames = video_frames(avis)
+
+    def dims(batches):
+        import pandas as _pd
+
+        from pgloader_spark.operators.multimodal import decode_png_gray
+
+        for pdf in batches:
+            rows = []
+            for doc_id, frame in zip(pdf["doc_id"], pdf["frame"]):
+                w, h, _ = decode_png_gray(bytes(frame))
+                rows.append((doc_id, w, h))
+            yield _pd.DataFrame(rows, columns=["doc_id", "w", "h"])
+
+    per_frame = frames.filter(F.col("frame").isNotNull()).mapInPandas(
+        dims, "doc_id long, w int, h int"
+    )
+    return per_frame.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_frames"),
+        F.max("w").cast("int").alias("frame_w"),
+        F.max("h").cast("int").alias("frame_h"),
+    )
+
+
+@query(
     "multimodal_audio_neardup",
     oracle="""
 SELECT a.doc_id AS id_a, b.doc_id AS id_b

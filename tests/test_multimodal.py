@@ -325,3 +325,51 @@ def test_wav_decode_and_envelope_fingerprint(spark):
     assert got[1]["fp"] == got[2]["fp"] == fp
     assert got[3]["fp"] != fp
     assert got[4]["fp"] is None and got[4]["error"]
+
+
+def test_avi_mjpeg_demux_and_frame_pipeline(spark):
+    """Real video container work: AVI writer -> chunk-walk demux ->
+    per-frame reuse of the image machinery (JPEG dims via SOF scan;
+    PNG frames via the pixel decoder + aHash)."""
+    from pgloader_spark.operators.multimodal import (
+        demux_avi_frames,
+        encode_avi_mjpeg,
+        encode_png_gray8,
+        image_metadata,
+        make_jpeg,
+        video_frames,
+    )
+
+    jpeg_frames = [make_jpeg(320, 240), make_jpeg(320, 240), make_jpeg(320, 240)]
+    avi = encode_avi_mjpeg(jpeg_frames, fps=30, width=320, height=240)
+    assert demux_avi_frames(avi) == jpeg_frames  # byte-exact round-trip
+
+    png_frames = [
+        encode_png_gray8([[(x * 32 + f * 10) % 256 for x in range(8)]
+                          for _ in range(8)])
+        for f in range(5)
+    ]
+    avi_png = encode_avi_mjpeg(png_frames, fps=10)
+    rows = [(1, avi), (2, avi_png), (3, b"garbage")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    frames = video_frames(df)
+    got = frames.collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 3 and len(by_doc[2]) == 5
+    assert by_doc[3][0]["error"] is not None  # corrupt container isolated
+
+    # frame sampling: every=2 keeps frames 0, 2, 4
+    sampled = video_frames(df.filter("doc_id = 2"), every=2)
+    assert sorted(r["frame_ix"] for r in sampled.collect()) == [0, 2, 4]
+
+    # frames feed the IMAGE stages unchanged: JPEG dims decode
+    meta = image_metadata(
+        frames.filter("doc_id = 1").select(
+            F.col("frame_ix").alias("doc_id"), F.col("frame").alias("payload")
+        )
+    )
+    dims = {(r["width"], r["height"]) for r in meta.collect()}
+    assert dims == {(320, 240)}
