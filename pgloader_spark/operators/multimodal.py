@@ -6,12 +6,15 @@ untouched; this is the training-data-pipeline extension):
 - an image/audio/video column is an opaque ``binary`` column plus a
   metadata struct (mime, width/height/duration, codec...);
 - decode / feature-extract / resize / frame-sample run as
-  ``mapInPandas`` stages: Arrow-batched, schema declared up front, so
-  the shape is exactly what a real decoder (PIL / torchaudio /
-  pyav) would use — the byte-level decode itself is stubbed here
-  because those libraries are not in this container;
-- the *plumbing* is real and tested: batch iteration, binary columns
-  through Arrow, output schemas, partition-preserving behavior.
+  ``mapInPandas`` stages: Arrow-batched, schema declared up front —
+  the same shape a PIL / torchaudio / pyav pipeline would use;
+- the byte-level work is REAL wherever stdlib suffices: PNG pixel
+  decode (zlib + row filters), PCM16 WAV sample decode, AVI container
+  demux, JPEG/GIF dimension parsing — enough to run perceptual-hash
+  image dedup, envelope audio fingerprinting, and per-frame video
+  pipelines end to end on actual bytes; only codec-heavy decodes
+  (JPEG entropy decode, real video codecs) stay behind the
+  error-isolating unsupported path.
 
 Stub policy: ``decode_image_meta`` parses deterministic container
 headers (PNG/GIF/JPEG dimensions — pure byte math, public format
