@@ -1323,42 +1323,39 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_image_neardup",
     oracle="""
-SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
-FROM documents a JOIN documents b
-  ON a.doc_id % 40 = b.doc_id % 40 AND a.doc_id < b.doc_id
+SELECT CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+       CAST(COUNT(*) AS BIGINT) AS n_images
+FROM documents
+GROUP BY doc_id % 40
 """,
 )
 def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-duplicate detection END TO END on real bytes: each
-    document synthesizes a real 8x8 grayscale PNG (one of 40 md5-
-    derived patterns, executor-side zlib encode), the perceptual
-    ahash64 decodes the actual pixels back out (stdlib inflate + the
-    spec's row filters), and near-dup candidate pairs come from the
-    4x16-bit banded Hamming join — by pigeonhole EXACT for the <=3
-    regime, the same LSH-band mechanics as MinHash text dedup, never
-    an all-pairs scan.  The oracle states the planted ground truth:
-    documents sharing a pattern pair up at Hamming 0
-    (operators/multimodal.py:decode_png_gray/ahash64/ahash_near_pairs).
-    """
+    """Image dedup END TO END on real bytes: each document synthesizes
+    a real 8x8 grayscale PNG (one of 40 md5-derived patterns,
+    executor-side zlib encode), the perceptual ahash64 decodes the
+    actual pixels back out (stdlib inflate + the spec's row filters),
+    and duplicate clusters resolve with ONE map-side-combinable
+    group-by on the fingerprint — the canonical-election shape whose
+    output is cluster-sized, never pair-sized (a corpus where every
+    image has 10^3 copies emits 10^3-row clusters, not 10^6-row pair
+    lists; the banded-Hamming pair generator ``ahash_near_pairs``
+    stays for tunable near-dup discovery and is pinned by unit test).
+    Oracle: the planted ground truth — one cluster per pattern
+    (operators/multimodal.py:decode_png_gray/ahash64/media_ahash)."""
     import pandas as pd  # noqa: F401 — executor-side
 
-    from pgloader_spark.operators.multimodal import (
-        ahash_near_pairs,
-        media_ahash,
-    )
+    from pgloader_spark.operators.multimodal import media_ahash
 
     def synth(batches):
         import hashlib as _hl
 
         import pandas as _pd
 
+        from pgloader_spark.operators.multimodal import encode_png_gray8
+
         for pdf in batches:
             payloads = []
             for d in pdf["doc_id"]:
-                from pgloader_spark.operators.multimodal import (
-                    encode_png_gray8,
-                )
-
                 g = int(d) % 40
                 raw = b"".join(
                     _hl.md5(f"img{g}:{i}".encode()).digest() for i in range(4)
@@ -1373,8 +1370,15 @@ def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents", widen=True).select("doc_id")
     imgs = docs.mapInPandas(synth, "doc_id long, payload binary")
-    return ahash_near_pairs(media_ahash(imgs), max_hamming=0).orderBy(
-        "id_a", "id_b"
+    return (
+        media_ahash(imgs)
+        .filter(F.col("ahash").isNotNull())
+        .groupBy("ahash")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_images"),
+        )
+        .drop("ahash")
     )
 
 
@@ -1451,9 +1455,10 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_audio_neardup",
     oracle="""
-SELECT a.doc_id AS id_a, b.doc_id AS id_b
-FROM documents a JOIN documents b
-  ON a.doc_id % 30 = b.doc_id % 30 AND a.doc_id < b.doc_id
+SELECT CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tracks
+FROM documents
+GROUP BY doc_id % 30
 """,
 )
 def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1462,9 +1467,10 @@ def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor-side), ``audio_envelope_hash64`` decodes the actual
     samples back (chunk walk, stereo downmix) and fingerprints the
     64-window energy envelope — volume- and resample-invariant — and
-    duplicates group on the exact fingerprint (a single map-side-
-    combinable group-by, no pair explosion).  Oracle: the planted
-    ground truth — documents sharing a pattern pair up
+    duplicate clusters resolve on the exact fingerprint (a single
+    map-side-combinable group-by; cluster-sized output, never
+    pair-sized).  Oracle: the planted ground truth — one cluster per
+    pattern
     (operators/multimodal.py:decode_wav_samples/audio_envelope_hash64).
     """
     from pgloader_spark.operators.multimodal import media_audio_fingerprint
@@ -1500,18 +1506,15 @@ def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents", widen=True).select("doc_id")
     wavs = docs.mapInPandas(synth, "doc_id long, payload binary")
-    fps = media_audio_fingerprint(wavs).filter(F.col("fp").isNotNull())
-    a, b = fps.alias("a"), fps.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        media_audio_fingerprint(wavs)
+        .filter(F.col("fp").isNotNull())
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_tracks"),
         )
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .orderBy("id_a", "id_b")
+        .drop("fp")
     )
 
 
