@@ -45,6 +45,9 @@ ARROW_OK = {
     "similarity_cosine_topk",   # BLAS batch kernel (operators/similarity.py:cosine_topk_blas)
     "dedup_embedding_near",     # blocked BLAS pair kernel
     "pipeline_decontam_semantic",  # gemm-vs-eval-matrix batch kernel
+    "multimodal_image_neardup",    # real PNG decode + aHash batch stage
+    "multimodal_audio_neardup",    # real WAV decode + envelope fingerprint
+    "multimodal_video_frames",     # AVI demux + per-frame pixel decode
 }
 
 # Queries whose small side is literal/driver-bounded, where a
