@@ -2164,3 +2164,66 @@ def test_pg_to_pg_migrates_comments_and_checks(seeded, spark, tmp_path):
             c.query("INSERT INTO items VALUES (3, -1)")
         with pytest.raises(PGError, match="23505"):  # PK migrated too
             c.query("INSERT INTO items VALUES (1, 9)")
+
+
+def test_write_pg_copy_exactly_once_under_task_retry(seeded, tmp_path):
+    """Task retries are routine on a 1000-executor cluster; the COPY
+    sink must stay exactly-once through them.  A task killed MID-COPY
+    leaves an uncommitted stream (the server aborts the statement on
+    disconnect), so the retry re-sends the partition cleanly.  Runs in
+    a subprocess because local[N] disables task retries — local[4,2]
+    grants each task a second attempt."""
+    import subprocess
+    import sys
+    import textwrap
+
+    with PGConn(seeded) as c:
+        c.query("DROP TABLE IF EXISTS retry_t")
+        c.query("CREATE TABLE retry_t (id bigint, v text)")
+    flag = tmp_path / "failed_once"
+    # injection: a row-level UDF in the source poisons one partition's
+    # first attempt; the failure surfaces inside the sink task while
+    # its COPY stream is open
+    script = textwrap.dedent(
+        f"""
+        import os, sys
+        sys.path.insert(0, {str(os.getcwd())!r})
+        from pyspark.sql import SparkSession
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        spark = (SparkSession.builder.master("local[4,2]")
+                 .config("spark.sql.shuffle.partitions", "4")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+
+        @F.udf(LongType())
+        def maybe_boom(i):
+            # partition-0 rows crash the FIRST attempt midway
+            if i == 300 and not os.path.exists({str(flag)!r}):
+                open({str(flag)!r}, "w").close()
+                raise RuntimeError("injected task failure")
+            return i
+
+        df = (spark.range(5000)
+              .select(maybe_boom(F.col("id")).alias("id"))
+              .selectExpr("id", "concat('v_', id) AS v"))
+        from pgloader_spark.sources.pg_live import write_pg_copy
+        n = write_pg_copy(df, {seeded!r}, "retry_t")
+        print("LOADED", n)
+        spark.stop()
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=os.getcwd(),
+    )
+    assert "LOADED 5000" in proc.stdout, proc.stderr[-2000:]
+    assert flag.exists(), "injection never fired — test proved nothing"
+    with PGConn(seeded) as c:
+        _, rows = c.query(
+            "SELECT COUNT(*), COUNT(DISTINCT id) FROM retry_t"
+        )
+        assert rows == [("5000", "5000")]  # no duplicates, no gaps
