@@ -538,10 +538,12 @@ def decode_png_gray(data: bytes) -> tuple[int, int, list[list[float]]]:
 
 
 def ahash64(data: bytes) -> int:
-    """64-bit average hash: decode, box-downsample to 8x8, threshold
-    each cell against the mean — the classic perceptual fingerprint
-    (robust to resize/re-encode, cheap enough for 10^10 images)."""
-    w, h, rows = decode_png_gray(data)
+    """64-bit average hash: decode (PNG or GIF — the dispatch lives in
+    ``decode_image_gray``, defined below), box-downsample to 8x8,
+    threshold each cell against the mean — the classic perceptual
+    fingerprint (robust to resize/RE-ENCODE ACROSS FORMATS, cheap
+    enough for 10^10 images)."""
+    w, h, rows = decode_image_gray(data)
     if w == 0 or h == 0:
         raise UnsupportedMediaError("empty image")
     cells = [[0.0] * 8 for _ in range(8)]
@@ -880,3 +882,153 @@ def video_frames(
             )
 
     return df.select(id_col, bin_col).mapInPandas(stage, VIDEO_FRAME_SCHEMA)
+
+
+# --- real GIF pixel decode (LZW) ------------------------------------------
+
+
+def _lzw_decode(min_code_size: int, data: bytes) -> list[int]:
+    """GIF-variant LZW: variable code width, CLEAR/EOI codes,
+    little-endian bit packing (public spec, GIF89a appendix F)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            bits -= code_size
+            if code == clear:
+                table = [[i] for i in range(clear)] + [[], []]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + [entry[0]])
+            else:  # the KwKwK case
+                entry = prev + [prev[0]]
+                table.append(entry)
+            out.extend(entry)
+            if prev is not None and len(table) >= (1 << code_size) and code_size < 12:
+                code_size += 1
+            prev = entry
+    return out
+
+
+def decode_gif_gray(data: bytes) -> tuple[int, int, list[list[float]]]:
+    """Decode the FIRST image of a non-interlaced GIF to a grayscale
+    float matrix — real LZW + palette lookup, stdlib only."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise UnsupportedMediaError("not a GIF")
+    w, h = struct.unpack_from("<HH", data, 6)
+    flags = data[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = data[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            _x, _y, iw, ih = struct.unpack_from("<HHHH", data, pos + 1)
+            iflags = data[pos + 9]
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                ct = data[pos : pos + 3 * n]
+                pos += 3 * n
+            if iflags & 0x40:
+                raise UnsupportedMediaError("interlaced GIF unsupported")
+            if ct is None:
+                raise UnsupportedMediaError("GIF missing color table")
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                size = data[pos]
+                lzw += data[pos + 1 : pos + 1 + size]
+                pos += 1 + size
+            idx = _lzw_decode(min_code, bytes(lzw))
+            if len(idx) < iw * ih:
+                raise UnsupportedMediaError("GIF pixel data truncated")
+            # palette -> luma once per entry (grayscale entries exact)
+            luma = [
+                float(ct[3 * i])
+                if ct[3 * i] == ct[3 * i + 1] == ct[3 * i + 2]
+                else 0.299 * ct[3 * i] + 0.587 * ct[3 * i + 1]
+                + 0.114 * ct[3 * i + 2]
+                for i in range(len(ct) // 3)
+            ]
+            rows = [
+                [luma[idx[y * iw + x]] for x in range(iw)]
+                for y in range(ih)
+            ]
+            return iw, ih, rows
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise UnsupportedMediaError(f"unknown GIF block 0x{b0:02x}")
+    raise UnsupportedMediaError("GIF has no image data")
+
+
+def encode_gif_gray8(pixels: list[list[int]]) -> bytes:
+    """Minimal real GIF encoder: 256-entry grayscale palette, LZW with
+    a CLEAR before every pixel code (fixed 9-bit width — valid, just
+    uncompressed; the classic codec-free trick).  Fixture builder."""
+    h = len(pixels)
+    w = len(pixels[0]) if h else 0
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    # bit-pack [CLEAR, px] pairs at 9 bits
+    acc = bits = 0
+    payload = bytearray()
+    for v in [c for row in pixels for px in row for c in (256, px)] + [257]:
+        acc |= v << bits
+        bits += 9
+        while bits >= 8:
+            payload.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        payload.append(acc & 0xFF)
+    blocks = bytearray()
+    for i in range(0, len(payload), 255):
+        part = payload[i : i + 255]
+        blocks += bytes([len(part)]) + part
+    blocks += b"\x00"
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)  # GCT, 256 entries
+        + gct
+        + b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([8])  # LZW min code size
+        + bytes(blocks)
+        + b"\x3B"
+    )
+
+
+def decode_image_gray(data: bytes) -> tuple[int, int, list[list[float]]]:
+    """Pixel decode dispatch: PNG and GIF are real; others raise."""
+    mime = sniff_mime(data)
+    if mime == "image/png":
+        return decode_png_gray(data)
+    if mime == "image/gif":
+        return decode_gif_gray(data)
+    raise UnsupportedMediaError(f"no pixel decoder for {mime}")

@@ -262,7 +262,7 @@ def test_media_ahash_and_banded_near_pairs(spark):
     hashes = media_ahash(df)
     got = {r["doc_id"]: r for r in hashes.collect()}
     assert got[1]["ahash"] == got[2]["ahash"] == got[3]["ahash"]
-    assert got[6]["ahash"] is None and "PNG" in got[6]["error"]
+    assert got[6]["ahash"] is None and "no pixel decoder" in got[6]["error"]
 
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
              for r in ahash_near_pairs(hashes, max_hamming=3).collect()}
@@ -373,3 +373,44 @@ def test_avi_mjpeg_demux_and_frame_pipeline(spark):
     )
     dims = {(r["width"], r["height"]) for r in meta.collect()}
     assert dims == {(320, 240)}
+
+
+def test_gif_decode_and_cross_format_ahash():
+    """Real GIF LZW decode: encoder roundtrip, dictionary-growth
+    decode (hand-packed KwKwK stream), and the perceptual payoff —
+    the SAME pixels encoded as PNG and as GIF hash identically."""
+    from pgloader_spark.operators.multimodal import (
+        _lzw_decode,
+        ahash64,
+        decode_gif_gray,
+        encode_gif_gray8,
+        encode_png_gray8,
+    )
+
+    pixels = [[(x * 19 + y * 7) % 256 for x in range(16)] for y in range(10)]
+    gif = encode_gif_gray8(pixels)
+    w, h, rows = decode_gif_gray(gif)
+    assert (w, h) == (16, 10)
+    assert [[int(v) for v in r] for r in rows] == pixels
+
+    # dictionary growth incl. the KwKwK case: codes [CLEAR,1,6,6,EOI]
+    # at min_code_size=2 decode to [1,1,1,1,1]
+    def pack(codes_widths):
+        acc = bits = 0
+        out = bytearray()
+        for code, width in codes_widths:
+            acc |= code << bits
+            bits += width
+            while bits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                bits -= 8
+        if bits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    stream = pack([(4, 3), (1, 3), (6, 3), (6, 3), (5, 4)])
+    assert _lzw_decode(2, stream) == [1, 1, 1, 1, 1]
+
+    # cross-format perceptual equality
+    assert ahash64(gif) == ahash64(encode_png_gray8(pixels))
