@@ -54,6 +54,9 @@ def _parse_dsn(dsn: str) -> dict:
         "user": u.username or params.get("user") or "postgres",
         "database": (u.path or "/").lstrip("/") or params.get("dbname") or "postgres",
         "password": unquote(u.password) if u.password else params.get("password"),
+        # libpq's default is 'prefer': try TLS, fall back to plaintext
+        "sslmode": params.get("sslmode", "prefer").lower(),
+        "sslrootcert": params.get("sslrootcert"),
     }
     if cfg["password"] is None:
         from pgloader_spark.parsers.pgpass import lookup_password
@@ -152,8 +155,44 @@ class PGConn:
             self.sock = socket.create_connection(
                 (cfg["host"], cfg["port"]), timeout=timeout
             )
+            self._maybe_tls(cfg)
         self._buf = b""
         self._startup(cfg["user"], cfg["database"], cfg.get("password"))
+
+    def _maybe_tls(self, cfg: dict) -> None:
+        """libpq sslmode semantics over the SSLRequest handshake
+        (protocol docs "SSL Session Encryption", code 80877103):
+        disable = never; prefer (default) = try, fall back if the
+        server answers 'N'; require = TLS without certificate
+        verification; verify-ca / verify-full = verify the chain
+        against sslrootcert (~/.postgresql/root.crt by default),
+        verify-full additionally checks the hostname."""
+        import os as _os
+        import ssl as _ssl
+
+        mode = cfg.get("sslmode", "prefer")
+        if mode in ("disable", "allow"):  # allow: plaintext-first — we
+            return  # never escalate, matching its plaintext preference
+        self.sock.sendall(struct.pack(">II", 8, 80877103))
+        answer = self.sock.recv(1)
+        if answer != b"S":
+            if mode == "prefer":
+                return  # server without TLS: continue in plaintext
+            raise PGError(f"server refused TLS (sslmode={mode})")
+        if mode in ("verify-ca", "verify-full"):
+            cafile = cfg.get("sslrootcert") or _os.path.join(
+                _os.path.expanduser("~"), ".postgresql", "root.crt"
+            )
+            ctx = _ssl.create_default_context(cafile=cafile)
+            ctx.check_hostname = mode == "verify-full"
+        else:  # require / prefer: encrypt, trust any certificate
+            ctx = _ssl.create_default_context()
+            ctx.check_hostname = False
+            ctx.verify_mode = _ssl.CERT_NONE
+        self.sock = ctx.wrap_socket(
+            self.sock,
+            server_hostname=cfg["host"] if ctx.check_hostname else None,
+        )
 
     # ---------------------------------------------------------- low level
 

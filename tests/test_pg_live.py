@@ -2227,3 +2227,76 @@ def test_write_pg_copy_exactly_once_under_task_retry(seeded, tmp_path):
             "SELECT COUNT(*), COUNT(DISTINCT id) FROM retry_t"
         )
         assert rows == [("5000", "5000")]  # no duplicates, no gaps
+
+
+def test_tls_sslmode_require_and_verify(pg_dsn, tmp_path, monkeypatch):
+    """Real TLS over the wire client: a self-signed server cert turns
+    ssl=on via reload; sslmode=require completes the SSLRequest
+    handshake and encrypts (pg_stat_ssl confirms), verify-ca passes
+    with the right root cert and fails with the wrong one, and
+    sslmode=disable stays plaintext."""
+    import subprocess
+
+    with PGConn(pg_dsn) as c:
+        data_dir = c.query("SHOW data_directory")[1][0][0]
+    key = tmp_path / "server.key"
+    crt = tmp_path / "server.crt"
+    r = subprocess.run(
+        ["openssl", "req", "-new", "-x509", "-days", "1", "-nodes",
+         "-subj", "/CN=127.0.0.1", "-keyout", str(key), "-out", str(crt)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    import shutil as _sh
+
+    for src, name, mode in ((key, "server.key", 0o600), (crt, "server.crt", 0o644)):
+        dst = os.path.join(data_dir, name)
+        _sh.copy(str(src), dst)
+        os.chmod(dst, mode)
+        _sh.chown(dst, "postgres", "postgres")
+    with PGConn(pg_dsn) as c:
+        c.query("ALTER SYSTEM SET ssl = on")
+        c.query("ALTER SYSTEM SET ssl_cert_file = 'server.crt'")
+        c.query("ALTER SYSTEM SET ssl_key_file = 'server.key'")
+        c.query("SELECT pg_reload_conf()")
+    try:
+        with PGConn(f"{pg_dsn}?sslmode=require") as c:
+            _, rows = c.query(
+                "SELECT ssl FROM pg_stat_ssl WHERE pid = pg_backend_pid()"
+            )
+            assert rows == [("t",)]  # the stream is genuinely encrypted
+            assert c.query("SELECT 41 + 1")[1] == [("42",)]
+        # default 'prefer' now also lands on TLS
+        with PGConn(pg_dsn) as c:
+            _, rows = c.query(
+                "SELECT ssl FROM pg_stat_ssl WHERE pid = pg_backend_pid()"
+            )
+            assert rows == [("t",)]
+        # disable stays plaintext
+        with PGConn(f"{pg_dsn}?sslmode=disable") as c:
+            _, rows = c.query(
+                "SELECT COUNT(*) FROM pg_stat_ssl "
+                "WHERE pid = pg_backend_pid() AND ssl"
+            )
+            assert rows == [("0",)]
+        # verify-ca: our self-signed cert IS the root -> passes
+        with PGConn(
+            f"{pg_dsn}?sslmode=verify-ca&sslrootcert={crt}"
+        ) as c:
+            assert c.query("SELECT 1")[1] == [("1",)]
+        # verify-ca against an unrelated root: certificate rejected
+        other = tmp_path / "other.crt"
+        subprocess.run(
+            ["openssl", "req", "-new", "-x509", "-days", "1", "-nodes",
+             "-subj", "/CN=elsewhere", "-keyout", str(tmp_path / "o.key"),
+             "-out", str(other)],
+            capture_output=True,
+        )
+        with pytest.raises(Exception, match="certificate|CERTIFICATE"):
+            PGConn(f"{pg_dsn}?sslmode=verify-ca&sslrootcert={other}")
+    finally:
+        with PGConn(f"{pg_dsn}?sslmode=disable") as c:
+            c.query("ALTER SYSTEM RESET ssl")
+            c.query("ALTER SYSTEM RESET ssl_cert_file")
+            c.query("ALTER SYSTEM RESET ssl_key_file")
+            c.query("SELECT pg_reload_conf()")
