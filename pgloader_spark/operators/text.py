@@ -431,6 +431,80 @@ def tfidf_topk(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "query_id",
+    qtext_col: str = "query_text",
+) -> DataFrame:
+    """Okapi BM25 lexical retrieval: top-k documents per query.
+
+    Index side (one pass over the corpus): per-(doc, term) frequency
+    and per-doc length from one explode + two keyed aggs; N and avgdl
+    ride a 1-row broadcast.  Probe side: the query batch is small by
+    contract, so its distinct terms BROADCAST onto the term-frequency
+    table — the posting-list semi-join IS the candidate pruning (a
+    100 TB corpus scores only documents containing >= 1 query term,
+    never the full corpus), document frequency is computed over those
+    postings alone (no full-vocabulary agg), and the resulting tiny
+    per-term idf broadcasts back.  The only corpus-keyed shuffle
+    beyond the tf agg is the doc-length attach, which AQE turns into
+    a broadcast of the pruned posting side at any realistic query
+    batch size.
+
+    idf = ln(1 + (N - df + 0.5) / (df + 0.5)); repeated query terms
+    count once (qtf ignored, the common IR simplification).  Ranking
+    orders on the 6-dp-rounded score with id tiebreak so cross-engine
+    double noise cannot flip ranks.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    qterms = queries.select(
+        F.col(qid_col).cast("long").alias(qid_col),
+        F.explode(F.array_distinct(tokens(qtext_col))).alias("term"),
+    )
+    post = tf.join(F.broadcast(qterms.select("term").distinct()), "term")
+    qdf = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * (
+        F.col("tf") * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1
+            * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        post.join(dl, id_col)
+        .join(F.broadcast(qdf), "term")
+        .join(F.broadcast(stats))
+        .join(F.broadcast(qterms), "term")
+        .groupBy(qid_col, id_col)
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy(qid_col).orderBy(F.desc("score"), F.asc(id_col))
+    )
+    return (
+        scored.withColumn("rnk", rn)
+        .filter(F.col("rnk") <= k)
+        .select(qid_col, id_col, "score", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Unigram language-model scoring (CCNet-style perplexity proxy)
 # --------------------------------------------------------------------------

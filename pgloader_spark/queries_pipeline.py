@@ -1785,3 +1785,62 @@ def dedup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py:dup_span_remove)."""
     docs = read_table(spark, sf_dir, "documents", widen=True)
     return dedup.dup_span_remove(docs, w=20)
+
+
+_BM25_QUERIES = [
+    (1, "spark window agg"),
+    (2, "hash join table"),
+    (3, "stream batch filter sort"),
+    (4, "customer query vector"),
+]
+
+_BM25_Q_VALUES = ", ".join(f"({i}, '{s}')" for i, s in _BM25_QUERIES)
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+WITH q(query_id, query_text) AS (VALUES {_BM25_Q_VALUES}),
+toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+qt AS (
+  SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+         unnest(list_filter(regexp_split_to_array(lower(query_text),
+                                                  '[^a-z0-9]+'),
+                            t -> t <> '')) AS term
+  FROM q),
+qdf AS (
+  SELECT term, COUNT(*) AS df FROM tf
+  WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * tf * (1.2 + 1.0)
+                   / (tf + 1.2 * (1.0 - 0.75
+                                  + 0.75 * CAST(dl AS DOUBLE) / avgdl))),
+               6) AS score
+  FROM qt
+  JOIN tf USING (term)
+  JOIN qdf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM scored)
+SELECT query_id, doc_id, score, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 5
+""",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical retrieval over the corpus: top-5 documents
+    for a fixed 4-query batch. The lexical complement to the embedding
+    ANN surface — posting-list pruning means only documents sharing a
+    query term are ever scored (operators/text.py:bm25_topk)."""
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id long, query_text string")
+    return txt.bm25_topk(docs, qdf, k=5)

@@ -217,3 +217,47 @@ def test_semantic_decontaminate_drops_near_eval_vectors(spark):
     kept_all = {r["vec_id"] for r in semantic_decontaminate(
         corpus, ev.filter("vec_id < 0"), tau=0.9).collect()}
     assert kept_all == {1, 2, 3, 4}
+
+
+def test_bm25_topk_matches_reference_math(spark):
+    corpus = [
+        (1, "apple banana apple kiwi"),
+        (2, "banana cherry cherry"),
+        (3, "cherry date date date"),
+        (4, "kiwi kiwi melon"),
+        (5, "plum plum plum"),  # shares no query term -> never scored
+    ]
+    queries = [(10, "apple cherry"), (20, "kiwi")]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    qdf = spark.createDataFrame(queries, "query_id long, query_text string")
+    out = txt.bm25_topk(docs, qdf, k=3).collect()
+
+    # independent plain-Python BM25 on the same tokenization
+    import math
+
+    toks = {d: t.split() for d, t in corpus}
+    dl = {d: len(t) for d, t in toks.items()}
+    n, avgdl = len(dl), sum(dl.values()) / len(dl)
+    k1, b = 1.2, 0.75
+
+    def score(q, d):
+        s = 0.0
+        for term in dict.fromkeys(q.split()):
+            tf = toks[d].count(term)
+            if not tf:
+                continue
+            df = sum(term in t for t in toks.values())
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl[d] / avgdl))
+        return round(s, 6)
+
+    expect = {}
+    for qid, q in queries:
+        cand = [(d, score(q, d)) for d in toks if score(q, d) > 0]
+        cand.sort(key=lambda p: (-p[1], p[0]))
+        for rnk, (d, s) in enumerate(cand[:3], 1):
+            expect[(qid, d)] = (s, rnk)
+
+    got = {(r["query_id"], r["doc_id"]): (r["score"], r["rnk"]) for r in out}
+    assert got == expect
+    assert all(d != 5 for _, d in got)  # posting-list pruning held
