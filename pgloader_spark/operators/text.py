@@ -934,3 +934,90 @@ def train_hashed_classifier(
         bias = round(bias - lr * gb / n_docs, 9)
     feats.unpersist()
     return w, bias
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al. 2016), distributed
+# --------------------------------------------------------------------------
+
+
+def bpe_learn(
+    df: DataFrame,
+    n_merges: int = 24,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> list[tuple[int, str, str, str, int]]:
+    """Learn BPE merges on-cluster; returns
+    [(merge_rank, left, right, merged, pair_count), ...].
+
+    The scalable formulation: BPE statistics depend only on the WORD
+    FREQUENCY table, so the corpus collapses to (word, count) in ONE
+    keyed shuffle — vocabulary-sized (bounded by distinct words, not
+    corpus bytes) — and every merge round runs over that table, never
+    over the documents again.  Each round is one map-side-combinable
+    pair-count aggregation, a 1-row argmax collect, and a narrow
+    higher-order-function rewrite of the symbol arrays (the classic
+    left-to-right greedy merge as an ``aggregate`` fold); lineage is
+    cut per round with localCheckpoint so 1000 merges don't stack
+    1000 plans.  Only the winning (pair, count) row ever reaches the
+    driver.
+
+    Words carry the conventional ``</w>`` end-of-word marker on their
+    final character.  Ties break on (count DESC, left ASC, right ASC);
+    training stops early when the best pair occurs fewer than
+    ``min_pair_count`` times.
+    """
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.when(
+            i == F.length("word"),
+            F.concat(F.col("word").substr(i, F.lit(1)), F.lit("</w>")),
+        ).otherwise(F.col("word").substr(i, F.lit(1))),
+    )
+    vocab = words.select(chars.alias("syms"), "cnt").localCheckpoint()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        n = F.size("syms")
+        pairs = F.when(n < 2, F.array()).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.struct(
+                    F.element_at("syms", i).alias("l"),
+                    F.element_at("syms", i + 1).alias("r"),
+                ),
+            )
+        )
+        best = (
+            vocab.select(F.explode(pairs).alias("p"), "cnt")
+            .groupBy("p")
+            .agg(F.sum("cnt").alias("pc"))
+            .orderBy(F.desc("pc"), F.asc("p.l"), F.asc("p.r"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["pc"] < min_pair_count:
+            break
+        left, right = best[0]["p"]["l"], best[0]["p"]["r"]
+        merged, pc = left + right, int(best[0]["pc"])
+        merges.append((rank, left, right, merged, pc))
+        fold = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (s == F.lit(right)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(merged)),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        vocab = vocab.select(fold.alias("syms"), "cnt").localCheckpoint()
+    vocab.unpersist()
+    return merges

@@ -1844,3 +1844,20 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents", widen=True)
     qdf = spark.createDataFrame(_BM25_QUERIES, "query_id long, query_text string")
     return txt.bm25_topk(docs, qdf, k=5)
+
+
+@query("text_bpe_merges")  # iterative (argmax per round): no SQL oracle —
+# the driver records the rows-only check; correctness is pinned by
+# test_pipeline_ops.py's exact match against a textbook in-memory BPE
+# on randomized corpora, plus partition-invariance
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN a BPE tokenizer on-cluster: 24 merge rounds over the
+    word-frequency table (corpus collapses to vocab-sized state in one
+    shuffle; each round is one pair-count agg + a 1-row argmax collect
+    — operators/text.py:bpe_learn)."""
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    merges = txt.bpe_learn(docs, n_merges=24)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left string, right string, merged string, pair_count long",
+    ).orderBy("merge_rank")

@@ -261,3 +261,66 @@ def test_bm25_topk_matches_reference_math(spark):
     got = {(r["query_id"], r["doc_id"]): (r["score"], r["rnk"]) for r in out}
     assert got == expect
     assert all(d != 5 for _, d in got)  # posting-list pruning held
+
+
+def _bpe_reference(texts, n_merges, min_pair_count=2):
+    """Textbook in-memory BPE (Sennrich 2016 get_stats/merge_vocab)."""
+    import re
+    from collections import Counter
+
+    words = Counter(
+        t for s in texts for t in re.split(r"[^a-z0-9]+", s.lower()) if t
+    )
+    vocab = {}
+    for w, c in words.items():
+        syms = list(w[:-1]) + [w[-1] + "</w>"]
+        vocab[tuple(syms)] = vocab.get(tuple(syms), 0) + c
+    merges = []
+    for rank in range(1, n_merges + 1):
+        stats = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += c
+        if not stats:
+            break
+        (l, r), pc = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        if pc < min_pair_count:
+            break
+        merges.append((rank, l, r, l + r, pc))
+        new = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + c
+        vocab = new
+    return merges
+
+
+def test_bpe_learn_matches_textbook_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab_words = ["lower", "lowest", "newer", "newest", "wider", "low", "new"]
+    texts = [
+        " ".join(rng.choice(vocab_words) for _ in range(rng.randint(3, 12)))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = txt.bpe_learn(df, n_merges=12)
+    want = _bpe_reference(texts, 12)
+    assert got == want
+    # partition-invariance: same merges from a different layout
+    got8 = txt.bpe_learn(df.repartition(8), n_merges=12)
+    assert got8 == want
+
+
+def test_bpe_learn_stops_when_no_repeating_pair(spark):
+    df = spark.createDataFrame([("ab cd",)], "text string")
+    # every pair occurs once -> stops immediately with min_pair_count=2
+    assert txt.bpe_learn(df, n_merges=5) == []
