@@ -1021,3 +1021,70 @@ def bpe_learn(
         vocab = vocab.select(fold.alias("syms"), "cnt").localCheckpoint()
     vocab.unpersist()
     return merges
+
+
+def bpe_segment_counts(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply learned BPE merges to the corpus: per-document subword
+    stats (n_tokens, n_subwords, subwords_per_token).
+
+    The expensive part — one greedy left-to-right fold per merge rank —
+    runs on the DISTINCT-WORD table (vocabulary-sized), never per
+    occurrence: a 100 TB corpus pays the 24-pass rewrite once per
+    unique word, then a single word-keyed join carries each word's
+    subword count back onto the exploded tokens (AQE broadcasts the
+    vocab side at any realistic vocabulary).  Fold chains are cut with
+    localCheckpoint every 8 ranks so expression depth stays bounded.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("word"))
+    words = tok.select("word").distinct()
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.when(
+            i == F.length("word"),
+            F.concat(F.col("word").substr(i, F.lit(1)), F.lit("</w>")),
+        ).otherwise(F.col("word").substr(i, F.lit(1))),
+    )
+    seg = words.select("word", chars.alias("syms"))
+
+    def _merge_fold(left: str, right: str, merged: str):
+        # closure (not lambda defaults): pyspark infers HOF arity from
+        # the callable's parameter count
+        def body(acc, s):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (s == F.lit(right)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(merged)),
+                ),
+            ).otherwise(F.concat(acc, F.array(s)))
+
+        return F.aggregate("syms", F.array().cast("array<string>"), body)
+
+    for k, (_rank, left, right, merged, _pc) in enumerate(merges, 1):
+        seg = seg.select("word", _merge_fold(left, right, merged).alias("syms"))
+        if k % 8 == 0:
+            seg = seg.localCheckpoint()
+    seg = seg.select("word", F.size("syms").alias("n_sub"))
+    return (
+        tok.join(seg, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_sub").alias("n_subwords"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_subwords",
+            F.round(
+                F.col("n_subwords") / F.col("n_tokens").cast("double"), 6
+            ).alias("subwords_per_token"),
+        )
+    )

@@ -1861,3 +1861,17 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges,
         "merge_rank int, left string, right string, merged string, pair_count long",
     ).orderBy("merge_rank")
+
+
+@query("text_bpe_tokenize")  # depends on the learned (data-dependent)
+# merge table, so no static SQL oracle — rows-only driver check;
+# value-correctness is pinned by test_pipeline_ops.py's exact match
+# against the textbook segmenter
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 16 BPE merges, then SEGMENT the corpus with them:
+    per-document token/subword counts and compression ratio. The
+    per-word fold runs once per distinct word, never per occurrence
+    (operators/text.py:bpe_segment_counts)."""
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    merges = txt.bpe_learn(docs, n_merges=16)
+    return txt.bpe_segment_counts(docs, merges).orderBy("doc_id")

@@ -324,3 +324,44 @@ def test_bpe_learn_stops_when_no_repeating_pair(spark):
     df = spark.createDataFrame([("ab cd",)], "text string")
     # every pair occurs once -> stops immediately with min_pair_count=2
     assert txt.bpe_learn(df, n_merges=5) == []
+
+
+def test_bpe_segment_counts_matches_textbook_segmenter(spark):
+    import random
+    import re
+
+    rng = random.Random(11)
+    vocab_words = ["lower", "lowest", "newer", "newest", "wide", "widest"]
+    corpus = [
+        (i, " ".join(rng.choice(vocab_words) for _ in range(rng.randint(2, 9))))
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    merges = txt.bpe_learn(df, n_merges=10)
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_subwords"], r["subwords_per_token"])
+        for r in txt.bpe_segment_counts(df, merges).collect()
+    }
+
+    def segment(word):
+        syms = list(word[:-1]) + [word[-1] + "</w>"]
+        for _rank, l, r, m, _pc in merges:
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    res.append(m)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        return syms
+
+    for doc_id, text in corpus:
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        n_sub = sum(len(segment(t)) for t in toks)
+        assert out[doc_id] == (
+            len(toks),
+            n_sub,
+            round(n_sub / len(toks), 6),
+        ), doc_id
