@@ -57,6 +57,7 @@ HEADLINE = [
     "text_bigram_logprob",
     "text_classifier_score",
     "sample_leakage_split_bands",
+    "text_bm25_topk",
 ]
 
 RUNS = 3
@@ -112,10 +113,17 @@ LOAD CSV
     )
     parsed = parse_load(cmd)
     execute(ctx, parsed)  # warm pass (codegen), same as query headlines
-    t0 = time.perf_counter()
-    report = execute(ctx, parsed)
-    sec = time.perf_counter() - t0
-    rows = report.loaded
+    # two measured passes, keep the best — same writeback-noise defense
+    # as the COPY bench (observed host-IO contention inflates a single
+    # pass 2x on a shared box)
+    sec = None
+    rows = 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        report = execute(ctx, parsed)
+        s = time.perf_counter() - t0
+        rows = report.loaded
+        sec = s if sec is None else min(sec, s)
     return {
         "rows": rows,
         "sec": round(sec, 4),
