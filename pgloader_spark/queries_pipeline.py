@@ -1875,3 +1875,87 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents", widen=True)
     merges = txt.bpe_learn(docs, n_merges=16)
     return txt.bpe_segment_counts(docs, merges).orderBy("doc_id")
+
+
+@query(
+    "text_passage_bm25",
+    oracle=f"""
+WITH q(query_id, query_text) AS (VALUES {_BM25_Q_VALUES}),
+t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+p AS (
+  SELECT doc_id * 1024 + CAST((start_tok - 1) / 32 AS BIGINT) AS pid,
+         tk[start_tok:start_tok + 31] AS ptk
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1, 32)) AS start_tok
+        FROM t)),
+toks AS (SELECT pid, unnest(ptk) AS term FROM p),
+tf AS (SELECT pid, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT pid, COUNT(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+qt AS (
+  SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+         unnest(list_filter(regexp_split_to_array(lower(query_text),
+                                                  '[^a-z0-9]+'),
+                            t -> t <> '')) AS term
+  FROM q),
+qdf AS (
+  SELECT term, COUNT(*) AS df FROM tf
+  WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+scored AS (
+  SELECT qt.query_id, tf.pid,
+         round(SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * tf * (1.2 + 1.0)
+                   / (tf + 1.2 * (1.0 - 0.75
+                                  + 0.75 * CAST(dl AS DOUBLE) / avgdl))),
+               6) AS score
+  FROM qt
+  JOIN tf USING (term)
+  JOIN qdf USING (term)
+  JOIN dl ON tf.pid = dl.pid
+  CROSS JOIN stats
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, pid, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, pid) AS rnk
+  FROM scored)
+SELECT query_id,
+       CAST(pid // 1024 AS BIGINT) AS doc_id,
+       CAST(pid % 1024 AS INT) AS chunk_ix,
+       score, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 3
+""",
+)
+def text_passage_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-shaped passage retrieval: chunk every document into
+    non-overlapping 32-token passages, BM25-rank passages against the
+    query batch, return the top-3 passages per query with (doc,
+    chunk) attribution.  Chunking is narrow (sequence+slice at scan
+    speed); ranking inherits bm25_topk's posting-list pruning.  The
+    packed pid (doc*1024+chunk) is safe: chunk_ix < 1024 for any
+    document under 32k tokens at stride 32."""
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    tk = txt.tokens("text")
+    starts = F.when(
+        F.size(tk) >= 1, F.sequence(F.lit(1), F.size(tk), F.lit(32))
+    ).otherwise(F.array().cast("array<int>"))
+    passages = (
+        docs.select(
+            F.col("doc_id"), tk.alias("__tk"), F.explode(starts).alias("s")
+        )
+        .select(
+            (
+                F.col("doc_id") * 1024
+                + ((F.col("s") - 1) / 32).cast("long")
+            ).alias("pid"),
+            F.array_join(F.slice("__tk", F.col("s"), 32), " ").alias("text"),
+        )
+    )
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id long, query_text string")
+    out = txt.bm25_topk(passages, qdf, k=3, id_col="pid")
+    return out.select(
+        "query_id",
+        (F.col("pid") / 1024).cast("long").alias("doc_id"),
+        (F.col("pid") % 1024).cast("int").alias("chunk_ix"),
+        "score",
+        "rnk",
+    )
