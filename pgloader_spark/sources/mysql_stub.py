@@ -41,6 +41,7 @@ from pgloader_spark.sources.mywire import encode_lenenc_int
 
 CAPS = 0x00000001 | 0x00000200 | 0x00000008 | 0x00008000 | 0x00080000
 # LONG_PASSWORD | PROTOCOL_41 | CONNECT_WITH_DB | SECURE_CONN | PLUGIN_AUTH
+CLIENT_SSL = 0x00000800  # advertised only when the stub holds a cert
 
 
 @dataclass
@@ -101,6 +102,7 @@ class MySQLStubServer:
         password: str = "",
         host: str = "127.0.0.1",
         views: list[tuple[str, str]] | None = None,  # (name, SELECT sql)
+        ssl_context=None,  # ssl.SSLContext (server cert) -> advertise CLIENT_SSL
     ):
         self.database = database
         self.tables = tables
@@ -108,6 +110,7 @@ class MySQLStubServer:
         self.user = user
         self.password = password
         self.host = host
+        self.ssl_context = ssl_context
         self.port: int | None = None
         self._server: socketserver.ThreadingTCPServer | None = None
         self._thread: threading.Thread | None = None
@@ -418,16 +421,26 @@ class _Session:
         nonce = os.urandom(20)
         while 0 in nonce or 0x24 in nonce:  # no NUL / '$' in auth data
             nonce = os.urandom(20)
+        srv_caps = CAPS | (CLIENT_SSL if self.stub.ssl_context else 0)
         greeting = (
             b"\x0a" + b"8.0.99-stub\x00" + struct.pack("<I", 1)
-            + nonce[:8] + b"\x00" + struct.pack("<H", CAPS & 0xFFFF)
+            + nonce[:8] + b"\x00" + struct.pack("<H", srv_caps & 0xFFFF)
             + b"\x2d" + struct.pack("<H", 0x0002)
-            + struct.pack("<H", CAPS >> 16) + bytes([21]) + b"\x00" * 10
+            + struct.pack("<H", srv_caps >> 16) + bytes([21]) + b"\x00" * 10
             + nonce[8:20] + b"\x00" + b"mysql_native_password\x00"
         )
         self._send_packet(greeting)
         resp = self._read_packet()
         caps = struct.unpack_from("<I", resp, 0)[0]
+        if caps & CLIENT_SSL and self.stub.ssl_context is not None:
+            # SSLRequest (truncated 32-byte response): upgrade to TLS,
+            # then the full handshake response arrives encrypted
+            self.sock = self.stub.ssl_context.wrap_socket(
+                self.sock, server_side=True
+            )
+            self._buf = b""
+            resp = self._read_packet()
+            caps = struct.unpack_from("<I", resp, 0)[0]
         off = 4 + 4 + 1 + 23
         end = resp.index(b"\x00", off)
         user = resp[off:end].decode()

@@ -101,6 +101,8 @@ def test_dsn_parsing_unix_socket(monkeypatch, tmp_path):
         "user": "u",
         "database": "db",
         "password": None,
+        "sslmode": "prefer",  # libpq's default
+        "sslrootcert": None,
     }
     # inline password wins without any pgpass consultation
     cfg2 = _parse_dsn("postgresql://u:s3cr%40t@h:5440/db")
