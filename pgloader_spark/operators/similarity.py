@@ -543,3 +543,54 @@ def embedding_health(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         F.sum((F.col("sq") == 0).cast("int")).cast("long").alias("n_zero_norm"),
         F.sum("hn").cast("long").alias("n_with_nan"),
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the top-k most-cosine-similar corpus vectors whose LABEL DIFFERS
+    — the near-misses a retrieval/embedding model must learn to push
+    apart.
+
+    Same bounded-broadcast contract as cosine_topk (the anchor set
+    rides a broadcast; the corpus never shuffles before the per-anchor
+    rank), with the label-mismatch predicate applied BEFORE ranking so
+    pruning can never drop a valid negative.  Ties rank on the 6-dp
+    cosine with neighbor-id tiebreak (cross-engine stable).
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(label_col).alias("q_label"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    ).withColumn("q_n2", dot(F.col("q_vec"), F.col("q_vec")))
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(label_col).alias("n_label"),
+        F.col(vec_col).cast("array<double>").alias("n_vec"),
+    ).withColumn("n_n2", dot(F.col("n_vec"), F.col("n_vec")))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("n_label") != F.col("q_label"))
+        .select(
+            "q_id",
+            "n_id",
+            F.col("n_label"),
+            F.round(
+                dot(F.col("q_vec"), F.col("n_vec"))
+                / F.sqrt(F.col("q_n2") * F.col("n_n2")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "n_label", "cos_sim", "rank")
+    )

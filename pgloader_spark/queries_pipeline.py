@@ -1959,3 +1959,78 @@ def text_passage_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         "rnk",
     )
+
+
+@query(
+    "similarity_hard_negatives",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS q_vec
+           FROM embeddings WHERE vec_id % 50 = 0),
+s AS (
+  SELECT q_id, e.vec_id AS n_id, e.label AS n_label,
+         {{cos}} AS cos_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label <> q.q_label),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS INTEGER) AS rank
+      FROM s)
+SELECT q_id, n_id, n_label, cos_sim, rank FROM r WHERE rank <= 3
+""".format(cos=_DUCK_COS.format(a="q.q_vec", b="e.embedding")),
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-3 nearest vectors of a DIFFERENT label — label mismatch is
+    applied before ranking so pruning can't drop a valid negative
+    (operators/similarity.py:hard_negatives)."""
+    from pgloader_spark.operators import similarity as sim
+
+    emb = read_table(spark, sf_dir, "embeddings", widen=True)
+    anchors = emb.filter(F.col("vec_id") % 50 == 0)
+    return sim.hard_negatives(emb, anchors, k=3)
+
+
+@query(
+    "corpus_stats_report",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, source, md5(text) AS digest,
+         len({_TOKS}) AS n_tok
+  FROM documents)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(MIN(n_tok) AS BIGINT) AS min_tokens,
+       CAST(MAX(n_tok) AS BIGINT) AS max_tokens,
+       round(AVG(CAST(n_tok AS DOUBLE)), 6) AS avg_tokens,
+       COUNT(*) - COUNT(DISTINCT digest) AS n_exact_dup_docs
+FROM t GROUP BY lang
+""",
+)
+def corpus_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus card: per-language document counts, source spread,
+    token totals/extremes/mean, and exact-duplicate surplus — one
+    map-side-combinable groupBy over the scan (the dataset summary a
+    curation run reports before and after each stage)."""
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    n_tok = txt.token_count("text")
+    return (
+        docs.select(
+            "lang",
+            "source",
+            F.md5("text").alias("digest"),
+            n_tok.alias("n_tok"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.min("n_tok").cast("long").alias("min_tokens"),
+            F.max("n_tok").cast("long").alias("max_tokens"),
+            F.round(F.avg(F.col("n_tok").cast("double")), 6).alias("avg_tokens"),
+            (F.count(F.lit(1)) - F.countDistinct("digest")).alias(
+                "n_exact_dup_docs"
+            ),
+        )
+    )
