@@ -271,3 +271,125 @@ def streaming_curation_funnel(
     return deduped.filter(
         F.col("g_quality") & F.col("g_lang") & F.col("g_sample")
     ).drop("__h")
+
+
+CORPUS_STATS_STATE = T.StructType(
+    [
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("total_tokens", T.LongType()),
+        T.StructField("min_tokens", T.LongType()),
+        T.StructField("max_tokens", T.LongType()),
+        T.StructField("regs", T.BinaryType()),  # 4096 HLL registers
+    ]
+)
+CORPUS_STATS_OUT = T.StructType(
+    [
+        T.StructField("lang", T.StringType()),
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("total_tokens", T.LongType()),
+        T.StructField("min_tokens", T.LongType()),
+        T.StructField("max_tokens", T.LongType()),
+        T.StructField("est_sources", T.LongType()),
+    ]
+)
+
+
+def _corpus_stats_update(key, pdf_iter, state):
+    """Fold one micro-batch of one language into the running card.
+
+    The distinct-source counter is the SAME HLL sketch as
+    operators/sketches.py (identical md5 hash, register layout, and
+    estimate constants), so the streaming estimate is bit-equal to the
+    batch ``hll_distinct`` over the union of all batches — register
+    max-merge is order-invariant.  State is constant-sized: four longs
+    plus 4096 register bytes per language.
+    """
+    import hashlib
+    import math
+    import re
+
+    import pandas as pd  # noqa: PLC0415
+
+    from pgloader_spark.operators.sketches import (
+        _HLL_M,
+        _HLL_NUM,
+        _HLL_RBITS,
+        HLL_P,
+        HLL_SEED,
+    )
+
+    if state.exists:
+        n_docs, total, mn, mx, regs = state.get
+        regs = bytearray(regs)
+    else:
+        n_docs, total, mn, mx = 0, 0, None, None
+        regs = bytearray(_HLL_M)
+    tok_re = re.compile(r"[^a-z0-9]+")
+    for pdf in pdf_iter:
+        for text, source in zip(pdf["text"], pdf["source"]):
+            n_tok = (
+                len([t for t in tok_re.split(str(text).lower()) if t])
+                if text is not None
+                else 0
+            )
+            n_docs += 1
+            total += n_tok
+            mn = n_tok if mn is None else min(mn, n_tok)
+            mx = n_tok if mx is None else max(mx, n_tok)
+            h = int(
+                hashlib.md5(f"{HLL_SEED}:{source}".encode()).hexdigest()[:15],
+                16,
+            )
+            j = h & (_HLL_M - 1)
+            rest = h >> HLL_P
+            rho = (
+                _HLL_RBITS + 1
+                if rest == 0
+                else (rest & -rest).bit_length()  # trailing zeros + 1
+            )
+            if rho > regs[j]:
+                regs[j] = rho
+    state.update((n_docs, total, mn, mx, bytes(regs)))
+    # estimate with the exact float pipeline of sketches.hll_estimate
+    v = sum(1 for b in regs if b == 0)
+    s50 = sum(1 << (50 - b) for b in regs if b > 0)
+    z50 = s50 + v * (1 << 50)
+    e_raw = _HLL_NUM / float(z50)
+    if v > 0 and e_raw <= 2.5 * _HLL_M:
+        est = float(_HLL_M) * math.log(float(_HLL_M) / float(v))
+    else:
+        est = e_raw
+    yield pd.DataFrame(
+        {
+            "lang": [key[0]],
+            "n_docs": [n_docs],
+            "total_tokens": [total],
+            "min_tokens": [mn],
+            "max_tokens": [mx],
+            "est_sources": [int(math.floor(est + 0.5))],  # HALF_UP = F.round
+        }
+    )
+
+
+def streaming_corpus_stats(docs: DataFrame, lang_col: str = "lang") -> DataFrame:
+    """The corpus card as a STREAMING operator: per-language running
+    document counts, token totals/extremes, and an HLL-sketched
+    distinct-source estimate that persists across micro-batches.
+
+    The batch card (queries_pipeline.corpus_stats_report) answers
+    "what is in the corpus"; this answers it CONTINUOUSLY as documents
+    arrive, with per-language state bounded at four longs + 4096
+    register bytes regardless of volume — the monitoring shape a
+    100 TB ingest actually runs.  Estimates are bit-equal to the batch
+    HLL over the accumulated stream (register merge is order-invariant;
+    pinned by test).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return docs.groupBy(lang_col).applyInPandasWithState(
+        _corpus_stats_update,
+        outputStructType=CORPUS_STATS_OUT,
+        stateStructType=CORPUS_STATS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -373,3 +373,87 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     assert texts.count("gamma") == 1
     assert texts.count("alpha") == 1
     assert rows.count() == 3
+
+
+def test_streaming_corpus_stats_matches_batch_card(spark, tmp_path):
+    """Two micro-batches of documents -> the final per-language card
+    equals the batch aggregation over the union, and the HLL
+    distinct-source estimate is BIT-EQUAL to the batch hll_distinct
+    (register max-merge is order-invariant)."""
+    from pyspark.sql import functions as F
+
+    from pgloader_spark.operators.sketches import hll_distinct
+    from pgloader_spark.operators.text import token_count
+    from pgloader_spark.streaming.stateful import streaming_corpus_stats
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    (src / "b1.csv").write_text(
+        "en,s0,alpha beta gamma\n"
+        "en,s1,one two\n"
+        "fr,s0,un deux trois quatre\n"
+    )
+    stream = (
+        spark.readStream.format("csv")
+        .schema("lang string, source string, text string")
+        .load(str(src))
+    )
+    out = streaming_corpus_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("card_mem")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (src / "b2.csv").write_text(
+            "en,s2,x y z w\n"
+            "en,s1,repeat source here\n"
+            "fr,s3,cinq\n"
+        )
+        q.processAllAvailable()
+        # last emitted row per language = the running card
+        rows = spark.sql(
+            "SELECT * FROM card_mem"
+        ).collect()
+        latest = {}
+        for r in rows:  # memory sink appends in batch order
+            latest[r["lang"]] = r
+    finally:
+        q.stop()
+
+    batch = spark.createDataFrame(
+        [
+            ("en", "s0", "alpha beta gamma"),
+            ("en", "s1", "one two"),
+            ("fr", "s0", "un deux trois quatre"),
+            ("en", "s2", "x y z w"),
+            ("en", "s1", "repeat source here"),
+            ("fr", "s3", "cinq"),
+        ],
+        "lang string, source string, text string",
+    )
+    expect = {
+        r["lang"]: r
+        for r in batch.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count("text")).alias("total_tokens"),
+            F.min(token_count("text")).alias("min_tokens"),
+            F.max(token_count("text")).alias("max_tokens"),
+        )
+        .collect()
+    }
+    est = {
+        r["lang"]: r["est_distinct"]
+        for r in hll_distinct(batch, "source", ["lang"]).collect()
+    }
+    for lang in ("en", "fr"):
+        got, want = latest[lang], expect[lang]
+        assert got["n_docs"] == want["n_docs"]
+        assert got["total_tokens"] == want["total_tokens"]
+        assert got["min_tokens"] == want["min_tokens"]
+        assert got["max_tokens"] == want["max_tokens"]
+        assert got["est_sources"] == est[lang]  # bit-equal sketch
