@@ -2034,3 +2034,64 @@ def corpus_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "dedup_minhash_quality",
+    oracle=f"""
+WITH {_duck_minhash_sig_cte()},
+bands AS ({_duck_bands_select()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_ix = b.band_ix AND a.bucket = b.bucket
+   AND a.doc_id < b.doc_id),
+truth AS (SELECT id_a, id_b FROM ({_duck_jaccard_sql(k=3, threshold=0.5)}) j),
+tp AS (SELECT COUNT(*) AS n FROM cand JOIN truth USING (id_a, id_b)),
+nc AS (SELECT COUNT(*) AS n FROM cand),
+nt AS (SELECT COUNT(*) AS n FROM truth)
+SELECT CAST(nc.n AS BIGINT) AS n_candidates,
+       CAST(nt.n AS BIGINT) AS n_truth,
+       CAST(tp.n AS BIGINT) AS n_true_pos,
+       CAST(nc.n - tp.n AS BIGINT) AS n_false_pos,
+       CAST(nt.n - tp.n AS BIGINT) AS n_false_neg,
+       round(CASE WHEN nc.n > 0 THEN tp.n / CAST(nc.n AS DOUBLE)
+                  ELSE 1.0 END, 6) AS prec,
+       round(CASE WHEN nt.n > 0 THEN tp.n / CAST(nt.n AS DOUBLE)
+                  ELSE 1.0 END, 6) AS rec
+FROM tp, nc, nt
+""",
+)
+def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURE the approximate path against exact truth: LSH band
+    candidate pairs vs PPJoin exact Jaccard >= 0.5 (same shingles),
+    emitting the confusion counts and precision/recall.  This is the
+    evaluation a curation team runs before trusting MinHash at 100 TB
+    — and it is itself distributed (one full-outer pair join + one
+    global agg; no driver-side set math)."""
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    cand = dedup.minhash_candidate_pairs(docs).withColumn("in_c", F.lit(1))
+    truth = (
+        dedup.shingle_jaccard_pairs(docs, threshold=0.5, k=3)
+        .select("id_a", "id_b")
+        .withColumn("in_t", F.lit(1))
+    )
+    joined = cand.join(truth, ["id_a", "id_b"], "full")
+    n_c = F.sum(F.coalesce(F.col("in_c"), F.lit(0)))
+    n_t = F.sum(F.coalesce(F.col("in_t"), F.lit(0)))
+    n_tp = F.sum(
+        F.coalesce(F.col("in_c"), F.lit(0)) * F.coalesce(F.col("in_t"), F.lit(0))
+    )
+    return joined.agg(
+        n_c.cast("long").alias("n_candidates"),
+        n_t.cast("long").alias("n_truth"),
+        n_tp.cast("long").alias("n_true_pos"),
+        (n_c - n_tp).cast("long").alias("n_false_pos"),
+        (n_t - n_tp).cast("long").alias("n_false_neg"),
+        F.round(
+            F.when(n_c > 0, n_tp / n_c.cast("double")).otherwise(F.lit(1.0)), 6
+        ).alias("prec"),
+        F.round(
+            F.when(n_t > 0, n_tp / n_t.cast("double")).otherwise(F.lit(1.0)), 6
+        ).alias("rec"),
+    )
