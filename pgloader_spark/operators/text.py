@@ -1088,3 +1088,79 @@ def bpe_segment_counts(
             ).alias("subwords_per_token"),
         )
     )
+
+
+def bm25_topk_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "query_id",
+    qtext_col: str = "query_text",
+) -> DataFrame:
+    """Score a NEW document batch with a FROZEN BM25 model — the
+    incremental-retrieval shape: the index snapshot (df per query
+    term, N, avgdl) is computed once from the corpus and broadcast;
+    scoring each arriving batch then costs O(batch), never re-reading
+    the corpus.  Batch doc lengths are normalized by the SNAPSHOT's
+    avgdl (frozen-model semantics — the same contract as
+    dedup.incremental_dedup's frozen digest index).
+
+    Rank stability: 6-dp-rounded score, id tiebreak.
+    """
+    qterms = queries.select(
+        F.col(qid_col).cast("long").alias(qid_col),
+        F.explode(F.array_distinct(tokens(qtext_col))).alias("term"),
+    )
+    cdl = corpus.select(F.size(tokens(text_col)).alias("dl")).filter(
+        F.col("dl") > 0
+    )
+    stats = cdl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    # document frequency per QUERY term only, from the frozen corpus
+    qdf = (
+        corpus.select(
+            F.col(id_col), F.array_distinct(tokens(text_col)).alias("tk")
+        )
+        .select(F.explode("tk").alias("term"))
+        .join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    btok = batch.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    btf = btok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    bdl = btok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * (
+        F.col("tf") * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1
+            * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        btf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(qdf), "term")
+        .join(bdl, id_col)
+        .join(F.broadcast(stats))
+        .groupBy(qid_col, id_col)
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy(qid_col).orderBy(F.desc("score"), F.asc(id_col))
+    )
+    return (
+        scored.withColumn("rnk", rn)
+        .filter(F.col("rnk") <= k)
+        .select(qid_col, id_col, "score", F.col("rnk").cast("int").alias("rnk"))
+    )

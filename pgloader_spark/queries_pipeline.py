@@ -2095,3 +2095,59 @@ def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(n_t > 0, n_tp / n_t.cast("double")).otherwise(F.lit(1.0)), 6
         ).alias("rec"),
     )
+
+
+@query(
+    "text_bm25_incremental",
+    oracle=f"""
+WITH q(query_id, query_text) AS (VALUES {_BM25_Q_VALUES}),
+corpus AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+batch AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+ctoks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM corpus),
+cdl AS (SELECT doc_id, COUNT(*) AS dl FROM ctoks GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM cdl),
+qt AS (
+  SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+         unnest(list_filter(regexp_split_to_array(lower(query_text),
+                                                  '[^a-z0-9]+'),
+                            t -> t <> '')) AS term
+  FROM q),
+qdf AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM ctoks
+  WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+btoks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM batch),
+btf AS (SELECT doc_id, term, COUNT(*) AS tf FROM btoks GROUP BY 1, 2),
+bdl AS (SELECT doc_id, COUNT(*) AS dl FROM btoks GROUP BY 1),
+scored AS (
+  SELECT qt.query_id, btf.doc_id,
+         round(SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * tf * (1.2 + 1.0)
+                   / (tf + 1.2 * (1.0 - 0.75
+                                  + 0.75 * CAST(dl AS DOUBLE) / avgdl))),
+               6) AS score
+  FROM qt
+  JOIN btf USING (term)
+  JOIN qdf USING (term)
+  JOIN bdl ON btf.doc_id = bdl.doc_id
+  CROSS JOIN stats
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM scored)
+SELECT query_id, doc_id, score, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 5
+""",
+)
+def text_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental retrieval: score an arriving batch (odd doc_ids)
+    with a FROZEN BM25 model snapshotted from the corpus (even
+    doc_ids) — scoring costs O(batch); the corpus is read once for
+    the model and never joined against the batch
+    (operators/text.py:bm25_topk_incremental)."""
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id long, query_text string")
+    return txt.bm25_topk_incremental(corpus, batch, qdf, k=5)
