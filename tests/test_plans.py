@@ -384,3 +384,53 @@ def test_cluster_balanced_sample_single_window_shuffle(spark, sf_dir):
     assert ex, "expected the window exchange"
     for line in ex:
         assert "cell" in line and "embedding" not in line, line
+
+
+def test_bm25_broadcasts_only_model_sized_sides(spark, sf_dir):
+    """BM25's forced broadcasts are all model-sized (query terms, the
+    per-term df, the 1-row stats); the corpus-scaled tf and dl tables
+    must stay unhinted so they can shuffle-partition at any volume."""
+    df = Q.QUERIES["text_bm25_topk"](spark, sf_dir)
+    logical = str(df._jdf.queryExecution().optimizedPlan())
+    hinted = [l for l in logical.splitlines() if "ResolvedHint" in l]
+    # qterms (x2: prune + score), qdf, stats — never tf/dl (hints on
+    # LocalRelation sides may already be folded into join strategy)
+    assert len(hinted) <= 4
+    plan = _formatted_plan(df)
+    # the ONLY nested-loop join is the 1-row (n_docs, avgdl) stats
+    # attach (the sanctioned scalar cross-join, same shape as TF-IDF's
+    # corpus-count broadcast); anything more means a corpus-scaled
+    # side lost its equi-join key
+    bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
+    assert bnlj <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_partition_invariance(spark):
+    """Scores and ranks are independent of the input layout."""
+    from pgloader_spark.operators import text as txt
+
+    rows = [(i, f"alpha beta w{i % 7} w{i % 3} gamma") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qdf = spark.createDataFrame(
+        [(1, "alpha w2"), (2, "gamma w5")], "query_id long, query_text string"
+    )
+    base = sorted(
+        map(tuple, txt.bm25_topk(docs, qdf, k=5).collect())
+    )
+    for n in (1, 7):
+        again = sorted(
+            map(tuple, txt.bm25_topk(docs.repartition(n), qdf, k=5).collect())
+        )
+        assert again == base
+
+
+def test_corpus_stats_single_exchange(spark, sf_dir):
+    """The corpus card is one map-side-combinable groupBy: exactly one
+    shuffle of lang-keyed partial aggregates, no join, no broadcast."""
+    df = Q.QUERIES["corpus_stats_report"](spark, sf_dir)
+    plan = _formatted_plan(df)
+    # two-phase multi-distinct agg (Expand) = exactly 2 exchanges;
+    # no join anywhere
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+    assert "Join" not in plan
