@@ -594,3 +594,111 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "n_label", "cos_sim", "rank")
     )
+
+
+def embedding_covariance(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Exact upper-triangle covariance matrix as (i, j, cov) rows.
+
+    Per-row work is a NARROW struct explode (dim*(dim+1)/2 products);
+    the one shuffle carries (i, j)-keyed DECIMAL(38,12) partial sums
+    — exact integer-like accumulation, so the result is bit-stable
+    across partitionings and engines (the same discipline as
+    embedding_dim_stats).  Float math happens once per (i, j) cell at
+    the end.  At extreme scale the explode can be swapped for
+    per-batch gemm partials (semdedup's pattern) emitting the same
+    (i, j, partial) rows; the decimal variant is kept as the
+    oracle-exact reference.
+    """
+    v = F.col(vec_col)
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(dim - 1)),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    (
+                        F.element_at(v, i + 1).cast("double")
+                        * F.element_at(v, j + 1).cast("double")
+                    ).alias("xy"),
+                ),
+            ),
+        )
+    )
+    prods = df.select(F.explode(pairs).alias("p")).select(
+        "p.i", "p.j", "p.xy"
+    )
+    sums = prods.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("xy").cast("decimal(38,12)")).alias("sxy"),
+    )
+    dims = (
+        df.select(F.posexplode(v).alias("d", "x"))
+        .groupBy("d")
+        .agg(F.sum(F.col("x").cast("decimal(38,12)")).alias("s"))
+    )
+    si = dims.select(F.col("d").alias("i"), F.col("s").alias("si"))
+    sj = dims.select(F.col("d").alias("j"), F.col("s").alias("sj"))
+    nd = F.col("n").cast("double")
+    return (
+        sums.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("sxy").cast("double") / nd
+                - (F.col("si").cast("double") / nd)
+                * (F.col("sj").cast("double") / nd),
+                6,
+            ).alias("cov"),
+        )
+    )
+
+
+def embedding_pca_project(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Project embeddings onto their top-k principal components.
+
+    The covariance matrix (dim x dim — bounded by the embedding
+    dimensionality, never the corpus) is the ONLY thing collected to
+    the driver; numpy's symmetric eigensolver runs there, and the
+    k x dim projection matrix broadcasts back as literals inside a
+    narrow Column expression — the corpus is touched exactly twice
+    (covariance pass, projection pass) and never shuffles on the
+    second.  Eigenvector sign is pinned (largest-|component| positive)
+    so results are deterministic across BLAS builds.
+    """
+    import numpy as np
+
+    cells = embedding_covariance(df, vec_col, dim).collect()  # dim^2-bounded
+    c = np.zeros((dim, dim))
+    for r in cells:
+        c[r["i"], r["j"]] = c[r["j"], r["i"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(c)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    w = vecs[:, order].T  # k x dim
+    for row in range(k):
+        m = np.argmax(np.abs(w[row]))
+        if w[row, m] < 0:
+            w[row] = -w[row]
+    v = F.col(vec_col)
+    comps = [
+        F.round(
+            sum(
+                F.element_at(v, d + 1).cast("double") * float(w[row, d])
+                for d in range(dim)
+            ),
+            6,
+        ).alias(f"pc{row + 1}")
+        for row in range(k)
+    ]
+    return df.select(F.col(id_col), *comps)

@@ -2151,3 +2151,50 @@ def text_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     qdf = spark.createDataFrame(_BM25_QUERIES, "query_id long, query_text string")
     return txt.bm25_topk_incremental(corpus, batch, qdf, k=5)
+
+
+@query(
+    "embedding_covariance",
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, d, CAST(embedding[d + 1] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding, unnest(range(len(embedding))) AS d
+        FROM embeddings)),
+prods AS (
+  SELECT a.d AS i, b.d AS j, a.x * b.x AS xy
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.d <= b.d),
+sums AS (
+  SELECT i, j, COUNT(*) AS n,
+         SUM(CAST(xy AS DECIMAL(38,12))) AS sxy
+  FROM prods GROUP BY 1, 2),
+dims AS (SELECT d, SUM(CAST(x AS DECIMAL(38,12))) AS s FROM ex GROUP BY 1)
+SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+       round(CAST(sxy AS DOUBLE) / n
+             - (CAST(si.s AS DOUBLE) / n) * (CAST(sj.s AS DOUBLE) / n),
+             6) AS cov
+FROM sums JOIN dims si ON si.d = i JOIN dims sj ON sj.d = j
+""",
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact upper-triangle covariance of the embedding corpus —
+    decimal partial sums keyed by (i, j), bit-stable across
+    partitionings (operators/similarity.py:embedding_covariance)."""
+    from pgloader_spark.operators.similarity import embedding_covariance as cov
+
+    emb = read_table(spark, sf_dir, "embeddings", widen=True)
+    return cov(emb, dim=64)
+
+
+@query("embedding_pca_project")  # eigendecomposition is not
+# SQL-expressible: rows-only driver check; value-correctness pinned by
+# test_embedding_audit.py's numpy cross-check + partition invariance
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitening/dim-reduction before the ANN stage: project every
+    embedding onto the corpus' top-8 principal components.  Only the
+    dim x dim covariance ever reaches the driver; the projection is a
+    narrow literal-matrix expression
+    (operators/similarity.py:embedding_pca_project)."""
+    from pgloader_spark.operators.similarity import embedding_pca_project as pca
+
+    emb = read_table(spark, sf_dir, "embeddings", widen=True)
+    return pca(emb, k=8, dim=64).orderBy("vec_id")

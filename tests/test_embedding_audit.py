@@ -93,3 +93,56 @@ def test_health_clean_corpus(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     row = embedding_health(emb).collect()[0]
     assert row.n_dims_distinct == 1 and row.n_zero_norm == 0 and row.n_with_nan == 0
+
+
+def test_pca_project_matches_numpy(spark):
+    """Distributed covariance -> eigh -> projection equals a pure
+    numpy PCA on the collected matrix (same sign convention), and is
+    partition-invariant."""
+    import numpy as np
+
+    from pgloader_spark.operators.similarity import (
+        embedding_covariance,
+        embedding_pca_project,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(120, 6)) @ np.diag([5, 3, 1, 0.5, 0.2, 0.1])
+    rows = [(i, [float(x) for x in base[i]]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {
+        r["vec_id"]: [r[f"pc{c + 1}"] for c in range(3)]
+        for r in embedding_pca_project(df, k=3, dim=6).collect()
+    }
+
+    # reference: numpy from the ROUNDED covariance (the operator's
+    # contract rounds cov cells to 6dp before eigh)
+    cells = embedding_covariance(df, dim=6).collect()
+    c = np.zeros((6, 6))
+    for r in cells:
+        c[r["i"], r["j"]] = c[r["j"], r["i"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(c)
+    order = np.argsort(vals)[::-1][:3]
+    w = vecs[:, order].T
+    for row in range(3):
+        m = np.argmax(np.abs(w[row]))
+        if w[row, m] < 0:
+            w[row] = -w[row]
+    proj = base @ w.T
+    for i in range(120):
+        for cix in range(3):
+            assert abs(got[i][cix] - round(proj[i, cix], 6)) <= 1e-6, (i, cix)
+
+    # partition invariance
+    again = {
+        r["vec_id"]: [r[f"pc{c + 1}"] for c in range(3)]
+        for r in embedding_pca_project(df.repartition(7), k=3, dim=6).collect()
+    }
+    assert again == got
+
+    # top component must capture the dominant synthetic direction:
+    # variance of pc1 >= variance of pc2 >= pc3
+    arr = np.array([got[i] for i in range(120)])
+    v = arr.var(axis=0)
+    assert v[0] >= v[1] >= v[2]
