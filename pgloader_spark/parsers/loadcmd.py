@@ -900,8 +900,12 @@ def _set_option(cmd: LoadCommand, key: str, value) -> None:
         cmd.options["null_as"] = value
     elif key == "delimiter":
         cmd.options["separator"] = {"\\t": "\t", "tab": "\t"}.get(value, value)
+    elif key in ("timezone utc", "timezone gmt"):
+        # bare-word zones (docs/ref/ixf.rst: UTC, GMT, or a quoted
+        # location name — the quoted form arrives as a value)
+        cmd.options["timezone"] = key.split()[1].upper()
     elif key in ("encoding", "batch rows", "batch size", "prefetch rows",
-                 "workers", "concurrency", "rows per range",
+                 "workers", "concurrency", "rows per range", "chunk size",
                  "max parallel create index"):
         cmd.options[key.replace(" ", "_")] = value
     elif key in _WITH_FLAGS:

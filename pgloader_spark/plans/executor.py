@@ -94,6 +94,22 @@ def _csv_options(cmd: LoadCommand) -> CsvOptions:
     )
 
 
+def _size_bytes(value) -> int | None:
+    """Parse a WITH size value ('10 MB', '1024 kB', '8192') to bytes."""
+    if value is None:
+        return None
+    s = str(value).strip().lower()
+    mult = 1
+    for unit, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30)):
+        if s.endswith(unit):
+            s, mult = s[: -len(unit)].strip(), m
+            break
+    try:
+        return int(float(s) * mult)
+    except ValueError:
+        return None
+
+
 def _source_paths(cmd: LoadCommand) -> list[str]:
     if cmd.source_regex:
         kind = "first" if cmd.first_match_only else "matching"
@@ -257,7 +273,11 @@ def read_source(spark: SparkSession, cmd: LoadCommand) -> DataFrame:
             )
         return read_dbf(spark, src, encoding=cmd.options.get("encoding", "latin-1"))
     if kind == "ixf":
-        return read_ixf(spark, _source_paths(cmd)[0])
+        return read_ixf(
+            spark,
+            _source_paths(cmd)[0],
+            timezone=str(cmd.options.get("timezone", "UTC")),
+        )
     raise ValueError(f"database sources need a JDBC url + live server: {kind}")
 
 
@@ -533,7 +553,19 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
         from pgloader_spark.sources.pg_live import (
             introspect_pg_keys as _keys,
         )
-        from pgloader_spark.sources.pg_live import read_pg_table as _read
+        from pgloader_spark.sources.pg_live import read_pg_table
+
+        # WITH chunk size = 10 MB (docs/ref/pgsql.rst): relpages are
+        # 8 kB; ranges = relpages / (chunk_size / 8kB) per reader
+        chunk = _size_bytes(cmd.options.get("chunk_size"))
+        if chunk:
+            from functools import partial
+
+            _read = partial(
+                read_pg_table, pages_per_range=max(chunk // 8192, 1)
+            )
+        else:
+            _read = read_pg_table
 
         src_loc = src
         engine = CastEngine("pgsql", user_rules=_user_rules(cmd))
@@ -862,7 +894,13 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
                             conn.query(
                                 f'DROP SCHEMA IF EXISTS "{s.name}" CASCADE'
                             )
-                for stmt in prepare_statements(cat, include_drop=True):
+                # WITH include no drop (docs/ref/mysql.rst: "will not
+                # include any DROP statement"); the migration default
+                # is include drop
+                for stmt in prepare_statements(
+                    cat,
+                    include_drop=not cmd.options.get("include_no_drop"),
+                ):
                     conn.query(stmt)
             if cmd.options.get("truncate"):
                 for tbl in tables.values():
@@ -936,7 +974,11 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
     # rebuild after the COPY — bulk-load-then-index beats maintaining
     # btrees row by row (the reference's drop-indexes kernel)
     rebuild_stmts: list[str] = []
-    if pg_target and cmd.options.get("drop_indexes"):
+    # WITH reindex = drop indexes before + create indexes after
+    # (docs/ref/pgsql.rst) — same kernel, one more spelling
+    if pg_target and (
+        cmd.options.get("drop_indexes") or cmd.options.get("reindex")
+    ):
         from pgloader_spark.sources.pg_live import capture_and_drop_indexes
 
         for tbl in tables.values():
@@ -1115,7 +1157,7 @@ def execute(ctx: ExecutionContext, cmd: LoadCommand) -> LoadReport:
     rebuild_stmts: list[str] = []
     tgt_dsn = cmd.target or ""
     if (
-        cmd.options.get("drop_indexes")
+        (cmd.options.get("drop_indexes") or cmd.options.get("reindex"))
         and tgt_dsn.startswith(("postgresql://", "pgsql://", "postgres://"))
     ):
         from pgloader_spark.sources.pg_live import capture_and_drop_indexes

@@ -195,7 +195,36 @@ def _decode_row(cols: list[IxfColumn], bodies: dict[str, bytes]) -> tuple:
     return tuple(row)
 
 
-def read_ixf(spark: SparkSession, path: str) -> DataFrame:
+def _rezone_timestamp(s: str, tz: str) -> str:
+    """Interpret a naive IXF timestamp string in ``tz`` and render the
+    UTC instant (docs/ref/ixf.rst *timezone*: the zone used when
+    PARSING timestamps, default UTC).  DB2's dotted time separators
+    (yyyy-mm-dd-hh.mm.ss.uuuuuu) are normalized first; unparseable
+    values pass through untouched."""
+    import datetime as _dt
+    import re as _re
+    from zoneinfo import ZoneInfo
+
+    norm = s.strip()
+    m = _re.fullmatch(
+        r"(\d{4}-\d{2}-\d{2})[-T ](\d{2})[.:](\d{2})[.:](\d{2})(?:\.(\d+))?",
+        norm,
+    )
+    if not m:
+        return s
+    frac = (m.group(5) or "").ljust(6, "0")[:6]
+    iso = f"{m.group(1)}T{m.group(2)}:{m.group(3)}:{m.group(4)}.{frac}"
+    try:
+        zone = ZoneInfo({"gmt": "UTC"}.get(tz.lower(), tz))
+        local = _dt.datetime.fromisoformat(iso).replace(tzinfo=zone)
+    except Exception:  # noqa: BLE001 — bad zone/value: keep the original
+        return s
+    return local.astimezone(_dt.timezone.utc).strftime("%Y-%m-%d %H:%M:%S.%f")
+
+
+def read_ixf(
+    spark: SparkSession, path: str, timezone: str = "UTC"
+) -> DataFrame:
     with open(path, "rb") as fh:
         data = fh.read()
     cols = parse_columns(data)
@@ -213,6 +242,19 @@ def read_ixf(spark: SparkSession, path: str) -> DataFrame:
         bodies[drid] = payload[7:]  # 3-byte drid + 4 filler bytes
     if bodies:
         rows.append(_decode_row(cols, bodies))
+
+    if timezone and timezone.upper() not in ("UTC", "GMT"):
+        ts_ix = [i for i, c in enumerate(cols) if c.type_code == IXF_TIMESTAMP]
+        if ts_ix:
+            rows = [
+                tuple(
+                    _rezone_timestamp(v, timezone)
+                    if i in ts_ix and isinstance(v, str)
+                    else v
+                    for i, v in enumerate(r)
+                )
+                for r in rows
+            ]
 
     spark_types = {
         IXF_SMALLINT: "smallint",

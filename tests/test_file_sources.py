@@ -239,3 +239,33 @@ def test_expand_tar_gz(tmp_path):
         tf.add(src, arcname="data.csv")
     files = expand_archive(str(t))
     assert [os.path.basename(p) for p in files] == ["data.csv"]
+
+
+def test_ixf_timezone_option(spark, tmp_path):
+    """WITH timezone 'Europe/Paris': naive IXF timestamps are parsed
+    in that zone and land as the UTC instant (docs/ref/ixf.rst);
+    DB2 dotted separators are accepted; UTC default is a no-op."""
+    from pgloader_spark.sources.ixf import IXF_TIMESTAMP
+
+    cols = [
+        IxfColumn("id", IXF_INTEGER, nullable=True),
+        IxfColumn("ts", IXF_TIMESTAMP, 26, nullable=True),
+    ]
+    rows = [
+        (1, "2024-01-15-12.30.00.000000"),  # DB2 dotted, winter (CET=+1)
+        (2, "2024-07-15 12:30:00.500000"),  # ISO-ish, summer (CEST=+2)
+        (3, None),
+    ]
+    p = str(tmp_path / "tz.ixf")
+    write_ixf(p, cols, rows)
+
+    got = {
+        r["id"]: r["ts"]
+        for r in read_ixf(spark, p, timezone="Europe/Paris").collect()
+    }
+    assert got[1] == "2024-01-15 11:30:00.000000"
+    assert got[2] == "2024-07-15 10:30:00.500000"
+    assert got[3] is None
+
+    default = {r["id"]: r["ts"] for r in read_ixf(spark, p).collect()}
+    assert default[1] == "2024-01-15-12.30.00.000000"  # untouched

@@ -215,3 +215,43 @@ def test_sexp_symbol_and_literal(spark):
     df = spark.createDataFrame([("x",)], "a string")
     col = compile_using('(concat a "-suffix")')
     assert df.select(col.alias("r")).collect()[0]["r"] == "x-suffix"
+
+
+def test_with_options_round4_surface():
+    """reindex / include no drop / chunk size / timezone parse into
+    their option keys (docs/ref/pgsql.rst, ixf.rst)."""
+    from pgloader_spark.parsers.loadcmd import parse_load
+
+    cmd = parse_load(
+        """
+LOAD DATABASE FROM postgresql://u@h/src INTO postgresql://u@h/dst
+WITH reindex, include no drop, chunk size = 10 MB;
+"""
+    )
+    assert cmd.options["reindex"] is True
+    assert cmd.options["include_no_drop"] is True
+    assert cmd.options["chunk_size"] == "10 MB"
+
+    cmd2 = parse_load(
+        """
+LOAD IXF FROM /tmp/f.ixf INTO postgresql:///db?t
+WITH timezone 'Europe/Paris';
+"""
+    )
+    assert cmd2.options["timezone"] == "Europe/Paris"
+    cmd3 = parse_load(
+        """
+LOAD IXF FROM /tmp/f.ixf INTO postgresql:///db?t WITH timezone UTC;
+"""
+    )
+    assert cmd3.options["timezone"] == "UTC"
+
+
+def test_size_bytes_parse():
+    from pgloader_spark.plans.executor import _size_bytes
+
+    assert _size_bytes("10 MB") == 10 << 20
+    assert _size_bytes("1024 kB") == 1 << 20
+    assert _size_bytes("8192") == 8192
+    assert _size_bytes(None) is None
+    assert _size_bytes("nonsense") is None

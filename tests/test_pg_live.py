@@ -2302,3 +2302,33 @@ def test_tls_sslmode_require_and_verify(pg_dsn, tmp_path, monkeypatch):
             c.query("ALTER SYSTEM RESET ssl_cert_file")
             c.query("ALTER SYSTEM RESET ssl_key_file")
             c.query("SELECT pg_reload_conf()")
+
+
+def test_load_csv_with_reindex_spelling(seeded, spark, tmp_path):
+    """WITH reindex = drop indexes before + create indexes after
+    (docs/ref/pgsql.rst) — the alternate spelling drives the same
+    drop/rebuild kernel."""
+    from pgloader_spark.cli import main
+
+    with PGConn(seeded) as c:
+        c.query("DROP TABLE IF EXISTS ri_people")
+        c.query("CREATE TABLE ri_people (id bigint PRIMARY KEY, name text)")
+        c.query("CREATE INDEX ri_people_name_idx ON ri_people (name)")
+    csv = tmp_path / "ri.csv"
+    csv.write_text("1,ada\n2,grace\n")
+    load = tmp_path / "ri.load"
+    load.write_text(
+        f"LOAD CSV FROM '{csv}' (id, name)\n"
+        f"  INTO {seeded}?ri_people (id, name)\n"
+        "  WITH truncate, reindex, fields terminated by ',';\n"
+    )
+    assert main([str(load), "--master", "local[4]",
+                 "--root-dir", str(tmp_path / "rej")]) == 0
+    with PGConn(seeded) as c:
+        _, rows = c.query("SELECT count(*) FROM ri_people")
+        assert rows == [("2",)]
+        _, rows = c.query(
+            "SELECT indexname FROM pg_indexes WHERE tablename = 'ri_people'"
+            " ORDER BY indexname"
+        )
+        assert [r[0] for r in rows] == ["ri_people_name_idx", "ri_people_pkey"]
