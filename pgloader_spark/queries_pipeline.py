@@ -2198,3 +2198,66 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings", widen=True)
     return pca(emb, k=8, dim=64).orderBy("vec_id")
+
+
+@query(
+    "text_top_tokens",
+    oracle=f"""
+WITH items AS (SELECT unnest({_TOKS}) AS token FROM documents)
+SELECT token, COUNT(*) AS n
+FROM items GROUP BY token
+ORDER BY n DESC, token LIMIT 50
+""",
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-wide heavy hitters: top-50 tokens by occurrence.
+    One map-side-combinable groupBy; the global top-k is a
+    TakeOrderedAndProject over vocabulary-sized partials, never a full
+    sort (the exact companion to sketch_cms_tokens' estimates)."""
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    return (
+        docs.select(F.explode(txt.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+    )
+
+
+@query(
+    "text_pii_counts",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT)
+         AS n_urls,
+       CAST(len(regexp_extract_all(text,
+         '\+?[0-9][0-9() .-]{7,}[0-9]')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(text,
+         '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INT)
+         AS n_ipv4
+FROM documents
+""",
+)
+def text_pii_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII exposure counts (emails, URLs, phone-shaped
+    digit runs, IPv4 literals) — the measurement pass that decides
+    whether a document goes to redaction (text_redact_normalize) or is
+    dropped.  Pure regexp_count columns: scan-speed, no shuffle."""
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(
+            t, F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+        ).cast("int").alias("n_emails"),
+        F.regexp_count(t, F.lit(r"https?://[^\s]+")).cast("int").alias("n_urls"),
+        F.regexp_count(t, F.lit(r"\+?[0-9][0-9() .-]{7,}[0-9]"))
+        .cast("int")
+        .alias("n_phones"),
+        F.regexp_count(
+            t, F.lit(r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}")
+        ).cast("int").alias("n_ipv4"),
+    )
