@@ -2261,3 +2261,150 @@ def text_pii_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             t, F.lit(r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}")
         ).cast("int").alias("n_ipv4"),
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+WITH v AS (SELECT user_id, MIN(ts) AS t0 FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, MIN(e.ts) AS t1
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t0
+      WHERE e.event_type = 'click' GROUP BY 1),
+p AS (SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t1
+      WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_click_after_view,
+       (SELECT COUNT(*) FROM p) AS n_purchase_after_click,
+       round((SELECT COUNT(*) FROM c) /
+             CAST(greatest((SELECT COUNT(*) FROM v), 1) AS DOUBLE), 6)
+         AS view_to_click,
+       round((SELECT COUNT(*) FROM p) /
+             CAST(greatest((SELECT COUNT(*) FROM c), 1) AS DOUBLE), 6)
+         AS click_to_purchase
+""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): each
+    stage requires an event strictly AFTER the user's previous-stage
+    entry time.  Three user-keyed min-aggregations + two user-keyed
+    joins — every step map-side combinable; no window over the full
+    event stream."""
+    ev = read_table(spark, sf_dir, "events", widen=True)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+    return counts.select(
+        "n_view",
+        "n_click_after_view",
+        "n_purchase_after_click",
+        F.round(
+            F.col("n_click_after_view")
+            / F.greatest(F.col("n_view"), F.lit(1)).cast("double"),
+            6,
+        ).alias("view_to_click"),
+        F.round(
+            F.col("n_purchase_after_click")
+            / F.greatest(F.col("n_click_after_view"), F.lit(1)).cast("double"),
+            6,
+        ).alias("click_to_purchase"),
+    )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+WITH wk AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+  FROM events),
+cohort AS (SELECT user_id, MIN(week) AS w0 FROM wk GROUP BY 1),
+active AS (
+  SELECT DISTINCT wk.user_id, wk.week - c.w0 AS offset_weeks
+  FROM wk JOIN cohort c ON wk.user_id = c.user_id),
+base AS (SELECT COUNT(*) AS n0 FROM cohort)
+SELECT CAST(offset_weeks AS INT) AS offset_weeks,
+       COUNT(*) AS n_users,
+       round(COUNT(*) / CAST(n0 AS DOUBLE), 6) AS retention
+FROM active CROSS JOIN base
+GROUP BY offset_weeks, n0
+""",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by their first active epoch
+    week; per week offset, how many are still active.  Two user-keyed
+    aggs + one distinct — epoch-week math keeps both engines on the
+    identical integer buckets (no calendar-week semantics drift)."""
+    ev = read_table(spark, sf_dir, "events", widen=True)
+    wk = ev.select(
+        "user_id",
+        F.floor(F.col("ts").cast("double") / 604800).cast("long").alias("week"),
+    )
+    cohort = wk.groupBy("user_id").agg(F.min("week").alias("w0"))
+    active = (
+        wk.join(cohort, "user_id")
+        .select("user_id", (F.col("week") - F.col("w0")).alias("offset_weeks"))
+        .distinct()
+    )
+    base = cohort.agg(F.count(F.lit(1)).alias("n0"))
+    return (
+        active.crossJoin(F.broadcast(base))
+        .groupBy("offset_weeks", "n0")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.col("offset_weeks").cast("int").alias("offset_weeks"),
+            "n_users",
+            F.round(F.col("n_users") / F.col("n0").cast("double"), 6).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+@query(
+    "window_lead_lag_delta",
+    oracle="""
+SELECT event_id, user_id,
+       round(value - LAG(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta_prev,
+       round(LEAD(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id) - value, 6)
+         AS delta_next
+FROM events
+""",
+)
+def window_lead_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user consecutive value deltas (lead/lag window pair over
+    one ordering — a single per-user sort serves both)."""
+    from pyspark.sql.window import Window as W
+
+    ev = read_table(spark, sf_dir, "events", widen=True)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta_prev"),
+        F.round(F.lead("value").over(w) - F.col("value"), 6).alias("delta_next"),
+    )
