@@ -649,11 +649,17 @@ def embedding_covariance(
         .select(
             "i",
             "j",
-            F.round(
-                F.col("sxy").cast("double") / nd
-                - (F.col("si").cast("double") / nd)
-                * (F.col("sj").cast("double") / nd),
-                6,
+            # + 0.0 folds IEEE -0.0 to +0.0 (near-zero cells round to a
+            # signed zero engine-dependently; stringified comparisons
+            # would then see "-0.0" != "0.0")
+            (
+                F.round(
+                    F.col("sxy").cast("double") / nd
+                    - (F.col("si").cast("double") / nd)
+                    * (F.col("sj").cast("double") / nd),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("cov"),
         )
     )

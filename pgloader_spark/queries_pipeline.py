@@ -2171,7 +2171,7 @@ dims AS (SELECT d, SUM(CAST(x AS DECIMAL(38,12))) AS s FROM ex GROUP BY 1)
 SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
        round(CAST(sxy AS DOUBLE) / n
              - (CAST(si.s AS DOUBLE) / n) * (CAST(sj.s AS DOUBLE) / n),
-             6) AS cov
+             6) + 0.0 AS cov
 FROM sums JOIN dims si ON si.d = i JOIN dims sj ON sj.d = j
 """,
 )
