@@ -2408,3 +2408,66 @@ def window_lead_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta_prev"),
         F.round(F.lead("value").over(w) - F.col("value"), 6).alias("delta_next"),
     )
+
+
+@query(
+    "similarity_ivf_quality",
+    oracle=f"""
+WITH {{ivf_assign}},
+c AS (SELECT e.vec_id AS n_id, e.embedding AS n_vec, a.cell
+      FROM embeddings e JOIN asg a USING (vec_id)),
+q AS (SELECT e.vec_id AS q_id, e.embedding AS q_vec, a.cell
+      FROM embeddings e JOIN asg a USING (vec_id) WHERE e.vec_id % 50 = 0),
+ivf_s AS (
+  SELECT q_id, n_id, {{cos_cq}} AS cos_sim
+  FROM c JOIN q USING (cell) WHERE n_id <> q_id),
+ivf_r AS (SELECT q_id, n_id, ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rnk FROM ivf_s),
+ivf10 AS (SELECT q_id, n_id FROM ivf_r WHERE rnk <= 10),
+b_s AS (
+  SELECT q_id, e.vec_id AS n_id, {{cos_eq}} AS cos_sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+b_r AS (SELECT q_id, n_id, ROW_NUMBER() OVER (
+          PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rnk FROM b_s),
+b10 AS (SELECT q_id, n_id FROM b_r WHERE rnk <= 10),
+hits AS (
+  SELECT b10.q_id, COUNT(ivf10.n_id) AS n_hits
+  FROM b10 LEFT JOIN ivf10
+    ON b10.q_id = ivf10.q_id AND b10.n_id = ivf10.n_id
+  GROUP BY b10.q_id)
+SELECT q_id, CAST(n_hits AS INT) AS n_hits,
+       round(n_hits / 10.0, 6) AS recall_at_10
+FROM hits
+""".format(
+        ivf_assign=_DUCK_IVF_ASSIGN,
+        cos_cq=_DUCK_COS.format(a="q.q_vec", b="c.n_vec"),
+        cos_eq=_DUCK_COS.format(a="q.q_vec", b="e.embedding"),
+    ),
+)
+def similarity_ivf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURE the ANN shortcut against exact truth: per query,
+    recall@10 of IVF (n_probe=1, 8 cells) vs brute-force cosine — the
+    evaluation that decides n_probe before trusting IVF at scale.
+    Both sides run distributed; the overlap count is one keyed join
+    (the similarity twin of dedup_minhash_quality)."""
+    from pgloader_spark.operators import similarity as sim
+
+    emb = read_table(spark, sf_dir, "embeddings", widen=True)
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    cents = sim.ivf_centroids(emb, n_centroids=8)
+    ivf10 = sim.ivf_topk(emb, queries_df, k=10, centroids=cents).select(
+        "q_id", "n_id"
+    )
+    b10 = sim.cosine_topk_blas(emb, queries_df, k=10).select(
+        "q_id", "n_id", F.lit(1).alias("in_truth")
+    )
+    hits = (
+        b10.join(ivf10.withColumn("in_ivf", F.lit(1)), ["q_id", "n_id"], "left")
+        .groupBy("q_id")
+        .agg(F.sum(F.coalesce(F.col("in_ivf"), F.lit(0))).alias("n_hits"))
+    )
+    return hits.select(
+        "q_id",
+        F.col("n_hits").cast("int").alias("n_hits"),
+        F.round(F.col("n_hits") / 10.0, 6).alias("recall_at_10"),
+    )
