@@ -365,3 +365,29 @@ def test_bpe_segment_counts_matches_textbook_segmenter(spark):
             n_sub,
             round(n_sub / len(toks), 6),
         ), doc_id
+
+
+def test_new_text_ops_tolerate_null_and_empty_text(spark):
+    """NULL/empty documents must not crash BM25, BPE, or the corpus
+    card — they contribute no tokens and drop out of token-keyed
+    outputs (production corpora always carry some broken rows)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha", "en", "s0"),
+            (2, None, "en", "s0"),
+            (3, "", "fr", "s1"),
+            (4, "beta gamma", "en", "s1"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    qdf = spark.createDataFrame(
+        [(1, "alpha")], "query_id long, query_text string"
+    )
+    bm = txt.bm25_topk(docs, qdf, k=5).collect()
+    assert {r["doc_id"] for r in bm} == {1}  # only the alpha doc scores
+
+    merges = txt.bpe_learn(docs, n_merges=4)
+    assert merges  # learned from the non-null rows only
+    seg = {r["doc_id"]: r["n_tokens"] for r in
+           txt.bpe_segment_counts(docs, merges).collect()}
+    assert seg == {1: 3, 4: 2}  # null/empty docs emit no token rows
