@@ -2286,6 +2286,22 @@ def test_tls_sslmode_require_and_verify(pg_dsn, tmp_path, monkeypatch):
             f"{pg_dsn}?sslmode=verify-ca&sslrootcert={crt}"
         ) as c:
             assert c.query("SELECT 1")[1] == [("1",)]
+        # distributed read over TLS: every Spark task opens its own
+        # encrypted connection for its ctid-range COPY stream
+        from pgloader_spark.session import get_spark
+        from pgloader_spark.sources.pg_live import read_pg_table
+
+        with PGConn(pg_dsn) as c:
+            c.query("DROP TABLE IF EXISTS tls_read_t")
+            c.query("CREATE TABLE tls_read_t (id bigint, v text)")
+            c.query(
+                "INSERT INTO tls_read_t "
+                "SELECT g, 'v' || g FROM generate_series(1, 5000) g"
+            )
+        spark = get_spark()
+        df = read_pg_table(spark, f"{pg_dsn}?sslmode=require", "tls_read_t")
+        assert df.count() == 5000
+        assert df.agg({"id": "sum"}).collect()[0][0] == 5000 * 5001 // 2
         # verify-ca against an unrelated root: certificate rejected
         other = tmp_path / "other.crt"
         subprocess.run(
