@@ -2471,3 +2471,94 @@ def similarity_ivf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_hits").cast("int").alias("n_hits"),
         F.round(F.col("n_hits") / 10.0, 6).alias("recall_at_10"),
     )
+
+
+@query(
+    "window_cum_distinct_users",
+    oracle="""
+WITH d AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events),
+firsts AS (SELECT day, COUNT(*) AS new_users FROM d WHERE rn = 1 GROUP BY 1),
+days AS (SELECT DISTINCT day FROM d)
+SELECT days.day,
+       CAST(COALESCE(new_users, 0) AS BIGINT) AS new_users,
+       CAST(SUM(COALESCE(new_users, 0)) OVER (
+         ORDER BY days.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_distinct_users
+FROM days LEFT JOIN firsts USING (day)
+""",
+)
+def window_cum_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per epoch-day WITHOUT a distinct-
+    accumulating window (unsupported everywhere): each user
+    contributes once at their FIRST event (row_number = 1), then a
+    running sum over the per-day firsts — the standard scale rewrite;
+    the running window runs over day-count rows, never events."""
+    from pyspark.sql.window import Window as W
+
+    ev = read_table(spark, sf_dir, "events", widen=True)
+    day = F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("day")
+    w_first = W.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(day, "user_id", "ts", "event_id").withColumn(
+        "rn", F.row_number().over(w_first)
+    )
+    firsts = d.filter(F.col("rn") == 1).groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    days = d.select("day").distinct()
+    joined = days.join(firsts, "day", "left").select(
+        "day", F.coalesce("new_users", F.lit(0)).alias("new_users")
+    )
+    w_cum = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return joined.select(
+        "day",
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w_cum).cast("long").alias("cum_distinct_users"),
+    )
+
+
+@query(
+    "agg_exact_median",
+    oracle="""
+WITH r AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_type,
+       round(AVG(value), 6) AS median_value,
+       CAST(MAX(n) AS BIGINT) AS n
+FROM r
+WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+GROUP BY event_type
+""",
+)
+def agg_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median without a global sort: rank within the
+    group, keep the middle one or two rows, average them.  The sort is
+    per-group (parallel across groups); only 1-2 rows per group
+    survive to the final agg — the scale-correct exact-median shape
+    (approximate quantiles live in sketch_quantile_thresholds)."""
+    from pyspark.sql.window import Window as W
+
+    ev = read_table(spark, sf_dir, "events", widen=True)
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    wn = W.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mid = r.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+    )
+    return mid.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("median_value"),
+        F.max("n").cast("long").alias("n"),
+    )
