@@ -2348,3 +2348,66 @@ def test_load_csv_with_reindex_spelling(seeded, spark, tmp_path):
             " ORDER BY indexname"
         )
         assert [r[0] for r in rows] == ["ri_people_name_idx", "ri_people_pkey"]
+
+
+def test_streaming_sink_exactly_once(seeded, spark, tmp_path):
+    """Exactly-once streaming into PG: (a) a live 2-micro-batch stream
+    lands every row exactly once; (b) REPLAYING an epoch (the
+    crash-between-sink-and-checkpoint case) is a no-op; (c) a partial
+    stage left by a mid-epoch crash is discarded on the retry."""
+    from pgloader_spark.sources.pg_live import write_pg_copy
+    from pgloader_spark.streaming.pg_sink import (
+        apply_epoch_exactly_once,
+        write_stream_pg_exactly_once,
+    )
+
+    with PGConn(seeded) as c:
+        c.query("DROP TABLE IF EXISTS eo_sink")
+        c.query("DROP TABLE IF EXISTS eo_sink__epochs")
+        c.query("CREATE TABLE eo_sink (id bigint, v text)")
+    src = tmp_path / "eo_in"
+    src.mkdir()
+    (src / "b1.csv").write_text("1,a\n2,b\n")
+    stream = (
+        spark.readStream.format("csv")
+        .schema("id bigint, v string")
+        .load(str(src))
+    )
+    q = write_stream_pg_exactly_once(
+        stream, seeded, "eo_sink", str(tmp_path / "eo_ck"), n_writers=2
+    )
+    try:
+        q.processAllAvailable()
+        (src / "b2.csv").write_text("3,c\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    with PGConn(seeded) as c:
+        _, rows = c.query("SELECT id, v FROM eo_sink ORDER BY id")
+        assert rows == [("1", "a"), ("2", "b"), ("3", "c")]
+        _, eps = c.query("SELECT COUNT(*) FROM eo_sink__epochs")
+        n_epochs = int(eps[0][0])
+        assert n_epochs >= 2
+
+    # (b) replay an already-committed epoch -> skipped, no duplicates
+    replay = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+    assert apply_epoch_exactly_once(replay, 0, seeded, "eo_sink") == 0
+    with PGConn(seeded) as c:
+        _, rows = c.query("SELECT COUNT(*) FROM eo_sink")
+        assert rows == [("3",)]
+
+    # (c) a partial stage from a mid-epoch crash is truncated on retry
+    with PGConn(seeded) as c:
+        c.query("DROP TABLE IF EXISTS eo_sink__stage")
+        c.query("CREATE TABLE eo_sink__stage (LIKE eo_sink)")
+    write_pg_copy(
+        spark.createDataFrame([(97, "zombie")], "id bigint, v string"),
+        seeded,
+        "eo_sink__stage",
+        n_writers=1,
+    )
+    fresh = spark.createDataFrame([(4, "d")], "id bigint, v string")
+    assert apply_epoch_exactly_once(fresh, 99, seeded, "eo_sink") == 1
+    with PGConn(seeded) as c:
+        _, rows = c.query("SELECT id, v FROM eo_sink ORDER BY id")
+        assert rows == [("1", "a"), ("2", "b"), ("3", "c"), ("4", "d")]
