@@ -761,3 +761,88 @@ def write_pg_upsert(
     finally:
         with PGConn(dsn) as conn:
             conn.query(f"DROP TABLE IF EXISTS {q_stage}")
+
+
+def apply_pg_cdc(
+    df: DataFrame,
+    dsn: str,
+    table: str,
+    key_cols: list[str],
+    op_col: str = "op",
+    seq_col: str | None = None,
+    n_writers: int | None = None,
+) -> tuple[int, int, int]:
+    """Apply a CDC batch (op column: I/U/D) in ONE server-side
+    transaction: collapsed last-op-per-key semantics — deletes remove,
+    inserts/updates upsert, and a key's earlier ops in the same batch
+    are superseded by its last (ordered by ``seq_col`` — the LSN/event
+    sequence — or stage order when absent).
+
+    Completes the sink family: append (write_pg_copy) -> merge
+    (write_pg_upsert) -> full change-stream application.  The
+    distributed phase is exactly the Arrow COPY into staging; the
+    apply is one DELETE + one INSERT..ON CONFLICT inside a single
+    transaction, so a re-run of the same batch converges and a crash
+    mid-apply leaves the target untouched.  Returns
+    (rows_staged, rows_upserted, rows_deleted).
+    """
+    data_cols = [c for c in df.columns if c not in (op_col, seq_col)]
+    staging = f"{table.split('.')[-1]}__cdc_stage"
+    q_target = quote_qualified(table)
+    q_stage = quote_qualified(staging)
+    order_expr = f'"__seq" DESC' if seq_col else "ctid DESC"
+    with PGConn(dsn) as conn:
+        conn.query(f"DROP TABLE IF EXISTS {q_stage}")
+        conn.query(
+            f"CREATE UNLOGGED TABLE {q_stage} "
+            f"(LIKE {q_target} INCLUDING DEFAULTS)"
+        )
+        conn.query(f'ALTER TABLE {q_stage} ADD COLUMN "__op" text')
+        if seq_col:
+            conn.query(f'ALTER TABLE {q_stage} ADD COLUMN "__seq" bigint')
+    try:
+        from pyspark.sql import functions as F
+
+        staged_df = df.select(
+            *data_cols,
+            F.upper(F.col(op_col).cast("string")).alias("__op"),
+            *([F.col(seq_col).cast("long").alias("__seq")] if seq_col else []),
+        )
+        staged = write_pg_copy(staged_df, dsn, staging, n_writers=n_writers)
+        collist = ", ".join(f'"{c}"' for c in data_cols)
+        keylist = ", ".join(f'"{c}"' for c in key_cols)
+        upd_cols = [c for c in data_cols if c not in key_cols]
+        action = (
+            "DO UPDATE SET "
+            + ", ".join(f'"{c}" = EXCLUDED."{c}"' for c in upd_cols)
+            if upd_cols
+            else "DO NOTHING"
+        )
+        last = (
+            f'(SELECT {collist}, "__op", ROW_NUMBER() OVER '
+            f"(PARTITION BY {keylist} ORDER BY {order_expr}) AS __rn "
+            f"FROM {q_stage})"
+        )
+        key_eq = " AND ".join(f't."{k}" = d."{k}"' for k in key_cols)
+        with PGConn(dsn) as conn:
+            conn.query("BEGIN")
+            _, drows = conn.query(
+                f"WITH last AS {last}, del AS ("
+                f"DELETE FROM {q_target} t USING "
+                f"(SELECT {keylist} FROM last WHERE __rn = 1 "
+                f"AND \"__op\" = 'D') d WHERE {key_eq} RETURNING 1) "
+                "SELECT COUNT(*) FROM del"
+            )
+            _, urows = conn.query(
+                f"WITH last AS {last}, ins AS ("
+                f"INSERT INTO {q_target} ({collist}) "
+                f"SELECT {collist} FROM last WHERE __rn = 1 "
+                f"AND \"__op\" IN ('I', 'U') "
+                f"ON CONFLICT ({keylist}) {action} RETURNING 1) "
+                "SELECT COUNT(*) FROM ins"
+            )
+            conn.query("COMMIT")
+        return staged, int(urows[0][0]), int(drows[0][0])
+    finally:
+        with PGConn(dsn) as conn:
+            conn.query(f"DROP TABLE IF EXISTS {q_stage}")

@@ -2411,3 +2411,44 @@ def test_streaming_sink_exactly_once(seeded, spark, tmp_path):
     with PGConn(seeded) as c:
         _, rows = c.query("SELECT id, v FROM eo_sink ORDER BY id")
         assert rows == [("1", "a"), ("2", "b"), ("3", "c"), ("4", "d")]
+
+
+def test_apply_pg_cdc_collapsed_last_op(seeded, spark):
+    """CDC batch application: last-op-per-key wins (by seq), deletes
+    remove, upserts land, re-running the same batch converges, and a
+    delete-then-reinsert inside one batch resolves to the reinsert."""
+    from pgloader_spark.sources.pg_live import apply_pg_cdc
+
+    with PGConn(seeded) as c:
+        c.query("DROP TABLE IF EXISTS cdc_t")
+        c.query("CREATE TABLE cdc_t (id bigint PRIMARY KEY, v text)")
+        c.query("INSERT INTO cdc_t VALUES (1, 'old1'), (2, 'old2'), (3, 'old3')")
+    batch = spark.createDataFrame(
+        [
+            (1, "upd1", "U", 10),     # update existing
+            (2, None, "D", 11),       # delete existing
+            (4, "new4", "I", 12),     # insert new
+            (5, "first5", "I", 13),   # insert...
+            (5, "last5", "U", 14),    # ...then update: last wins
+            (3, None, "D", 15),       # delete...
+            (3, "back3", "I", 16),    # ...then reinsert: reinsert wins
+        ],
+        "id bigint, v string, op string, seq long",
+    )
+    staged, ups, dels = apply_pg_cdc(
+        batch, seeded, "cdc_t", key_cols=["id"], seq_col="seq", n_writers=2
+    )
+    assert staged == 7
+    with PGConn(seeded) as c:
+        _, rows = c.query("SELECT id, v FROM cdc_t ORDER BY id")
+        assert rows == [
+            ("1", "upd1"), ("3", "back3"), ("4", "new4"), ("5", "last5"),
+        ]
+    assert dels == 1  # only id=2's collapsed op was a delete
+    # idempotence: the same batch re-applied converges to the same state
+    apply_pg_cdc(batch, seeded, "cdc_t", key_cols=["id"], seq_col="seq")
+    with PGConn(seeded) as c:
+        _, rows = c.query("SELECT id, v FROM cdc_t ORDER BY id")
+        assert rows == [
+            ("1", "upd1"), ("3", "back3"), ("4", "new4"), ("5", "last5"),
+        ]
