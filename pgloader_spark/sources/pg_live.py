@@ -771,6 +771,7 @@ def apply_pg_cdc(
     op_col: str = "op",
     seq_col: str | None = None,
     n_writers: int | None = None,
+    epoch_id: int | None = None,
 ) -> tuple[int, int, int]:
     """Apply a CDC batch (op column: I/U/D) in ONE server-side
     transaction: collapsed last-op-per-key semantics — deletes remove,
@@ -785,7 +786,24 @@ def apply_pg_cdc(
     transaction, so a re-run of the same batch converges and a crash
     mid-apply leaves the target untouched.  Returns
     (rows_staged, rows_upserted, rows_deleted).
+
+    ``epoch_id`` turns idempotent-by-convergence into EXACTLY-ONCE:
+    the epoch id is inserted into ``<table>__epochs`` inside the same
+    transaction as the apply (streaming/pg_sink.py's guarantee, for
+    change streams); an already-logged epoch returns (0, 0, 0)
+    without touching the target.
     """
+    log = f"{table.split('.')[-1]}__epochs"
+    if epoch_id is not None:
+        with PGConn(dsn) as conn:
+            conn.query(
+                f"CREATE TABLE IF NOT EXISTS {log} (epoch bigint PRIMARY KEY)"
+            )
+            _, seen = conn.query(
+                f"SELECT 1 FROM {log} WHERE epoch = {int(epoch_id)}"
+            )
+            if seen:
+                return 0, 0, 0
     data_cols = [c for c in df.columns if c not in (op_col, seq_col)]
     staging = f"{table.split('.')[-1]}__cdc_stage"
     q_target = quote_qualified(table)
@@ -841,6 +859,10 @@ def apply_pg_cdc(
                 f"ON CONFLICT ({keylist}) {action} RETURNING 1) "
                 "SELECT COUNT(*) FROM ins"
             )
+            if epoch_id is not None:
+                conn.query(
+                    f"INSERT INTO {log} (epoch) VALUES ({int(epoch_id)})"
+                )
             conn.query("COMMIT")
         return staged, int(urows[0][0]), int(drows[0][0])
     finally:

@@ -85,3 +85,41 @@ def write_stream_pg_exactly_once(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def write_stream_pg_cdc_exactly_once(
+    stream_df: DataFrame,
+    dsn: str,
+    table: str,
+    key_cols: list,
+    checkpoint: str,
+    op_col: str = "op",
+    seq_col: str | None = None,
+    n_writers: int | None = None,
+):
+    """Exactly-once streaming CDC replication: every micro-batch of
+    change events (op I/U/D [+ seq]) applies through
+    ``apply_pg_cdc(epoch_id=...)`` — the epoch log rides INSIDE the
+    same transaction as the delete+upsert, so a replayed epoch is a
+    no-op and a mid-apply crash leaves the target untouched.  This is
+    the continuous-replication mode the reference approximates with
+    repeated full reloads."""
+    from pgloader_spark.sources.pg_live import apply_pg_cdc
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_pg_cdc(
+            batch_df,
+            dsn,
+            table,
+            key_cols=list(key_cols),
+            op_col=op_col,
+            seq_col=seq_col,
+            n_writers=n_writers,
+            epoch_id=int(epoch_id),
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -2452,3 +2452,50 @@ def test_apply_pg_cdc_collapsed_last_op(seeded, spark):
         assert rows == [
             ("1", "upd1"), ("3", "back3"), ("4", "new4"), ("5", "last5"),
         ]
+
+
+def test_streaming_cdc_exactly_once(seeded, spark, tmp_path):
+    """Streaming CDC replication with exactly-once epochs: a 2-batch
+    change stream (insert/update/delete) lands collapsed, and
+    replaying an applied epoch is a no-op."""
+    from pgloader_spark.sources.pg_live import apply_pg_cdc
+    from pgloader_spark.streaming.pg_sink import (
+        write_stream_pg_cdc_exactly_once,
+    )
+
+    with PGConn(seeded) as c:
+        c.query("DROP TABLE IF EXISTS cdcs_t")
+        c.query("DROP TABLE IF EXISTS cdcs_t__epochs")
+        c.query("CREATE TABLE cdcs_t (id bigint PRIMARY KEY, v text)")
+    src = tmp_path / "cdc_in"
+    src.mkdir()
+    (src / "b1.csv").write_text("1,a,I,1\n2,b,I,2\n")
+    stream = (
+        spark.readStream.format("csv")
+        .schema("id bigint, v string, op string, seq long")
+        .load(str(src))
+    )
+    q = write_stream_pg_cdc_exactly_once(
+        stream, seeded, "cdcs_t", ["id"],
+        str(tmp_path / "cdc_ck"), seq_col="seq", n_writers=2,
+    )
+    try:
+        q.processAllAvailable()
+        (src / "b2.csv").write_text("1,a2,U,3\n2,,D,4\n3,c,I,5\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    with PGConn(seeded) as c:
+        _, rows = c.query("SELECT id, v FROM cdcs_t ORDER BY id")
+        assert rows == [("1", "a2"), ("3", "c")]
+    # replaying epoch 0 (the crash-replay case) changes nothing
+    replay = spark.createDataFrame(
+        [(1, "a", "I", 1), (2, "b", "I", 2)],
+        "id bigint, v string, op string, seq long",
+    )
+    assert apply_pg_cdc(
+        replay, seeded, "cdcs_t", ["id"], seq_col="seq", epoch_id=0
+    ) == (0, 0, 0)
+    with PGConn(seeded) as c:
+        _, rows = c.query("SELECT id, v FROM cdcs_t ORDER BY id")
+        assert rows == [("1", "a2"), ("3", "c")]
