@@ -818,6 +818,18 @@ def apply_pg_cdc(
         conn.query(f'ALTER TABLE {q_stage} ADD COLUMN "__op" text')
         if seq_col:
             conn.query(f'ALTER TABLE {q_stage} ADD COLUMN "__seq" bigint')
+        # LIKE copies NOT NULL constraints, but DELETE events carry
+        # only the key columns (REPLICA IDENTITY) — the stage must
+        # accept nulls everywhere
+        for c in data_cols:
+            if c not in key_cols:
+                try:
+                    conn.query(
+                        f'ALTER TABLE {q_stage} ALTER COLUMN "{c}" '
+                        "DROP NOT NULL"
+                    )
+                except PGError:
+                    pass
     try:
         from pyspark.sql import functions as F
 

@@ -1,0 +1,154 @@
+"""Live CDC capture: logical replication slot -> parse -> exactly-once
+apply, end-to-end PG -> PG replication on a wal_level=logical server."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import time
+import uuid
+
+import pytest
+
+from pgloader_spark.sources.pg_cdc import (
+    advance_cdc_slot,
+    create_cdc_slot,
+    drop_cdc_slot,
+    lsn_to_int,
+    parse_test_decoding,
+    peek_cdc_changes,
+    replicate_pg_table,
+)
+from pgloader_spark.sources.pgwire import PGConn
+
+PORT = 54361
+
+
+def _su_pg(cmd: str) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        ["su", "postgres", "-s", "/bin/bash", "-c", cmd],
+        capture_output=True,
+        text=True,
+    )
+
+
+@pytest.fixture(scope="module")
+def logical_dsn():
+    if shutil.which("pg_ctl") is None or shutil.which("su") is None:
+        pytest.skip("no PostgreSQL server binary")
+    base = f"/tmp/pgcdc_test_{uuid.uuid4().hex[:8]}"
+    data = f"{base}/data"
+    os.makedirs(base, exist_ok=True)
+    shutil.chown(base, "postgres", "postgres")
+    if _su_pg(f"initdb -A trust -D {data} -U postgres").returncode != 0:
+        shutil.rmtree(base, ignore_errors=True)
+        pytest.skip("initdb failed")
+    started = _su_pg(
+        f"pg_ctl -D {data} -l {base}/log -o '-p {PORT} "
+        f"-c listen_addresses=127.0.0.1 -c wal_level=logical "
+        f"-c unix_socket_directories={base}' start"
+    )
+    if started.returncode != 0:
+        shutil.rmtree(base, ignore_errors=True)
+        pytest.skip(f"pg_ctl start failed: {started.stderr[-200:]}")
+    dsn = f"postgresql://postgres@127.0.0.1:{PORT}/postgres"
+    for _ in range(50):
+        try:
+            PGConn(dsn).close()
+            break
+        except OSError:
+            time.sleep(0.2)
+    yield dsn
+    _su_pg(f"pg_ctl -D {data} -m immediate stop")
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_parse_test_decoding_edges():
+    p = parse_test_decoding
+    r = p("table public.t: UPDATE: id[bigint]:7 v[text]:'a: [x]''s'")
+    assert r == {
+        "schema": "public", "table": "t", "op": "U",
+        "cols": {"id": "7", "v": "a: [x]'s"},
+    }
+    assert p("BEGIN 711") is None
+    assert p("COMMIT 711") is None
+    d = p("table public.t: DELETE: id[bigint]:3")
+    assert d["op"] == "D" and d["cols"] == {"id": "3"}
+    n = p("table s2.x: INSERT: a[integer]:null b[boolean]:true")
+    assert n["schema"] == "s2" and n["cols"] == {"a": None, "b": "true"}
+    assert lsn_to_int("1/10") == (1 << 32) + 16
+
+
+def test_cdc_capture_and_replicate_end_to_end(logical_dsn, spark):
+    """Create src + dst tables on the same server (dst stands in for a
+    remote target), mutate src, replicate: dst converges; quiet slots
+    are no-ops; crash-replay of the same LSN window is exactly-once."""
+    dsn = logical_dsn
+    with PGConn(dsn) as c:
+        c.query("CREATE TABLE cdc_src (id bigint PRIMARY KEY, v text)")
+        c.query("CREATE TABLE cdc_dst (id bigint PRIMARY KEY, v text)")
+    create_cdc_slot(dsn, "s_rep")
+    try:
+        with PGConn(dsn) as c:
+            c.query("INSERT INTO cdc_src VALUES (1, 'one'), (2, 'two')")
+            c.query("UPDATE cdc_src SET v = 'TWO' WHERE id = 2")
+            c.query("INSERT INTO cdc_src VALUES (3, 'three')")
+            c.query("DELETE FROM cdc_src WHERE id = 1")
+
+        # peek is non-destructive
+        changes, max_lsn = peek_cdc_changes(dsn, "s_rep")
+        assert [c["op"] for c in changes] == ["I", "I", "U", "I", "D"]
+        changes2, _ = peek_cdc_changes(dsn, "s_rep")
+        assert len(changes2) == len(changes)
+
+        applied = replicate_pg_table(
+            spark, dsn, "s_rep", dsn, "cdc_dst", key_cols=["id"], n_writers=2,
+            src_table="cdc_src",
+        )
+        assert applied >= 2  # collapsed upserts + the delete
+        with PGConn(dsn) as c:
+            _, rows = c.query("SELECT id, v FROM cdc_dst ORDER BY id")
+            assert rows == [("2", "TWO"), ("3", "three")]
+
+        # quiet slot -> no-op
+        assert replicate_pg_table(
+            spark, dsn, "s_rep", dsn, "cdc_dst", key_cols=["id"],
+            src_table="cdc_src",
+        ) == 0
+
+        # second wave, incl. a value with quotes and a null
+        with PGConn(dsn) as c:
+            c.query("INSERT INTO cdc_src VALUES (4, 'it''s')")
+            c.query("UPDATE cdc_src SET v = NULL WHERE id = 3")
+        replicate_pg_table(
+            spark, dsn, "s_rep", dsn, "cdc_dst", key_cols=["id"],
+            src_table="cdc_src",
+        )
+        with PGConn(dsn) as c:
+            _, rows = c.query("SELECT id, v FROM cdc_dst ORDER BY id")
+            assert rows == [("2", "TWO"), ("3", None), ("4", "it's")]
+
+        # crash-replay: re-apply the SAME window without advancing ->
+        # the epoch log makes it a no-op (simulate by NOT advancing:
+        # peek again after manual un-advance is impossible, so replay
+        # through apply_pg_cdc directly with the same epoch)
+        from pgloader_spark.sources.pg_live import apply_pg_cdc
+
+        replay = spark.createDataFrame(
+            [(4, "stale", "U", 0)], "id bigint, v string, op string, seq long"
+        )
+        with PGConn(dsn) as c:
+            _, rows = c.query(
+                "SELECT MAX(epoch) FROM cdc_dst__epochs"
+            )
+        last_epoch = int(rows[0][0])
+        assert apply_pg_cdc(
+            replay, dsn, "cdc_dst", ["id"], seq_col="seq",
+            epoch_id=last_epoch,
+        ) == (0, 0, 0)
+        with PGConn(dsn) as c:
+            _, rows = c.query("SELECT v FROM cdc_dst WHERE id = 4")
+            assert rows == [("it's",)]
+    finally:
+        drop_cdc_slot(dsn, "s_rep")
