@@ -181,3 +181,77 @@ def replicate_pg_table(
     )
     advance_cdc_slot(src_dsn, slot, max_lsn)
     return applied
+
+
+def replicate_pg_tables(
+    spark: SparkSession,
+    src_dsn: str,
+    slot: str,
+    dst_dsn: str,
+    tables: dict[str, list[str]],  # target table -> key columns
+    n_writers: int | None = None,
+    src_tables: dict[str, str] | None = None,  # target -> source name
+) -> dict[str, int]:
+    """One slot, N tables: peek the window ONCE, apply each table's
+    changes in its own epoch-logged transaction, advance the cursor
+    once at the end.  A crash between table applies replays the
+    window; per-table epoch logs skip the already-committed tables
+    and re-apply the rest — still exactly-once per table."""
+    from pgloader_spark.sources.pg_live import apply_pg_cdc, introspect_pg
+
+    changes, max_lsn = peek_cdc_changes(src_dsn, slot)
+    applied: dict[str, int] = {}
+    if max_lsn is None:
+        return applied
+    epoch = lsn_to_int(max_lsn)
+    src_names = src_tables or {}
+    for table, key_cols in tables.items():
+        want = src_names.get(table, table).split(".")[-1]
+        mine = [c for c in changes if c["table"] == want]
+        if not mine:
+            applied[table] = 0
+            continue
+        col_names = [
+            f.name for f in introspect_pg(dst_dsn)[table.split(".")[-1]]
+        ]
+        rows = [
+            tuple(c["cols"].get(n) for n in col_names) + (c["op"], c["seq"])
+            for c in mine
+        ]
+        schema = (
+            ", ".join(f"`{n}` string" for n in col_names)
+            + ", op string, seq long"
+        )
+        df = spark.createDataFrame(rows, schema)
+        applied[table] = sum(
+            apply_pg_cdc(
+                df, dst_dsn, table, key_cols=key_cols, seq_col="seq",
+                n_writers=n_writers, epoch_id=epoch,
+            )[1:]
+        )
+    advance_cdc_slot(src_dsn, slot, max_lsn)
+    return applied
+
+
+def bootstrap_replication(
+    spark: SparkSession,
+    src_dsn: str,
+    slot: str,
+    dst_dsn: str,
+    table: str,
+    key_cols: list[str],
+    n_writers: int | None = None,
+    src_table: str | None = None,
+) -> int:
+    """Initial snapshot + catch-up, gap-free: the slot is created
+    BEFORE the snapshot read, so every write concurrent with the
+    snapshot lands in the change stream; replaying a change the
+    snapshot already saw is safe because the apply is an upsert
+    (same row -> same state).  Returns snapshot row count; run
+    ``replicate_pg_table`` afterwards for the stream."""
+    from pgloader_spark.sources.pg_live import read_pg_table, write_pg_copy
+
+    create_cdc_slot(src_dsn, slot)  # cursor first: no snapshot gap
+    src = (src_table or table).split(".")[-1]
+    df = read_pg_table(spark, src_dsn, src)
+    return write_pg_copy(df, dst_dsn, table, n_writers=n_writers)

@@ -152,3 +152,54 @@ def test_cdc_capture_and_replicate_end_to_end(logical_dsn, spark):
             assert rows == [("it's",)]
     finally:
         drop_cdc_slot(dsn, "s_rep")
+
+
+def test_multi_table_and_bootstrap(logical_dsn, spark):
+    """One slot drives two tables; bootstrap = slot-before-snapshot,
+    so a write racing the snapshot is replayed (upsert-safe), never
+    lost."""
+    from pgloader_spark.sources.pg_cdc import (
+        bootstrap_replication,
+        replicate_pg_tables,
+    )
+
+    dsn = logical_dsn
+    with PGConn(dsn) as c:
+        for t in ("ma", "mb"):
+            c.query(f"CREATE TABLE {t}_src (id bigint PRIMARY KEY, v text)")
+            c.query(f"CREATE TABLE {t}_dst (id bigint PRIMARY KEY, v text)")
+        c.query("INSERT INTO ma_src VALUES (1, 'seed')")
+
+    # bootstrap table ma: slot exists BEFORE the snapshot copy
+    n = bootstrap_replication(
+        spark, dsn, "s_multi", dsn, "ma_dst", ["id"], src_table="ma_src"
+    )
+    assert n == 1
+    try:
+        # concurrent-with-snapshot write (arrived after slot creation:
+        # it is IN the stream even though the snapshot may also have
+        # seen it — replay is an upsert, so no duplicate)
+        with PGConn(dsn) as c:
+            c.query("INSERT INTO ma_src VALUES (2, 'race')")
+            c.query("INSERT INTO mb_src VALUES (10, 'b-one')")
+            c.query("UPDATE ma_src SET v = 'seed2' WHERE id = 1")
+        got = replicate_pg_tables(
+            spark, dsn, "s_multi", dsn,
+            {"ma_dst": ["id"], "mb_dst": ["id"]},
+            src_tables={"ma_dst": "ma_src", "mb_dst": "mb_src"},
+        )
+        assert got["ma_dst"] >= 2 and got["mb_dst"] == 1
+        with PGConn(dsn) as c:
+            _, rows = c.query("SELECT id, v FROM ma_dst ORDER BY id")
+            assert rows == [("1", "seed2"), ("2", "race")]
+            _, rows = c.query("SELECT id, v FROM mb_dst ORDER BY id")
+            assert rows == [("10", "b-one")]
+        # quiet window: both tables no-op
+        got2 = replicate_pg_tables(
+            spark, dsn, "s_multi", dsn,
+            {"ma_dst": ["id"], "mb_dst": ["id"]},
+            src_tables={"ma_dst": "ma_src", "mb_dst": "mb_src"},
+        )
+        assert got2 == {} or set(got2.values()) == {0}
+    finally:
+        drop_cdc_slot(dsn, "s_multi")
