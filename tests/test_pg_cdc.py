@@ -203,3 +203,42 @@ def test_multi_table_and_bootstrap(logical_dsn, spark):
         assert got2 == {} or set(got2.values()) == {0}
     finally:
         drop_cdc_slot(dsn, "s_multi")
+
+
+def test_parse_test_decoding_roundtrip_property():
+    """Property: any column map formatted the way test_decoding
+    formats it parses back exactly (quotes, spaces, nulls, brackets,
+    colons in values)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    name = st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True)
+    text_val = st.text(
+        alphabet=st.characters(
+            codec="ascii", exclude_characters="\x00\n\r"
+        ),
+        max_size=30,
+    )
+    value = st.one_of(st.none(), st.integers(-10**6, 10**6), text_val)
+
+    def fmt(v):
+        if v is None:
+            return "null"
+        if isinstance(v, int):
+            return str(v)
+        return "'" + str(v).replace("'", "''") + "'"
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.dictionaries(name, value, min_size=1, max_size=6))
+    def check(cols):
+        line = "table public.t: INSERT: " + " ".join(
+            f"{k}[text]:{fmt(v)}" for k, v in cols.items()
+        )
+        parsed = parse_test_decoding(line)
+        assert parsed is not None
+        expect = {
+            k: (None if v is None else str(v)) for k, v in cols.items()
+        }
+        assert parsed["cols"] == expect
+
+    check()
