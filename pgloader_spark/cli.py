@@ -270,6 +270,20 @@ def main(argv: list[str] | None = None) -> int:
         "register_transform(name, fn) before parsing (the reference's "
         "--load user-Lisp hook, src/main.lisp:174-183)",
     )
+    ap.add_argument("--replicate", action="store_true",
+                    help="CDC mode: SOURCE/TARGET are PostgreSQL DSNs; "
+                    "drain the logical replication slot (--slot) into "
+                    "the target exactly once per poll")
+    ap.add_argument("--slot", default="pgloader_spark",
+                    metavar="NAME", help="logical replication slot name")
+    ap.add_argument("--tables", default=None,
+                    metavar="T1:k1[,k2][:SRC1];T2:k",
+                    help="replicated tables with their key columns and "
+                    "an optional differently-named source table")
+    ap.add_argument("--polls", type=int, default=1,
+                    help="number of drain cycles (0 = poll forever)")
+    ap.add_argument("--poll-interval", type=float, default=1.0,
+                    metavar="SEC", help="sleep between drain cycles")
     args = ap.parse_args(argv)
 
     if args.version:
@@ -282,6 +296,40 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if not args.source:
         ap.error("SOURCE is required")
+    if args.replicate:
+        if not (args.target and args.tables):
+            ap.error("--replicate needs SOURCE TARGET and --tables")
+        import time as _time
+
+        from pgloader_spark.session import get_spark
+        from pgloader_spark.sources.pg_cdc import replicate_pg_tables
+
+        tables: dict[str, list[str]] = {}
+        src_tables: dict[str, str] = {}
+        for spec in args.tables.split(";"):
+            parts = spec.split(":")
+            tname = parts[0].strip()
+            tables[tname] = [
+                k.strip() for k in parts[1].split(",") if k.strip()
+            ]
+            if len(parts) > 2 and parts[2].strip():
+                src_tables[tname] = parts[2].strip()
+        spark = get_spark(master=args.master)
+        cycles = 0
+        while True:
+            got = replicate_pg_tables(
+                spark, args.source, args.slot, args.target, tables,
+                src_tables=src_tables,
+            )
+            if got:
+                print(
+                    "applied "
+                    + ", ".join(f"{t}={n}" for t, n in sorted(got.items()))
+                )
+            cycles += 1
+            if args.polls and cycles >= args.polls:
+                return 0
+            _time.sleep(args.poll_interval)
     if args.upgrade_config:
         # convert-ini-into-commands (parse-ini.lisp:322-330): print the
         # modern syntax for each section, blank-line separated

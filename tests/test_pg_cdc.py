@@ -242,3 +242,31 @@ def test_parse_test_decoding_roundtrip_property():
         assert parsed["cols"] == expect
 
     check()
+
+
+def test_cli_replicate_mode(logical_dsn, spark):
+    """`pgloader_spark SRC DST --replicate --tables dst:id:src` drains
+    the slot through the CLI surface, exactly once."""
+    from pgloader_spark.cli import main
+    from pgloader_spark.sources.pg_cdc import create_cdc_slot, drop_cdc_slot
+
+    dsn = logical_dsn
+    with PGConn(dsn) as c:
+        c.query("CREATE TABLE cli_src (id bigint PRIMARY KEY, v text)")
+        c.query("CREATE TABLE cli_dst (id bigint PRIMARY KEY, v text)")
+    create_cdc_slot(dsn, "s_cli")
+    try:
+        with PGConn(dsn) as c:
+            c.query("INSERT INTO cli_src VALUES (1, 'x'), (2, 'y')")
+            c.query("DELETE FROM cli_src WHERE id = 1")
+        rc = main([
+            dsn, dsn, "--replicate", "--slot", "s_cli",
+            "--tables", "cli_dst:id:cli_src", "--polls", "1",
+            "--master", "local[4]",
+        ])
+        assert rc == 0
+        with PGConn(dsn) as c:
+            _, rows = c.query("SELECT id, v FROM cli_dst ORDER BY id")
+            assert rows == [("2", "y")]
+    finally:
+        drop_cdc_slot(dsn, "s_cli")
