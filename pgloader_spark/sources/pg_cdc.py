@@ -109,15 +109,34 @@ def peek_cdc_changes(
     dsn: str, slot: str, limit: int = 100_000
 ) -> tuple[list[dict], str | None]:
     """Peek (non-destructively) the slot; returns (changes, max_lsn).
-    Each change carries lsn/seq plus the parsed fields."""
+    Each change carries lsn/seq plus the parsed fields.
+
+    TRANSACTION-SAFE under ``limit``: the window is trimmed at the
+    LAST COMMIT boundary, so a limit that cuts inside a transaction
+    never yields (and never advances past) a partial transaction —
+    the cut rows replay complete in the next window.  A single
+    transaction larger than ``limit`` raises instead of applying
+    half of it.
+    """
     with PGConn(dsn) as c:
         _, rows = c.query(
             "SELECT lsn, data FROM pg_logical_slot_peek_changes("
             f"'{slot}', NULL, {int(limit)})"
         )
+    last_commit = None
+    for i, (_lsn, data) in enumerate(rows):
+        if data.startswith("COMMIT"):
+            last_commit = i
+    if rows and last_commit is None:
+        if len(rows) >= limit:
+            raise RuntimeError(
+                f"one transaction exceeds the peek limit ({limit}); "
+                "raise the limit to keep application atomic"
+            )
+        return [], None  # open transaction tail only: wait for commit
     out: list[dict] = []
     max_lsn = None
-    for seq, (lsn, data) in enumerate(rows):
+    for seq, (lsn, data) in enumerate(rows[: (last_commit or 0) + 1]):
         max_lsn = lsn
         parsed = parse_test_decoding(data)
         if parsed is not None:

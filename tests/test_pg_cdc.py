@@ -270,3 +270,61 @@ def test_cli_replicate_mode(logical_dsn, spark):
             assert rows == [("2", "y")]
     finally:
         drop_cdc_slot(dsn, "s_cli")
+
+
+def test_peek_is_transaction_safe_under_limit(logical_dsn):
+    """Transaction atomicity under a peek limit: PostgreSQL's
+    upto_nchanges only stops AFTER finishing a transaction, and the
+    reader trims at the last COMMIT as a defensive invariant — either
+    way a window never contains a partial transaction."""
+    dsn = logical_dsn
+    with PGConn(dsn) as c:
+        c.query("CREATE TABLE txs (id bigint PRIMARY KEY)")
+    create_cdc_slot(dsn, "s_tx")
+    try:
+        with PGConn(dsn) as c:
+            c.query("BEGIN")
+            for i in range(5):
+                c.query(f"INSERT INTO txs VALUES ({i})")
+            c.query("COMMIT")
+        # limit smaller than the txn: the server completes the txn
+        # anyway (upto_nchanges semantics) -> all 5 changes, one COMMIT
+        changes, lsn = peek_cdc_changes(dsn, "s_tx", limit=3)
+        assert len(changes) == 5 and lsn is not None
+        # the trimmed window ends ON the commit lsn (advance target)
+        with PGConn(dsn) as c:
+            _, raw = c.query(
+                "SELECT lsn, data FROM pg_logical_slot_peek_changes("
+                "'s_tx', NULL, NULL)"
+            )
+        assert raw[-1][1].startswith("COMMIT") and raw[-1][0] == lsn
+        # defensive trim: a synthetic window cut mid-transaction (no
+        # trailing COMMIT) yields nothing rather than a partial txn
+        from pgloader_spark.sources import pg_cdc as mod
+
+        cut = raw[:-1]  # drop the COMMIT row
+
+        class _FakeConn:
+            def __init__(self, dsn):
+                pass
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+            def query(self, sql):
+                return ([], list(cut))
+
+        orig = mod.PGConn
+        mod.PGConn = _FakeConn
+        try:
+            changes, lsn = peek_cdc_changes(dsn, "s_tx", limit=10**6)
+            assert changes == [] and lsn is None
+            with pytest.raises(RuntimeError, match="exceeds the peek limit"):
+                peek_cdc_changes(dsn, "s_tx", limit=len(cut))
+        finally:
+            mod.PGConn = orig
+    finally:
+        drop_cdc_slot(dsn, "s_tx")
