@@ -2562,3 +2562,84 @@ def agg_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value"), 6).alias("median_value"),
         F.max("n").cast("long").alias("n"),
     )
+
+
+@query(
+    "text_novelty_score",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, g
+  FROM (SELECT doc_id, unnest({_duck_ngrams(3)}) AS g
+        FROM (SELECT doc_id, tk FROM toks) t)),
+dfreq AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unique,
+       round(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+FROM grams JOIN dfreq USING (g)
+GROUP BY doc_id
+""",
+)
+def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-novelty signal: the fraction of a document's distinct
+    3-grams that appear in NO other document — high novelty marks
+    original content, low novelty boilerplate/near-dups.  One
+    gram-keyed document-frequency agg + one doc-keyed fold; both
+    map-side combinable (the per-doc complement to the corpus-level
+    dup_ngram signals)."""
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(txt.word_ngrams(F.col("text"), 3))
+        ).alias("g"),
+    ).distinct()
+    dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        grams.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("df") == 1).cast("int")).cast("long").alias(
+                "n_unique"
+            ),
+            F.round(
+                F.sum((F.col("df") == 1).cast("int"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+@query(
+    "text_length_pct_rank",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, len({_TOKS}) AS n_tok FROM documents)
+SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
+       round(PERCENT_RANK() OVER (
+         PARTITION BY lang ORDER BY n_tok, doc_id), 6) AS len_pct_rank
+FROM t
+""",
+)
+def text_length_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length percentile rank — the input to
+    length-outlier trimming policies (keep the 5th..95th band per
+    language).  One per-language window, sort parallel across
+    languages."""
+    from pyspark.sql.window import Window as W
+
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    t = docs.select(
+        "doc_id", "lang", txt.token_count("text").cast("long").alias("n_tok")
+    )
+    w = W.partitionBy("lang").orderBy("n_tok", "doc_id")
+    return t.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.round(F.percent_rank().over(w), 6).alias("len_pct_rank"),
+    )
