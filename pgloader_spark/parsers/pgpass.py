@@ -49,13 +49,19 @@ def _split_pgpass_line(line: str) -> list[str]:
             cur.append(line[i + 1])
             i += 2
         elif ch == "[":
+            # the reference's pgpass-ipv6-hostname rule: a bracket
+            # group counts only when its body is hex digits / colons
+            # (parse-pgpass.lisp:17-21); anything else is literal
             j = line.find("]", i + 1)
-            if j == -1:  # unterminated bracket: literal
+            body = line[i + 1 : j] if j != -1 else ""
+            if j != -1 and body and all(
+                c in "0123456789abcdefABCDEF:" for c in body
+            ):
+                cur.append(body)
+                i = j + 1
+            else:
                 cur.append(ch)
                 i += 1
-            else:
-                cur.append(line[i + 1 : j])
-                i = j + 1
         elif ch == ":":
             fields.append("".join(cur))
             cur = []

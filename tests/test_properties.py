@@ -345,19 +345,24 @@ def _pgpass_escape(field: str) -> str:
     st.lists(
         st.text(
             alphabet=st.characters(
-                blacklist_characters="\n\r", blacklist_categories=("Cs",)
+                # '[' is reserved by the grammar's ipv6-bracket rule
+                # (parse-pgpass.lisp:17-21): a field containing it is
+                # not representable on a pgpass line
+                blacklist_characters="\n\r[",
+                blacklist_categories=("Cs",),
             ),
             min_size=1,
             max_size=20,
-        ).filter(lambda s: not s.startswith(("#", "[", " "))),
+        ).filter(lambda s: not s.startswith(("#", " "))),
         min_size=5,
         max_size=5,
     )
 )
 @settings(max_examples=200)
 def test_pgpass_line_escape_roundtrip(fields):
-    """Any 5 fields, escaped per the libpq rules, parse back exactly —
-    the reference's pgpass-escaped-char grammar as a law."""
+    """Any 5 bracket-free fields, escaped per the libpq rules, parse
+    back exactly — the reference's pgpass-escaped-char grammar as a
+    law."""
     from pgloader_spark.parsers.pgpass import parse_pgpass_line
 
     line = ":".join(_pgpass_escape(f) for f in fields)
