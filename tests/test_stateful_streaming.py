@@ -457,3 +457,65 @@ def test_streaming_corpus_stats_matches_batch_card(spark, tmp_path):
         assert got["min_tokens"] == want["min_tokens"]
         assert got["max_tokens"] == want["max_tokens"]
         assert got["est_sources"] == est[lang]  # bit-equal sketch
+
+
+def test_streaming_corpus_stats_survives_restart(spark, tmp_path):
+    """Kill-and-restart recovery for the stateful corpus card: the
+    per-language state (running counts AND the 4096-byte HLL
+    registers) is restored from the checkpoint, so the post-restart
+    card equals the batch card over BOTH batches."""
+    from pyspark.sql import functions as F
+
+    from pgloader_spark.operators.sketches import hll_distinct
+    from pgloader_spark.streaming.stateful import streaming_corpus_stats
+
+    src = tmp_path / "card_ck_in"
+    out = tmp_path / "card_ck_out"
+    ck = tmp_path / "card_ck"
+    src.mkdir()
+    (src / "b1.csv").write_text("en,s0,alpha beta\nen,s1,gamma\n")
+
+    def start():
+        stream = (
+            spark.readStream.format("csv")
+            .schema("lang string, source string, text string")
+            .load(str(src))
+        )
+        return (
+            streaming_corpus_stats(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ck))
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # new docs arrive while the query is DOWN; restart from checkpoint
+    (src / "b2.csv").write_text("en,s2,delta epsilon zeta\n")
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    rows = (
+        spark.read.parquet(str(out))
+        .filter(F.col("lang") == "en")
+        .orderBy(F.desc("n_docs"))
+        .collect()
+    )
+    assert rows, "restart produced no card row"
+    got = rows[0]  # the most-advanced card = the post-restart emission
+    assert got["n_docs"] == 3  # state carried batch 1's two docs
+    assert got["total_tokens"] == 2 + 1 + 3
+    assert got["min_tokens"] == 1 and got["max_tokens"] == 3
+    batch = spark.createDataFrame(
+        [("en", "s0"), ("en", "s1"), ("en", "s2")], "lang string, source string"
+    )
+    want = hll_distinct(batch, "source", ["lang"]).collect()[0]["est_distinct"]
+    assert got["est_sources"] == want  # registers survived the restart
