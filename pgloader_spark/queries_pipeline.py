@@ -2643,3 +2643,52 @@ def text_length_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok",
         F.round(F.percent_rank().over(w), 6).alias("len_pct_rank"),
     )
+
+
+@query(
+    "events_zscore_anomalies",
+    oracle="""
+WITH stats AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         round(AVG(value), 6) AS mu,
+         round(CASE WHEN COUNT(*) > 1
+                    THEN stddev_samp(value) ELSE 0.0 END, 6) AS sigma
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type,
+       round(e.value, 6) AS value,
+       round(CASE WHEN sigma > 0
+                  THEN (e.value - mu) / sigma ELSE 0.0 END, 4) AS z
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE sigma > 0 AND abs((e.value - mu) / sigma) > 3
+""",
+)
+def events_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring-grade outlier flagging: events whose value sits more
+    than 3 sample-stddevs from their type's mean.  The per-type model
+    is a group-count-sized aggregate riding a broadcast back onto the
+    scan — two passes, no window over the full stream.  Moments are
+    rounded to 6dp before the z-score so both engines threshold the
+    identical boundary."""
+    ev = read_table(spark, sf_dir, "events", widen=True)
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(
+            F.when(F.count(F.lit(1)) > 1, F.stddev_samp("value")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter((F.col("sigma") > 0) & (F.abs(z) > 3))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(z, 4).alias("z"),
+        )
+    )
