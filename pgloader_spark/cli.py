@@ -483,11 +483,26 @@ def main(argv: list[str] | None = None) -> int:
 
                 if one_cmd.options.get("truncate"):
                     sql_runner(f"TRUNCATE {quote_qualified(report.table)}")
-                write_pg_copy(report.result, dest, report.table)
-                if report.post_load:  # WITH drop indexes: rebuild now
-                    from pgloader_spark.plans.orchestrate import run_post_load
+                try:
+                    write_pg_copy(report.result, dest, report.table)
+                finally:
+                    # WITH drop indexes: rebuild even when the COPY
+                    # fails — the statements are duplicate-tolerant,
+                    # and a failed load must not leave the target
+                    # stripped of its indexes/constraints
+                    if report.post_load:
+                        from pgloader_spark.plans.orchestrate import (
+                            run_post_load,
+                        )
 
-                    run_post_load(dest, report.post_load, transactional=False)
+                        run_post_load(
+                            dest, report.post_load, transactional=False
+                        )
+                        if report.post_load_file:
+                            try:
+                                os.unlink(report.post_load_file)
+                            except OSError:
+                                pass
             reports.append(report)
 
         if args.regress:

@@ -46,8 +46,10 @@ class LoadReport:
     errors: int = 0
     result: DataFrame | None = None
     # index-rebuild DDL deferred past a caller-side sink (WITH drop
-    # indexes when the caller, not ctx.sink, lands the data)
+    # indexes when the caller, not ctx.sink, lands the data); the
+    # on-disk recovery copy survives a crash before the rebuild runs
     post_load: list[str] = field(default_factory=list)
+    post_load_file: str | None = None
 
 
 @dataclass
@@ -1155,6 +1157,7 @@ def execute(ctx: ExecutionContext, cmd: LoadCommand) -> LoadReport:
     # WITH drop indexes: drop before the load, rebuild after — the
     # reference's kernel for fast data-only loads into existing tables
     rebuild_stmts: list[str] = []
+    rebuild_file = None
     tgt_dsn = cmd.target or ""
     if (
         (cmd.options.get("drop_indexes") or cmd.options.get("reindex"))
@@ -1163,39 +1166,62 @@ def execute(ctx: ExecutionContext, cmd: LoadCommand) -> LoadReport:
         from pgloader_spark.sources.pg_live import capture_and_drop_indexes
 
         rebuild_stmts = capture_and_drop_indexes(tgt_dsn, table)
+        if rebuild_stmts:
+            # recovery script FIRST: a crash anywhere before the
+            # rebuild leaves the DDL on disk instead of a target
+            # silently stripped of its indexes and constraints
+            rdir = os.path.join(ctx.root_dir, "pgloader")
+            os.makedirs(rdir, exist_ok=True)
+            rebuild_file = os.path.join(
+                rdir, f"{table.replace('.', '_')}.rebuild.sql"
+            )
+            with open(rebuild_file, "w") as fh:
+                fh.write(";\n".join(rebuild_stmts) + ";\n")
 
-    if ctx.sink is not None:
-        from pyspark.sql import Observation
-
-        obs = Observation()
-        good = good.observe(obs, F.count(F.lit(1)).alias("n"))
-        ret = ctx.sink(good, table)
-        n_seen = int(obs.get["n"])
-        if isinstance(ret, int):
-            # a counting sink (write_pg_copy with reject isolation)
-            # reports what the server actually accepted; the delta is
-            # server-side rejects (fk-reject.load, overflow.load)
-            report.loaded = ret
-            report.errors += n_seen - ret
-        else:
-            report.loaded = n_seen
-        report.result = good
-    else:
-        good = good.cache()
-        report.loaded = good.count()
-        report.result = good
-    report.read = report.loaded + report.errors
-
-    if rebuild_stmts:
+    try:
         if ctx.sink is not None:
-            # the data landed inside this call: rebuild now
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            good = good.observe(obs, F.count(F.lit(1)).alias("n"))
+            ret = ctx.sink(good, table)
+            n_seen = int(obs.get["n"])
+            if isinstance(ret, int):
+                # a counting sink (write_pg_copy with reject isolation)
+                # reports what the server actually accepted; the delta is
+                # server-side rejects (fk-reject.load, overflow.load)
+                report.loaded = ret
+                report.errors += n_seen - ret
+            else:
+                report.loaded = n_seen
+            report.result = good
+        else:
+            good = good.cache()
+            report.loaded = good.count()
+            report.result = good
+    finally:
+        if rebuild_stmts and ctx.sink is not None:
+            # the data landed (or failed) inside this call: rebuild
+            # NOW, success or not — the statements are
+            # duplicate-tolerant (IF NOT EXISTS / run_post_load skips
+            # already-existing objects), so a partial load never
+            # leaves the target without its indexes
             from pgloader_spark.plans.orchestrate import run_post_load
 
             run_post_load(tgt_dsn, rebuild_stmts, transactional=False)
-        else:
-            # the caller sinks report.result itself (cli write_pg_copy):
-            # hand the rebuild DDL back to run after that COPY
-            report.post_load = rebuild_stmts
+            if rebuild_file:
+                try:
+                    os.unlink(rebuild_file)
+                except OSError:
+                    pass
+    report.read = report.loaded + report.errors
+
+    if rebuild_stmts and ctx.sink is None:
+        # the caller sinks report.result itself (cli write_pg_copy):
+        # hand the rebuild DDL back to run after that COPY; the
+        # recovery script stays on disk until the caller succeeds
+        report.post_load = rebuild_stmts
+        report.post_load_file = rebuild_file
 
     for stmt in cmd.after_load:
         if ctx.sql_runner:

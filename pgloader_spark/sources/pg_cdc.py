@@ -57,7 +57,18 @@ def parse_test_decoding(data: str) -> dict | None:
 
     Format: ``table <schema>.<table>: <OP>: name[type]:value ...``
     where value is ``null``, an unquoted literal, or a single-quoted
-    string with doubled-quote escapes.
+    string with doubled-quote escapes.  Two extra shapes the plugin
+    emits (see PostgreSQL contrib/test_decoding):
+
+    - a PK-changing UPDATE (or REPLICA IDENTITY FULL) prefixes the
+      old identity as ``old-key: <cols> new-tuple: <cols>``; the
+      parsed ``cols`` are the NEW tuple and the old identity comes
+      back under ``old_key`` (the apply side turns it into
+      delete-old-key + insert-new);
+    - DELETE on a table without a replica identity prints
+      ``(no-tuple-data)`` — no key exists in the stream, so the
+      change comes back with empty ``cols`` and ``no_tuple_data:
+      True`` for the caller to reject loudly (it is unapplyable).
     """
     if not data.startswith("table "):
         return None
@@ -66,9 +77,38 @@ def parse_test_decoding(data: str) -> dict | None:
     if op not in ("INSERT", "UPDATE", "DELETE"):
         return None
     schema, _, table = head.rpartition(".")
-    cols: dict[str, str | None] = {}
+    out = {
+        "schema": schema or "public",
+        "table": table,
+        "op": {"INSERT": "I", "UPDATE": "U", "DELETE": "D"}[op],
+        "cols": {},
+    }
+    if payload.strip() == "(no-tuple-data)":
+        out["no_tuple_data"] = True
+        return out
+    plain: dict[str, str | None] = {}
+    old: dict[str, str | None] | None = None
+    new: dict[str, str | None] | None = None
+    cur = plain
     i, n = 0, len(payload)
     while i < n:
+        while i < n and payload[i] == " ":
+            i += 1
+        if i >= n:
+            break
+        # section markers only occur where a column name would start
+        # (never inside a quoted value — the value scan below consumes
+        # those whole), so a prefix test here is unambiguous
+        if payload.startswith("old-key:", i):
+            old = {}
+            cur = old
+            i += 8
+            continue
+        if payload.startswith("new-tuple:", i):
+            new = {}
+            cur = new
+            i += 10
+            continue
         # column name up to '['  (quoted idents arrive as "name")
         j = payload.index("[", i)
         name = payload[i:j].strip().strip('"')
@@ -87,22 +127,18 @@ def parse_test_decoding(data: str) -> dict | None:
                 else:
                     buf.append(payload[i])
                     i += 1
-            cols[name] = "".join(buf)
+            cur[name] = "".join(buf)
         else:  # unquoted literal up to the next space
             j = payload.find(" ", i)
             if j == -1:
                 j = n
             tok = payload[i:j]
-            cols[name] = None if tok == "null" else tok
+            cur[name] = None if tok == "null" else tok
             i = j
-        while i < n and payload[i] == " ":
-            i += 1
-    return {
-        "schema": schema or "public",
-        "table": table,
-        "op": {"INSERT": "I", "UPDATE": "U", "DELETE": "D"}[op],
-        "cols": cols,
-    }
+    out["cols"] = new if new is not None else plain
+    if old is not None:
+        out["old_key"] = old
+    return out
 
 
 def peek_cdc_changes(
@@ -153,6 +189,74 @@ def advance_cdc_slot(dsn: str, slot: str, upto_lsn: str) -> None:
         )
 
 
+def _table_matches(change: dict, want: str) -> bool:
+    """True when a parsed change belongs to ``want`` — matched on
+    schema AND table when ``want`` is qualified (``s.t``), on table
+    name alone otherwise (the unqualified form conflates same-named
+    tables across schemas; qualify when the source has more than
+    ``public``)."""
+    ws, _, wt = want.rpartition(".")
+    return change["table"] == wt and (not ws or change["schema"] == ws)
+
+
+def _changes_to_rows(
+    mine: list[dict],
+    col_names: list[str],
+    skip_unapplyable: bool = False,
+) -> list[tuple]:
+    """Parsed changes -> (col..., op, seq) apply rows, re-sequenced.
+
+    A PK-changing UPDATE (``old_key`` present) expands to DELETE(old
+    identity) + INSERT(new tuple) — the upsert-by-key apply cannot
+    move a row between keys in one op.  A ``(no-tuple-data)`` DELETE
+    carries no key at all (source table has no replica identity) and
+    is unapplyable: raise with the remediation unless the caller opts
+    into dropping it."""
+    rows: list[tuple] = []
+    seq = 0
+    for c in mine:
+        if c.get("no_tuple_data"):
+            if skip_unapplyable:
+                continue
+            raise ValueError(
+                f"unapplyable {c['op']} on {c['schema']}.{c['table']}: "
+                "the stream has (no-tuple-data) — the source table has "
+                "no replica identity, so its DELETE keys never reach "
+                "the slot.  ALTER TABLE ... REPLICA IDENTITY "
+                "DEFAULT (with a PK) or FULL on the source, recreate "
+                "the slot, or pass skip_unapplyable=True to drop these"
+            )
+        old = c.get("old_key")
+        if old is not None:
+            rows.append(
+                tuple(old.get(n) for n in col_names) + ("D", seq)
+            )
+            seq += 1
+        rows.append(
+            tuple(c["cols"].get(n) for n in col_names) + (c["op"], seq)
+        )
+        seq += 1
+    return rows
+
+
+def _check_unmatched(changes: list[dict], wants: list[str]) -> None:
+    """Refuse to advance past events no requested table claims."""
+    stray = sorted(
+        {
+            f"{c['schema']}.{c['table']}"
+            for c in changes
+            if not any(_table_matches(c, w) for w in wants)
+        }
+    )
+    if stray:
+        raise ValueError(
+            "slot window contains events for unrequested tables "
+            f"{stray}; advancing would discard them permanently.  "
+            "Replicate them too (replicate_pg_tables), or pass "
+            "strict=False to discard deliberately"
+        )
+
+
 def replicate_pg_table(
     spark: SparkSession,
     src_dsn: str,
@@ -162,26 +266,37 @@ def replicate_pg_table(
     key_cols: list[str],
     n_writers: int | None = None,
     src_table: str | None = None,
+    strict: bool = False,
+    skip_unapplyable: bool = False,
 ) -> int:
     """Drain one batch of the source's change stream into the target,
     exactly once; returns changes applied (0 when the slot is quiet).
     ``src_table`` names the SOURCE table whose events to pick up
-    (default: same name as the target).  Call in a loop (or a
-    foreachBatch trigger) for continuous replication."""
+    (default: same name as the target); qualify it (``schema.table``)
+    when the source database has same-named tables in several
+    schemas.  Call in a loop (or a foreachBatch trigger) for
+    continuous replication.
+
+    A slot captures the WHOLE database: advancing past the window
+    DISCARDS events for every other table (including the apply's own
+    writes when source and target share a database).  Use one slot
+    per replication pipeline; pass ``strict=True`` to refuse the
+    advance when the window holds events for tables this call is not
+    replicating (route multi-table slots to ``replicate_pg_tables``).
+    """
     from pgloader_spark.sources.pg_live import apply_pg_cdc, introspect_pg
 
-    want = (src_table or table).split(".")[-1]
+    want = src_table or table
     changes, max_lsn = peek_cdc_changes(src_dsn, slot)
-    mine = [c for c in changes if c["table"] == want]
+    if strict:
+        _check_unmatched(changes, [want])
+    mine = [c for c in changes if _table_matches(c, want)]
     if not mine:
         if max_lsn is not None:
             advance_cdc_slot(src_dsn, slot, max_lsn)
         return 0
     col_names = [f.name for f in introspect_pg(dst_dsn)[table.split(".")[-1]]]
-    rows = [
-        tuple(c["cols"].get(n) for n in col_names) + (c["op"], c["seq"])
-        for c in mine
-    ]
+    rows = _changes_to_rows(mine, col_names, skip_unapplyable)
     schema = (
         ", ".join(f"`{n}` string" for n in col_names) + ", op string, seq long"
     )
@@ -210,33 +325,40 @@ def replicate_pg_tables(
     tables: dict[str, list[str]],  # target table -> key columns
     n_writers: int | None = None,
     src_tables: dict[str, str] | None = None,  # target -> source name
+    strict: bool = False,
+    skip_unapplyable: bool = False,
 ) -> dict[str, int]:
     """One slot, N tables: peek the window ONCE, apply each table's
     changes in its own epoch-logged transaction, advance the cursor
     once at the end.  A crash between table applies replays the
     window; per-table epoch logs skip the already-committed tables
-    and re-apply the rest — still exactly-once per table."""
+    and re-apply the rest — still exactly-once per table.
+
+    Events for tables outside ``tables`` are DISCARDED when the
+    cursor advances; ``strict=True`` raises instead (one slot should
+    drive exactly the table set it replicates)."""
     from pgloader_spark.sources.pg_live import apply_pg_cdc, introspect_pg
 
     changes, max_lsn = peek_cdc_changes(src_dsn, slot)
     applied: dict[str, int] = {}
     if max_lsn is None:
         return applied
-    epoch = lsn_to_int(max_lsn)
     src_names = src_tables or {}
+    if strict:
+        _check_unmatched(
+            changes, [src_names.get(t, t) for t in tables]
+        )
+    epoch = lsn_to_int(max_lsn)
     for table, key_cols in tables.items():
-        want = src_names.get(table, table).split(".")[-1]
-        mine = [c for c in changes if c["table"] == want]
+        want = src_names.get(table, table)
+        mine = [c for c in changes if _table_matches(c, want)]
         if not mine:
             applied[table] = 0
             continue
         col_names = [
             f.name for f in introspect_pg(dst_dsn)[table.split(".")[-1]]
         ]
-        rows = [
-            tuple(c["cols"].get(n) for n in col_names) + (c["op"], c["seq"])
-            for c in mine
-        ]
+        rows = _changes_to_rows(mine, col_names, skip_unapplyable)
         schema = (
             ", ".join(f"`{n}` string" for n in col_names)
             + ", op string, seq long"

@@ -367,6 +367,15 @@ def quote_qualified(table: str) -> str:
     return ".".join('"' + p + '"' for p in table.split("."))
 
 
+def sibling_table(table: str, suffix: str) -> str:
+    """Derive a helper table's name NEXT TO the target, keeping the
+    schema: ``a.t`` + ``__cdc_stage`` -> ``a.t__cdc_stage``.  Deriving
+    from the basename alone would make ``a.t`` and ``b.t`` share one
+    stage/epoch log — concurrent applies would clobber each other."""
+    schema, _, name = table.rpartition(".")
+    return f"{schema}.{name}{suffix}" if schema else f"{name}{suffix}"
+
+
 _SPARK_TO_PG = {
     "bigint": "bigint",
     "int": "integer",
@@ -714,7 +723,7 @@ def write_pg_upsert(
     by the server, where it belongs.  Returns (rows_staged,
     rows_merged).
     """
-    staging = f"{table.split('.')[-1]}__upsert_stage"
+    staging = sibling_table(table, "__upsert_stage")
     q_target = quote_qualified(table)
     q_stage = quote_qualified(staging)
     with PGConn(dsn) as conn:
@@ -788,49 +797,61 @@ def apply_pg_cdc(
     (rows_staged, rows_upserted, rows_deleted).
 
     ``epoch_id`` turns idempotent-by-convergence into EXACTLY-ONCE:
-    the epoch id is inserted into ``<table>__epochs`` inside the same
-    transaction as the apply (streaming/pg_sink.py's guarantee, for
-    change streams); an already-logged epoch returns (0, 0, 0)
-    without touching the target.
+    the epoch id is inserted into ``<schema.>table__epochs`` inside
+    the same transaction as the apply (streaming/pg_sink.py's
+    guarantee, for change streams); an already-logged epoch returns
+    (0, 0, 0) without touching the target.
+
+    The stage and epoch log live in the TARGET's schema
+    (``a.t`` -> ``a.t__cdc_stage``), and the whole stage lifecycle
+    runs under a session advisory lock keyed on the stage name —
+    concurrent applies to the same target queue instead of
+    DROP/recreating each other's stage mid-flight.
     """
-    log = f"{table.split('.')[-1]}__epochs"
-    if epoch_id is not None:
-        with PGConn(dsn) as conn:
-            conn.query(
-                f"CREATE TABLE IF NOT EXISTS {log} (epoch bigint PRIMARY KEY)"
-            )
-            _, seen = conn.query(
-                f"SELECT 1 FROM {log} WHERE epoch = {int(epoch_id)}"
-            )
-            if seen:
-                return 0, 0, 0
-    data_cols = [c for c in df.columns if c not in (op_col, seq_col)]
-    staging = f"{table.split('.')[-1]}__cdc_stage"
+    staging = sibling_table(table, "__cdc_stage")
+    log = quote_qualified(sibling_table(table, "__epochs"))
     q_target = quote_qualified(table)
     q_stage = quote_qualified(staging)
+    data_cols = [c for c in df.columns if c not in (op_col, seq_col)]
     order_expr = f'"__seq" DESC' if seq_col else "ctid DESC"
-    with PGConn(dsn) as conn:
-        conn.query(f"DROP TABLE IF EXISTS {q_stage}")
-        conn.query(
-            f"CREATE UNLOGGED TABLE {q_stage} "
-            f"(LIKE {q_target} INCLUDING DEFAULTS)"
-        )
-        conn.query(f'ALTER TABLE {q_stage} ADD COLUMN "__op" text')
-        if seq_col:
-            conn.query(f'ALTER TABLE {q_stage} ADD COLUMN "__seq" bigint')
-        # LIKE copies NOT NULL constraints, but DELETE events carry
-        # only the key columns (REPLICA IDENTITY) — the stage must
-        # accept nulls everywhere
-        for c in data_cols:
-            if c not in key_cols:
-                try:
-                    conn.query(
-                        f'ALTER TABLE {q_stage} ALTER COLUMN "{c}" '
-                        "DROP NOT NULL"
-                    )
-                except PGError:
-                    pass
+    lock = PGConn(dsn)
+    lock.query(
+        "SELECT pg_advisory_lock(hashtext("
+        f"'{staging.replace(chr(39), chr(39) * 2)}'))"
+    )
     try:
+        if epoch_id is not None:
+            with PGConn(dsn) as conn:
+                conn.query(
+                    f"CREATE TABLE IF NOT EXISTS {log} "
+                    "(epoch bigint PRIMARY KEY)"
+                )
+                _, seen = conn.query(
+                    f"SELECT 1 FROM {log} WHERE epoch = {int(epoch_id)}"
+                )
+                if seen:
+                    return 0, 0, 0
+        with PGConn(dsn) as conn:
+            conn.query(f"DROP TABLE IF EXISTS {q_stage}")
+            conn.query(
+                f"CREATE UNLOGGED TABLE {q_stage} "
+                f"(LIKE {q_target} INCLUDING DEFAULTS)"
+            )
+            conn.query(f'ALTER TABLE {q_stage} ADD COLUMN "__op" text')
+            if seq_col:
+                conn.query(f'ALTER TABLE {q_stage} ADD COLUMN "__seq" bigint')
+            # LIKE copies NOT NULL constraints, but DELETE events carry
+            # only the key columns (REPLICA IDENTITY) — the stage must
+            # accept nulls everywhere
+            for c in data_cols:
+                if c not in key_cols:
+                    try:
+                        conn.query(
+                            f'ALTER TABLE {q_stage} ALTER COLUMN "{c}" '
+                            "DROP NOT NULL"
+                        )
+                    except PGError:
+                        pass
         from pyspark.sql import functions as F
 
         staged_df = df.select(
@@ -878,5 +899,11 @@ def apply_pg_cdc(
             conn.query("COMMIT")
         return staged, int(urows[0][0]), int(drows[0][0])
     finally:
-        with PGConn(dsn) as conn:
-            conn.query(f"DROP TABLE IF EXISTS {q_stage}")
+        try:
+            with PGConn(dsn) as conn:
+                conn.query(f"DROP TABLE IF EXISTS {q_stage}")
+        finally:
+            try:
+                lock.query("SELECT pg_advisory_unlock_all()")
+            finally:
+                lock.close()

@@ -44,26 +44,50 @@ def apply_epoch_exactly_once(
 ) -> int:
     """Apply one micro-batch exactly once; returns rows applied
     (0 for an already-applied epoch).  Usable directly as the body of
-    a ``foreachBatch`` callback and independently testable."""
-    stage = f"{table}__stage"
-    log = f"{table}__epochs"
-    with PGConn(dsn) as c:
-        c.query(
-            f"CREATE TABLE IF NOT EXISTS {log} (epoch bigint PRIMARY KEY)"
-        )
-        _, rows = c.query(f"SELECT 1 FROM {log} WHERE epoch = {int(epoch_id)}")
-        if rows:
-            return 0  # replayed epoch: already committed
-        c.query(f"DROP TABLE IF EXISTS {stage}")
-        c.query(f"CREATE TABLE {stage} (LIKE {table} INCLUDING DEFAULTS)")
-    n = write_pg_copy(batch_df, dsn, stage, n_writers=n_writers)
-    with PGConn(dsn) as c:
-        c.query("BEGIN")
-        c.query(f"INSERT INTO {table} SELECT * FROM {stage}")
-        c.query(f"INSERT INTO {log} (epoch) VALUES ({int(epoch_id)})")
-        c.query("COMMIT")
-        c.query(f"DROP TABLE IF EXISTS {stage}")
-    return n
+    a ``foreachBatch`` callback and independently testable.
+
+    Stage and epoch log are schema-qualified siblings of the target
+    (``a.t`` -> ``a.t__stage``), and the stage lifecycle runs under a
+    session advisory lock so two streams writing the same target
+    queue instead of dropping each other's stage."""
+    from pgloader_spark.sources.pg_live import quote_qualified, sibling_table
+
+    stage = sibling_table(table, "__stage")
+    q_stage = quote_qualified(stage)
+    q_table = quote_qualified(table)
+    log = quote_qualified(sibling_table(table, "__epochs"))
+    lock = PGConn(dsn)
+    lock.query(
+        "SELECT pg_advisory_lock(hashtext("
+        f"'{stage.replace(chr(39), chr(39) * 2)}'))"
+    )
+    try:
+        with PGConn(dsn) as c:
+            c.query(
+                f"CREATE TABLE IF NOT EXISTS {log} (epoch bigint PRIMARY KEY)"
+            )
+            _, rows = c.query(
+                f"SELECT 1 FROM {log} WHERE epoch = {int(epoch_id)}"
+            )
+            if rows:
+                return 0  # replayed epoch: already committed
+            c.query(f"DROP TABLE IF EXISTS {q_stage}")
+            c.query(
+                f"CREATE TABLE {q_stage} (LIKE {q_table} INCLUDING DEFAULTS)"
+            )
+        n = write_pg_copy(batch_df, dsn, stage, n_writers=n_writers)
+        with PGConn(dsn) as c:
+            c.query("BEGIN")
+            c.query(f"INSERT INTO {q_table} SELECT * FROM {q_stage}")
+            c.query(f"INSERT INTO {log} (epoch) VALUES ({int(epoch_id)})")
+            c.query("COMMIT")
+            c.query(f"DROP TABLE IF EXISTS {q_stage}")
+        return n
+    finally:
+        try:
+            lock.query("SELECT pg_advisory_unlock_all()")
+        finally:
+            lock.close()
 
 
 def write_stream_pg_exactly_once(

@@ -80,6 +80,75 @@ def test_parse_test_decoding_edges():
     assert lsn_to_int("1/10") == (1 << 32) + 16
 
 
+def test_parse_test_decoding_old_key_and_no_tuple_data():
+    """PK-changing UPDATE (old-key/new-tuple sections) and
+    no-replica-identity DELETE ((no-tuple-data)) — the two
+    test_decoding shapes beyond plain tuples."""
+    p = parse_test_decoding
+    u = p(
+        "table public.t: UPDATE: old-key: id[integer]:1 "
+        "new-tuple: id[integer]:2 v[text]:'new-tuple: tricky'"
+    )
+    assert u["op"] == "U"
+    assert u["cols"] == {"id": "2", "v": "new-tuple: tricky"}
+    assert u["old_key"] == {"id": "1"}
+    # REPLICA IDENTITY FULL: old-key carries every column
+    f = p(
+        "table public.t: UPDATE: old-key: id[integer]:1 v[text]:'a' "
+        "new-tuple: id[integer]:1 v[text]:'b'"
+    )
+    assert f["cols"] == {"id": "1", "v": "b"}
+    assert f["old_key"] == {"id": "1", "v": "a"}
+    d = p("table public.t: DELETE: (no-tuple-data)")
+    assert d is not None and d["op"] == "D"
+    assert d["cols"] == {} and d.get("no_tuple_data") is True
+    # plain lines keep no old_key / no_tuple_data markers
+    plain = p("table public.t: DELETE: id[bigint]:3")
+    assert "old_key" not in plain and "no_tuple_data" not in plain
+
+
+def test_changes_to_rows_expansion_and_rejection():
+    from pgloader_spark.sources.pg_cdc import _changes_to_rows
+
+    mine = [
+        {"schema": "public", "table": "t", "op": "I",
+         "cols": {"id": "1", "v": "a"}},
+        {"schema": "public", "table": "t", "op": "U",
+         "cols": {"id": "2", "v": "b"}, "old_key": {"id": "1"}},
+    ]
+    rows = _changes_to_rows(mine, ["id", "v"])
+    # the key-moving update expands to DELETE(old key) + INSERT(new)
+    assert rows == [
+        ("1", "a", "I", 0),
+        ("1", None, "D", 1),
+        ("2", "b", "U", 2),
+    ]
+    bad = [{"schema": "public", "table": "t", "op": "D",
+            "cols": {}, "no_tuple_data": True}]
+    with pytest.raises(ValueError, match="REPLICA IDENTITY"):
+        _changes_to_rows(bad, ["id", "v"])
+    assert _changes_to_rows(bad, ["id", "v"], skip_unapplyable=True) == []
+
+
+def test_table_matching_and_strict_window():
+    from pgloader_spark.sources.pg_cdc import _check_unmatched, _table_matches
+
+    c = {"schema": "app", "table": "t", "op": "I", "cols": {}}
+    assert _table_matches(c, "t")           # unqualified: name only
+    assert _table_matches(c, "app.t")
+    assert not _table_matches(c, "other.t")  # schema-qualified match
+    with pytest.raises(ValueError, match="unrequested tables"):
+        _check_unmatched([c], ["other.t"])
+    _check_unmatched([c], ["app.t"])  # no stray -> no raise
+
+
+def test_sibling_table_schema_qualified():
+    from pgloader_spark.sources.pg_live import sibling_table
+
+    assert sibling_table("t", "__epochs") == "t__epochs"
+    assert sibling_table("a.t", "__cdc_stage") == "a.t__cdc_stage"
+
+
 def test_cdc_capture_and_replicate_end_to_end(logical_dsn, spark):
     """Create src + dst tables on the same server (dst stands in for a
     remote target), mutate src, replicate: dst converges; quiet slots
@@ -152,6 +221,67 @@ def test_cdc_capture_and_replicate_end_to_end(logical_dsn, spark):
             assert rows == [("it's",)]
     finally:
         drop_cdc_slot(dsn, "s_rep")
+
+
+def test_replicate_pk_changing_update_live(logical_dsn, spark):
+    """UPDATE that moves the primary key emits old-key/new-tuple;
+    replication must delete the old identity and land the new one —
+    an upsert on the new key alone would leave the old row behind."""
+    dsn = logical_dsn
+    with PGConn(dsn) as c:
+        c.query("CREATE TABLE pk_src (id bigint PRIMARY KEY, v text)")
+        c.query("CREATE TABLE pk_dst (id bigint PRIMARY KEY, v text)")
+        c.query("INSERT INTO pk_src VALUES (1, 'a'), (5, 'e')")
+    with PGConn(dsn) as c:
+        c.query("INSERT INTO pk_dst VALUES (1, 'a'), (5, 'e')")
+    create_cdc_slot(dsn, "s_pk")
+    try:
+        with PGConn(dsn) as c:
+            c.query("UPDATE pk_src SET id = 2 WHERE id = 1")
+        changes, _ = peek_cdc_changes(dsn, "s_pk")
+        (u,) = [c for c in changes if c["table"] == "pk_src"]
+        assert u["old_key"] == {"id": "1"} and u["cols"]["id"] == "2"
+        replicate_pg_table(
+            spark, dsn, "s_pk", dsn, "pk_dst", key_cols=["id"],
+            src_table="pk_src",
+        )
+        with PGConn(dsn) as c:
+            _, rows = c.query("SELECT id, v FROM pk_dst ORDER BY id")
+        assert rows == [("2", "a"), ("5", "e")]
+    finally:
+        drop_cdc_slot(dsn, "s_pk")
+
+
+def test_apply_stage_names_schema_qualified_live(logical_dsn, spark):
+    """Targets a.t and b.t must not share a stage/epoch log: each
+    apply creates its helpers in the target's OWN schema."""
+    from pgloader_spark.sources.pg_live import apply_pg_cdc
+
+    dsn = logical_dsn
+    with PGConn(dsn) as c:
+        c.query("CREATE SCHEMA sa")
+        c.query("CREATE SCHEMA sb")
+        for s in ("sa", "sb"):
+            c.query(f"CREATE TABLE {s}.t (id bigint PRIMARY KEY, v text)")
+    batch_a = spark.createDataFrame(
+        [(1, "a", "I", 0)], "id bigint, v string, op string, seq long"
+    )
+    batch_b = spark.createDataFrame(
+        [(1, "b", "I", 0)], "id bigint, v string, op string, seq long"
+    )
+    apply_pg_cdc(batch_a, dsn, "sa.t", ["id"], seq_col="seq", epoch_id=1)
+    apply_pg_cdc(batch_b, dsn, "sb.t", ["id"], seq_col="seq", epoch_id=1)
+    with PGConn(dsn) as c:
+        _, ra = c.query("SELECT v FROM sa.t")
+        _, rb = c.query("SELECT v FROM sb.t")
+        # epoch logs are per-schema: epoch 1 on sa.t did not suppress
+        # epoch 1 on sb.t
+        assert ra == [("a",)] and rb == [("b",)]
+        _, logs = c.query(
+            "SELECT table_schema FROM information_schema.tables "
+            "WHERE table_name = 't__epochs' ORDER BY 1"
+        )
+        assert logs == [("sa",), ("sb",)]
 
 
 def test_multi_table_and_bootstrap(logical_dsn, spark):
