@@ -177,46 +177,9 @@ def test_load_database_mssql_to_parquet(spark, tmp_path):
 
 
 def _pg_fixture():
-    import os
-    import shutil
-    import subprocess
-    import time
-    import uuid
+    from tests.pg_server import start_pg, su_pg
 
-    from pgloader_spark.sources.pgwire import PGConn
-
-    if shutil.which("pg_ctl") is None or shutil.which("su") is None:
-        pytest.skip("no PostgreSQL server binary")
-
-    def su_pg(c):
-        return subprocess.run(
-            ["su", "postgres", "-s", "/bin/bash", "-c", c],
-            capture_output=True, text=True,
-        )
-
-    base = f"/tmp/pgspark_ms_{uuid.uuid4().hex[:8]}"
-    data = f"{base}/data"
-    os.makedirs(base, exist_ok=True)
-    shutil.chown(base, "postgres", "postgres")
-    port = 54379
-    if su_pg(f"initdb -A trust -D {data} -U postgres").returncode != 0:
-        shutil.rmtree(base, ignore_errors=True)
-        pytest.skip("initdb failed")
-    r = su_pg(
-        f"pg_ctl -D {data} -l {base}/log -o '-p {port} "
-        f"-c listen_addresses=127.0.0.1 "
-        f"-c unix_socket_directories={base}' start"
-    )
-    if r.returncode != 0:
-        shutil.rmtree(base, ignore_errors=True)
-        pytest.skip("pg_ctl start failed")
-    dsn = f"postgresql://postgres@127.0.0.1:{port}/postgres"
-    for _ in range(50):
-        try:
-            PGConn(dsn).close()
-            break
-        except OSError:
-            time.sleep(0.2)
+    base, data, _port, dsn = start_pg("pgspark_ms")
     return base, data, dsn, su_pg
 
 

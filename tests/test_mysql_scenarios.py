@@ -18,8 +18,6 @@ reference's own text.
 from __future__ import annotations
 
 import os
-import shutil
-import subprocess
 import time
 import uuid
 
@@ -32,50 +30,21 @@ from pgloader_spark.sources.mysql_stub import (
 )
 from pgloader_spark.sources.pgwire import PGConn, PGError
 
-PORT = 54343
+PORT = None  # free port per session, set by the pg_root fixture
 REF = "/root/reference/test"
 
-
-def _su_pg(cmd: str) -> subprocess.CompletedProcess:
-    return subprocess.run(
-        ["su", "postgres", "-s", "/bin/bash", "-c", cmd],
-        capture_output=True,
-        text=True,
-    )
+from tests.pg_server import start_pg, stop_pg
 
 
 @pytest.fixture(scope="module")
 def pg_root():
-    if shutil.which("pg_ctl") is None or shutil.which("su") is None:
-        pytest.skip("no PostgreSQL server binary")
-    base = f"/tmp/pgspark_myscen_{uuid.uuid4().hex[:8]}"
-    data = f"{base}/data"
-    os.makedirs(base, exist_ok=True)
-    shutil.chown(base, "postgres", "postgres")
-    if _su_pg(f"initdb -A trust -D {data} -U postgres").returncode != 0:
-        shutil.rmtree(base, ignore_errors=True)
-        pytest.skip("initdb failed")
-    started = _su_pg(
-        f"pg_ctl -D {data} -l {base}/log -o '-p {PORT} "
-        f"-c listen_addresses=127.0.0.1 "
-        f"-c unix_socket_directories={base}' start"
-    )
-    if started.returncode != 0:
-        shutil.rmtree(base, ignore_errors=True)
-        pytest.skip(f"pg_ctl start failed: {started.stderr[-200:]}")
-    root = f"postgresql://postgres@127.0.0.1:{PORT}/postgres"
-    for _ in range(50):
-        try:
-            PGConn(root).close()
-            break
-        except OSError:
-            time.sleep(0.2)
+    global PORT
+    base, data, PORT, root = start_pg("pgspark_myscen")
     with PGConn(root) as c:
         c.query("CREATE DATABASE sakila")
         c.query("CREATE DATABASE pgloader")
     yield root
-    _su_pg(f"pg_ctl -D {data} -m immediate stop")
-    shutil.rmtree(base, ignore_errors=True)
+    stop_pg(base, data)
 
 
 def _dsn(db: str) -> str:

@@ -3,11 +3,6 @@ apply, end-to-end PG -> PG replication on a wal_level=logical server."""
 
 from __future__ import annotations
 
-import os
-import shutil
-import subprocess
-import time
-import uuid
 
 import pytest
 
@@ -21,47 +16,16 @@ from pgloader_spark.sources.pg_cdc import (
     replicate_pg_table,
 )
 from pgloader_spark.sources.pgwire import PGConn
-
-PORT = 54361
-
-
-def _su_pg(cmd: str) -> subprocess.CompletedProcess:
-    return subprocess.run(
-        ["su", "postgres", "-s", "/bin/bash", "-c", cmd],
-        capture_output=True,
-        text=True,
-    )
+from tests.pg_server import start_pg, stop_pg
 
 
 @pytest.fixture(scope="module")
 def logical_dsn():
-    if shutil.which("pg_ctl") is None or shutil.which("su") is None:
-        pytest.skip("no PostgreSQL server binary")
-    base = f"/tmp/pgcdc_test_{uuid.uuid4().hex[:8]}"
-    data = f"{base}/data"
-    os.makedirs(base, exist_ok=True)
-    shutil.chown(base, "postgres", "postgres")
-    if _su_pg(f"initdb -A trust -D {data} -U postgres").returncode != 0:
-        shutil.rmtree(base, ignore_errors=True)
-        pytest.skip("initdb failed")
-    started = _su_pg(
-        f"pg_ctl -D {data} -l {base}/log -o '-p {PORT} "
-        f"-c listen_addresses=127.0.0.1 -c wal_level=logical "
-        f"-c unix_socket_directories={base}' start"
+    base, data, _port, dsn = start_pg(
+        "pgcdc_test", server_opts="-c wal_level=logical"
     )
-    if started.returncode != 0:
-        shutil.rmtree(base, ignore_errors=True)
-        pytest.skip(f"pg_ctl start failed: {started.stderr[-200:]}")
-    dsn = f"postgresql://postgres@127.0.0.1:{PORT}/postgres"
-    for _ in range(50):
-        try:
-            PGConn(dsn).close()
-            break
-        except OSError:
-            time.sleep(0.2)
     yield dsn
-    _su_pg(f"pg_ctl -D {data} -m immediate stop")
-    shutil.rmtree(base, ignore_errors=True)
+    stop_pg(base, data)
 
 
 def test_parse_test_decoding_edges():

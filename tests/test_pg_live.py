@@ -14,52 +14,18 @@ import os
 import shutil
 import subprocess
 import time
-import uuid
 
 import pytest
 
 from pgloader_spark.sources.pgwire import PGConn, PGError, _parse_dsn
-
-PORT = 54341
-
-
-def _su_pg(cmd: str) -> subprocess.CompletedProcess:
-    return subprocess.run(
-        ["su", "postgres", "-s", "/bin/bash", "-c", cmd],
-        capture_output=True,
-        text=True,
-    )
+from tests.pg_server import start_pg, stop_pg, su_pg as _su_pg
 
 
 @pytest.fixture(scope="module")
 def pg_dsn():
-    if shutil.which("pg_ctl") is None or shutil.which("su") is None:
-        pytest.skip("no PostgreSQL server binary")
-    base = f"/tmp/pgspark_test_{uuid.uuid4().hex[:8]}"
-    data = f"{base}/data"
-    os.makedirs(base, exist_ok=True)
-    shutil.chown(base, "postgres", "postgres")
-    if _su_pg(f"initdb -A trust -D {data} -U postgres").returncode != 0:
-        shutil.rmtree(base, ignore_errors=True)
-        pytest.skip("initdb failed (no postgres user?)")
-    started = _su_pg(
-        f"pg_ctl -D {data} -l {base}/log -o '-p {PORT} "
-        f"-c listen_addresses=127.0.0.1 "
-        f"-c unix_socket_directories={base}' start"
-    )
-    if started.returncode != 0:
-        shutil.rmtree(base, ignore_errors=True)
-        pytest.skip(f"pg_ctl start failed: {started.stderr[-200:]}")
-    dsn = f"postgresql://postgres@127.0.0.1:{PORT}/postgres"
-    for _ in range(50):  # wait for accepting connections
-        try:
-            PGConn(dsn).close()
-            break
-        except OSError:
-            time.sleep(0.2)
+    base, data, _port, dsn = start_pg("pgspark_test")
     yield dsn
-    _su_pg(f"pg_ctl -D {data} -m immediate stop")
-    shutil.rmtree(base, ignore_errors=True)
+    stop_pg(base, data)
 
 
 # ------------------------------------------------------------- wire client
