@@ -941,86 +941,136 @@ def train_hashed_classifier(
 # --------------------------------------------------------------------------
 
 
+def bpe_train_from_freqs(
+    word_freqs: dict[str, int],
+    n_merges: int,
+    min_pair_count: int = 2,
+) -> list[tuple[int, str, str, str, int]]:
+    """The classic incremental-pair-count BPE trainer (Sennrich et
+    al. 2016 shape) over an in-memory word-frequency table; returns
+    [(merge_rank, left, right, merged, pair_count), ...].
+
+    Cost model: pair counts update by DELTA — a merge touches only
+    the words that contain the winning pair (tracked in a pair->words
+    index), and the argmax is a lazy-deletion heap, so a merge round
+    costs O(words containing the pair), not O(vocabulary).  32k
+    merges over a real vocabulary run in seconds, where a
+    recount-everything loop is quadratic.
+
+    Words carry the conventional ``</w>`` end-of-word marker on their
+    final character.  Ties break on (count DESC, left ASC, right
+    ASC); training stops early when the best pair occurs fewer than
+    ``min_pair_count`` times.
+    """
+    import heapq
+
+    words: list[list] = []  # [symbols list, count] per distinct word
+    for w, c in word_freqs.items():
+        if not w:
+            continue
+        words.append([list(w[:-1]) + [w[-1] + "</w>"], int(c)])
+    stats: dict[tuple[str, str], int] = {}
+    index: dict[tuple[str, str], set[int]] = {}
+    for wi, (syms, c) in enumerate(words):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            stats[p] = stats.get(p, 0) + c
+            index.setdefault(p, set()).add(wi)
+    # heap entries are (-count, left, right); stale entries (count
+    # changed since push) are detected against stats and discarded
+    heap = [(-c, p[0], p[1]) for p, c in stats.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        best = None
+        while heap:
+            nc, left, right = heap[0]
+            if stats.get((left, right), 0) == -nc:
+                best, bc = (left, right), -nc
+                break
+            heapq.heappop(heap)  # stale
+        if best is None or bc < min_pair_count:
+            break
+        left, right = best
+        merged = left + right
+        merges.append((rank, left, right, merged, bc))
+        for wi in index.pop(best, set()):
+            syms, c = words[wi]
+            if not any(
+                syms[i] == left and syms[i + 1] == right
+                for i in range(len(syms) - 1)
+            ):
+                continue  # index entry gone stale via an earlier merge
+            for i in range(len(syms) - 1):  # retract the old pairs
+                p = (syms[i], syms[i + 1])
+                left_over = stats[p] - c
+                if left_over <= 0:
+                    del stats[p]
+                else:
+                    stats[p] = left_over
+                    heapq.heappush(heap, (-left_over, p[0], p[1]))
+            out: list[str] = []  # greedy left-to-right rewrite
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[wi][0] = out
+            for i in range(len(out) - 1):  # add the new pairs
+                p = (out[i], out[i + 1])
+                stats[p] = stats.get(p, 0) + c
+                heapq.heappush(heap, (-stats[p], p[0], p[1]))
+                index.setdefault(p, set()).add(wi)
+    return merges
+
+
 def bpe_learn(
     df: DataFrame,
     n_merges: int = 24,
     text_col: str = "text",
     min_pair_count: int = 2,
+    max_vocab: int | None = None,
 ) -> list[tuple[int, str, str, str, int]]:
-    """Learn BPE merges on-cluster; returns
+    """Learn BPE merges; returns
     [(merge_rank, left, right, merged, pair_count), ...].
 
-    The scalable formulation: BPE statistics depend only on the WORD
-    FREQUENCY table, so the corpus collapses to (word, count) in ONE
-    keyed shuffle — vocabulary-sized (bounded by distinct words, not
-    corpus bytes) — and every merge round runs over that table, never
-    over the documents again.  Each round is one map-side-combinable
-    pair-count aggregation, a 1-row argmax collect, and a narrow
-    higher-order-function rewrite of the symbol arrays (the classic
-    left-to-right greedy merge as an ``aggregate`` fold); lineage is
-    cut per round with localCheckpoint so 1000 merges don't stack
-    1000 plans.  Only the winning (pair, count) row ever reaches the
-    driver.
+    The scale split that makes BPE training cheap at 100 TB: merge
+    statistics depend ONLY on the word-frequency table, so the corpus
+    collapses to (word, count) in ONE map-side-combinable shuffle —
+    vocabulary-sized, bounded by distinct words, not corpus bytes —
+    and that bounded table comes to the driver where the classic
+    incremental-pair-count trainer (``bpe_train_from_freqs``) runs
+    the merge loop in memory.  One distributed job total, regardless
+    of ``n_merges``; the cluster is saved for the corpus-side
+    segmentation join (``bpe_segment_counts``).  A one-job-per-merge
+    formulation schedules ~32k Spark jobs for a real tokenizer and
+    recounts every pair each round — scheduling overhead, not data,
+    becomes the cost.
 
-    Words carry the conventional ``</w>`` end-of-word marker on their
-    final character.  Ties break on (count DESC, left ASC, right ASC);
-    training stops early when the best pair occurs fewer than
-    ``min_pair_count`` times.
+    ``max_vocab`` caps driver memory for pathological vocabularies
+    (boilerplate-free web text is ~millions of distinct words — tens
+    of MB; ``max_vocab`` keeps the top-N by (count DESC, word ASC)
+    when even that bound is unwanted).  Rare words beyond the cap are
+    excluded from the statistics, a documented coverage trade-off:
+    by Zipf's law the dropped tail carries a vanishing share of
+    occurrence mass, and merge decisions are count-weighted.
     """
     words = (
         df.select(F.explode(tokens(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length("word")),
-        lambda i: F.when(
-            i == F.length("word"),
-            F.concat(F.col("word").substr(i, F.lit(1)), F.lit("</w>")),
-        ).otherwise(F.col("word").substr(i, F.lit(1))),
-    )
-    vocab = words.select(chars.alias("syms"), "cnt").localCheckpoint()
-    merges: list[tuple[int, str, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
-        n = F.size("syms")
-        pairs = F.when(n < 2, F.array()).otherwise(
-            F.transform(
-                F.sequence(F.lit(1), n - 1),
-                lambda i: F.struct(
-                    F.element_at("syms", i).alias("l"),
-                    F.element_at("syms", i + 1).alias("r"),
-                ),
-            )
-        )
-        best = (
-            vocab.select(F.explode(pairs).alias("p"), "cnt")
-            .groupBy("p")
-            .agg(F.sum("cnt").alias("pc"))
-            .orderBy(F.desc("pc"), F.asc("p.l"), F.asc("p.r"))
-            .limit(1)
-            .collect()
-        )
-        if not best or best[0]["pc"] < min_pair_count:
-            break
-        left, right = best[0]["p"]["l"], best[0]["p"]["r"]
-        merged, pc = left + right, int(best[0]["pc"])
-        merges.append((rank, left, right, merged, pc))
-        fold = F.aggregate(
-            "syms",
-            F.array().cast("array<string>"),
-            lambda acc, s: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(left))
-                & (s == F.lit(right)),
-                F.concat(
-                    F.slice(acc, F.lit(1), F.size(acc) - 1),
-                    F.array(F.lit(merged)),
-                ),
-            ).otherwise(F.concat(acc, F.array(s))),
-        )
-        vocab = vocab.select(fold.alias("syms"), "cnt").localCheckpoint()
-    vocab.unpersist()
-    return merges
+    if max_vocab is not None:
+        words = words.orderBy(F.desc("cnt"), F.asc("word")).limit(max_vocab)
+    freqs = {r["word"]: int(r["cnt"]) for r in words.collect()}
+    return bpe_train_from_freqs(freqs, n_merges, min_pair_count)
 
 
 def bpe_segment_counts(

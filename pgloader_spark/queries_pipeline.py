@@ -1851,10 +1851,11 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # test_pipeline_ops.py's exact match against a textbook in-memory BPE
 # on randomized corpora, plus partition-invariance
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRAIN a BPE tokenizer on-cluster: 24 merge rounds over the
-    word-frequency table (corpus collapses to vocab-sized state in one
-    shuffle; each round is one pair-count agg + a 1-row argmax collect
-    — operators/text.py:bpe_learn)."""
+    """TRAIN a BPE tokenizer: the corpus collapses to the bounded
+    word-frequency table in ONE map-side-combinable shuffle, then the
+    classic incremental-pair-count merge loop runs in driver memory —
+    one Spark job total regardless of merge count
+    (operators/text.py:bpe_learn / bpe_train_from_freqs)."""
     docs = read_table(spark, sf_dir, "documents", widen=True)
     merges = txt.bpe_learn(docs, n_merges=24)
     return spark.createDataFrame(

@@ -320,6 +320,44 @@ def test_bpe_learn_matches_textbook_reference(spark):
     assert got8 == want
 
 
+def test_bpe_learn_1000_merges_matches_textbook(spark):
+    """Deep-merge parity: 1000 merge rounds over a diverse corpus,
+    byte-identical to the recount-everything textbook loop — AND fast
+    (the incremental trainer costs one Spark job total; the per-merge
+    work is delta-sized, so 1k merges take seconds, not minutes)."""
+    import random
+    import time
+
+    rng = random.Random(42)
+    vocab_words = [
+        "".join(rng.choice("abcdefghij") for _ in range(rng.randint(3, 12)))
+        for _ in range(600)
+    ]
+    texts = [
+        " ".join(rng.choice(vocab_words) for _ in range(20))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    t0 = time.monotonic()
+    got = txt.bpe_learn(df, n_merges=1000)
+    elapsed = time.monotonic() - t0
+    want = _bpe_reference(texts, 1000)
+    assert got == want
+    assert len(got) > 500  # the corpus genuinely sustains deep merges
+    assert elapsed < 60, f"1000 merges took {elapsed:.1f}s"
+
+
+def test_bpe_learn_max_vocab_caps_driver_table(spark):
+    """max_vocab keeps only the top-N words by (count DESC, word
+    ASC); merges equal training on exactly that truncated table."""
+    texts = ["aa bb aa cc aa bb", "aa bb dd"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    # full: aa=4 bb=3 cc=1 dd=1; cap at 2 -> only aa, bb survive
+    capped = txt.bpe_learn(df, n_merges=5, max_vocab=2)
+    want = txt.bpe_train_from_freqs({"aa": 4, "bb": 3}, 5)
+    assert capped == want
+
+
 def test_bpe_learn_stops_when_no_repeating_pair(spark):
     df = spark.createDataFrame([("ab cd",)], "text string")
     # every pair occurs once -> stops immediately with min_pair_count=2
