@@ -1,0 +1,136 @@
+"""Reference media-encoder adaptor: a numpy-weights MLP behind
+:func:`pgloader_spark.operators.multimodal.register_encoder`.
+
+The registry (multimodal.py) fixes the engine side of the contract —
+Arrow batching, output schema, narrow partitioning.  This module ships
+the USER side done right, so ``embed_media -> semantic_dedup`` is a
+real end-to-end path instead of the deterministic fake: a two-layer
+MLP whose weights load from a plain ``.npz`` file, with the standard
+Spark model-inference disciplines baked in:
+
+- **lazy per-executor load**: the encoder object pickles as just the
+  file path; the weight matrices load ONCE per python worker into a
+  module-level cache (never through the task closure — a 100 MB model
+  would otherwise ship inside every task binary);
+- **featurize-then-forward**: raw media bytes reduce to a fixed
+  byte-level feature vector (256-bin histogram + length + printable
+  ratio) so the adaptor works on any binary column with no decode
+  libs; swap :func:`byte_features` for a real preprocessing stage when
+  torch/onnx are available — the loading/batching pattern is the part
+  that carries;
+- **deterministic forward pass**: float32 matmuls on fixed-order
+  features; same bytes -> same vector on every executor.
+
+On a real cluster the ``.npz`` rides ``spark.files`` (SparkFiles) or a
+shared filesystem; local-mode tests just use the path.
+
+Reference anchor: the reference engine has no media/embedding surface
+at all (flat relational ETL, src/pgloader.lisp) — this belongs to the
+training-data-pipeline layer this engine adds on top of parity.
+"""
+
+from __future__ import annotations
+
+import math
+
+_MODEL_CACHE: dict[str, dict] = {}
+
+
+def byte_features(data: bytes, in_dim: int = 258) -> "list[float]":
+    """Fixed-length byte-level feature vector: 256-bin normalized
+    histogram, log-length, printable ratio.  Decode-free, so it
+    applies to any payload; deterministic."""
+    import numpy as np
+
+    if in_dim < 258:
+        raise ValueError(f"in_dim must be >= 258, got {in_dim}")
+    x = np.zeros(in_dim, dtype=np.float32)
+    n = len(data)
+    if n:
+        hist = np.bincount(np.frombuffer(data, dtype=np.uint8), minlength=256)
+        x[:256] = hist / n
+        x[256] = math.log1p(n) / 20.0
+        x[257] = sum(32 <= b < 127 for b in data) / n
+    return x
+
+
+def save_mlp_npz(
+    path: str,
+    in_dim: int = 258,
+    hidden: int = 64,
+    out_dim: int = 16,
+    seed: int = 0,
+) -> None:
+    """Write a seeded random-init MLP to ``path`` — the stand-in for a
+    trained checkpoint (the file format, not the weights, is the
+    contract: W1 (hidden, in_dim), b1, W2 (out_dim, hidden), b2)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    np.savez(
+        path,
+        W1=rng.normal(0, 1 / math.sqrt(in_dim), (hidden, in_dim)).astype(np.float32),
+        b1=np.zeros(hidden, dtype=np.float32),
+        W2=rng.normal(0, 1 / math.sqrt(hidden), (out_dim, hidden)).astype(np.float32),
+        b2=np.zeros(out_dim, dtype=np.float32),
+    )
+
+
+def _load(path: str) -> dict:
+    model = _MODEL_CACHE.get(path)
+    if model is None:
+        import numpy as np
+
+        with np.load(path) as z:
+            model = {k: z[k] for k in ("W1", "b1", "W2", "b2")}
+        for a, b in (("W1", "b1"), ("W2", "b2")):
+            if model[a].shape[0] != model[b].shape[0]:
+                raise ValueError(
+                    f"{path}: {a} rows {model[a].shape} != {b} {model[b].shape}"
+                )
+        if model["W2"].shape[1] != model["W1"].shape[0]:
+            raise ValueError(f"{path}: W2 cols != W1 rows")
+        _MODEL_CACHE[path] = model
+    return model
+
+
+class NpzMlpEncoder:
+    """``(bytes, dim) -> list[float]`` encoder over an .npz MLP.
+
+    Instances hold only the path (cheap to pickle into mapInPandas
+    tasks); weights come from the per-worker cache.  The returned
+    vector is L2-normalized — cosine-ready for semantic_dedup /
+    cosine_topk.  ``dim`` must equal the checkpoint's out_dim: a
+    silent truncate/pad would corrupt the vector space.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def __call__(self, data: bytes, dim: int) -> "list[float]":
+        import numpy as np
+
+        m = _load(self.path)
+        out_dim = m["W2"].shape[0]
+        if dim != out_dim:
+            raise ValueError(
+                f"encoder {self.path!r} emits dim={out_dim}, caller asked {dim}"
+            )
+        x = byte_features(data, in_dim=m["W1"].shape[1])
+        h = np.tanh(m["W1"] @ x + m["b1"])
+        y = (m["W2"] @ h + m["b2"]).astype(np.float64)
+        nrm = float(np.linalg.norm(y))
+        if nrm > 0:
+            y = y / nrm
+        return [float(v) for v in y]
+
+
+def register_npz_mlp(name: str, path: str) -> NpzMlpEncoder:
+    """Register an .npz MLP under ``name`` so
+    ``embed_media(df, encoder=name)`` routes batches through it.
+    Returns the encoder (also usable directly as the callable)."""
+    from pgloader_spark.operators.multimodal import register_encoder
+
+    enc = NpzMlpEncoder(path)
+    register_encoder(name, enc)
+    return enc

@@ -896,11 +896,45 @@ WHERE round(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 6) >= {threshold}
 """
 
 
-@query("dedup_token_jaccard", oracle=_duck_jaccard_sql(k=1, threshold=0.8))
+@query(
+    "dedup_token_jaccard",
+    oracle=f"""
+WITH RECURSIVE jac AS (SELECT id_a, id_b FROM ({_duck_jaccard_sql(k=1, threshold=0.8)}) jp),
+edges AS (SELECT id_a AS u, id_b AS v FROM jac
+          UNION SELECT id_b, id_a FROM jac),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+comp AS (SELECT u AS did, MIN(v) AS mn FROM reach GROUP BY u),
+lab AS (SELECT did, LEAST(mn, did) AS root FROM comp)
+SELECT CAST(root AS BIGINT) AS canonical_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM lab GROUP BY root
+""",
+)
 def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard >= 0.8, prefix-filtered (PPJoin)."""
+    """Exact token-set Jaccard >= 0.8 near-dup CLUSTERS: PPJoin pair
+    generation (prefix+positional+length filters) resolved through
+    large-star/small-star components into cluster summaries — the
+    registered output is CLUSTER-sized, never pair-sized (a
+    1000-copy group emits one row here, not ~500k pairs; the raw
+    pair list stays available as the tunable discovery API
+    ``dedup.token_jaccard_pairs``, unit- and oracle-pinned via
+    dedup_shingle_jaccard which shares the kernel)."""
     docs = read_table(spark, sf_dir, "documents", widen=True)
-    return dedup.token_jaccard_pairs(docs, threshold=0.8)
+    pairs = dedup.token_jaccard_pairs(docs, threshold=0.8)
+    from pgloader_spark.operators.components import connected_components
+
+    return (
+        connected_components(pairs)
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            F.col("component").cast("long").alias("canonical_id"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )
 
 
 @query("dedup_shingle_jaccard", oracle=_duck_jaccard_sql(k=3, threshold=0.5))

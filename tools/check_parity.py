@@ -82,7 +82,95 @@ def main() -> int:
             n_fail += 1
             continue
         if name not in ORACLES:
-            print(f"SKIP {name}: no oracle ({len(s_rows)} rows) [{time.time()-t0:.1f}s]")
+            # python-oracle arm: iterative / non-SQL-expressible queries
+            # are pinned against textbook in-memory references instead
+            from py_oracles import PY_ORACLES
+
+            if name not in PY_ORACLES:
+                print(
+                    f"SKIP {name}: no oracle ({len(s_rows)} rows) "
+                    f"[{time.time()-t0:.1f}s]"
+                )
+                continue
+            try:
+                p_cols, p_rows, atol = PY_ORACLES[name](sf_dir)
+            except Exception as e:
+                print(f"FAIL {name}: python-oracle error: {e}")
+                n_fail += 1
+                continue
+            sc = [c.lower() for c in s_cols]
+            problems = []
+            if sorted(sc) != sorted(c.lower() for c in p_cols):
+                problems.append(
+                    f"columns differ: spark={sorted(sc)} py={sorted(p_cols)}"
+                )
+            elif len(s_rows) != len(p_rows):
+                problems.append(
+                    f"row count: spark={len(s_rows)} py={len(p_rows)}"
+                )
+            else:
+                # align rows on the non-float columns (every py-oracle
+                # query has a unique int key) so atol jitter in float
+                # cells can never misalign the row sort
+                pc_l = [c.lower() for c in p_cols]
+                s_ord = sorted(range(len(sc)), key=lambda i: sc[i])
+                p_ord = sorted(range(len(pc_l)), key=lambda i: pc_l[i])
+                key_ix = [
+                    ix
+                    for ix, i in enumerate(s_ord)
+                    if not any(
+                        isinstance(r[i], float) for r in s_rows[:20]
+                    )
+                ]
+
+                def by_key(rows, order):
+                    out = {}
+                    for r in rows:
+                        t = tuple(r[i] for i in order)
+                        out[tuple(t[ix] for ix in key_ix)] = t
+                    return out
+
+                a = by_key(s_rows, s_ord)
+                b = by_key(p_rows, p_ord)
+                bad = 0
+                first = None
+                for kk, ra in a.items():
+                    rb = b.get(kk)
+                    ok = rb is not None and all(
+                        values_equal(x, y)
+                        or (
+                            isinstance(x, float)
+                            and isinstance(y, float)
+                            and abs(x - y) <= atol
+                        )
+                        for x, y in zip(ra, rb)
+                    )
+                    if not ok:
+                        bad += 1
+                        if first is None:
+                            first = (ra, rb)
+                if bad:
+                    problems.append(f"{bad}/{len(a)} rows differ; first: {first}")
+            if problems:
+                print(f"FAIL {name} (py-oracle): {problems[0]} [{time.time()-t0:.1f}s]")
+                results[name] = {
+                    "pass": False,
+                    "oracle": "python",
+                    "rows": len(s_rows),
+                    "why": problems[0],
+                }
+                n_fail += 1
+            else:
+                print(
+                    f"PASS {name} (py-oracle, {len(s_rows)} rows) "
+                    f"[{time.time()-t0:.1f}s]"
+                )
+                results[name] = {
+                    "pass": True,
+                    "oracle": "python",
+                    "rows": len(s_rows),
+                }
+                n_pass += 1
             continue
         try:
             rel = con.sql(ORACLES[name])

@@ -48,6 +48,10 @@ ARROW_OK = {
     "multimodal_image_neardup",    # real PNG decode + aHash batch stage
     "multimodal_audio_neardup",    # real WAV decode + envelope fingerprint
     "multimodal_video_frames",     # AVI demux + per-frame pixel decode
+    # measurement query: its brute-force-TRUTH arm (the yardstick the
+    # IVF path is scored against) is a deliberate BLAS batch kernel —
+    # the production path it measures is the pruned IVF probe
+    "similarity_ivf_quality",
 }
 
 # Queries whose small side is literal/driver-bounded, where a
@@ -71,6 +75,12 @@ BNLJ_OK_PATTERNS = (
     "layout_zorder_keys",       # min/max bounds scalar
     "sample_mix_temperature",   # share-total + binding-scale scalars
     "sample_ccnet_buckets",     # bigram V scalar (same as bigram_logprob)
+    # bounded-broadcast BNLJs adjudicated in the round-4 verdict:
+    "text_bm25_topk",        # query-term set broadcast (posting-list prune)
+    "text_passage_bm25",     # same query-term broadcast, passage granularity
+    "text_bm25_incremental", # frozen index snapshot (query-term-sized) broadcast
+    "events_funnel",         # three 1-row stage aggregates crossJoined
+    "events_cohort_retention",  # 1-row cohort-anchor aggregate crossed on
 )
 
 
