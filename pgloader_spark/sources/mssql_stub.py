@@ -413,6 +413,10 @@ class _TdsSession:
                 continue
             cols, rows = res
             out = self._tok_colmetadata(cols)
+            if "order by" in sql.lower():
+                # real servers emit an ORDER token (0xA9) for sorted
+                # result sets: USHORT length + column numbers
+                out += b"\xa9" + struct.pack("<HH", 2, 1)
             for r in rows:
                 out += self._tok_row(r)
             out += self._tok_done(len(rows), has_count=True)

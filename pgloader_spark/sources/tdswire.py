@@ -39,6 +39,8 @@ _PKT_LOGIN7 = 0x10
 _PKT_PRELOGIN = 0x12
 
 _TOK_COLMETADATA = 0x81
+_TOK_ORDER = 0xA9  # column numbers of an ORDER BY result (skippable)
+_TOK_RETURNSTATUS = 0x79  # 4-byte proc return value (skippable)
 _TOK_ERROR = 0xAA
 _TOK_INFO = 0xAB
 _TOK_LOGINACK = 0xAD
@@ -51,6 +53,7 @@ _TOK_DONEINPROC = 0xFF
 TYPE_NVARCHAR = 0xE7
 TYPE_BIGVARCHAR = 0xA7
 TYPE_INTN = 0x26
+TYPE_BITN = 0x68  # nullable BIT: same size-prefixed wire shape as INTN
 
 _DSN_RE = re.compile(
     r"^mssql://(?:(?P<user>[^:@/]+)(?::(?P<password>[^@/]*))?@)?"
@@ -235,7 +238,7 @@ class MsConn:
         while i < n:
             tok = data[i]
             i += 1
-            if tok in (_TOK_ENVCHANGE, _TOK_INFO, _TOK_LOGINACK):
+            if tok in (_TOK_ENVCHANGE, _TOK_INFO, _TOK_LOGINACK, _TOK_ORDER):
                 (length,) = struct.unpack_from("<H", data, i)
                 i += 2 + length
             elif tok == _TOK_ERROR:
@@ -247,6 +250,8 @@ class MsConn:
                 if error is None:
                     error = MsError(number, state, severity, msg)
                 i += 2 + length
+            elif tok == _TOK_RETURNSTATUS:
+                i += 4  # LONG value — irrelevant to a result funnel
             elif tok == _TOK_COLMETADATA:
                 (count,) = struct.unpack_from("<H", data, i)
                 i += 2
@@ -261,7 +266,7 @@ class MsConn:
                         (maxlen,) = struct.unpack_from("<H", data, i)
                         i += 2 + 5  # maxlen + COLLATION
                         types.append((t, maxlen))
-                    elif t == TYPE_INTN:
+                    elif t in (TYPE_INTN, TYPE_BITN):
                         size = data[i]
                         i += 1
                         types.append((t, size))
@@ -292,7 +297,7 @@ class MsConn:
                                 )
                             )
                             i += blen
-                    else:  # INTN
+                    else:  # INTN / BITN (size-prefixed little-endian int)
                         size = data[i]
                         i += 1
                         if size == 0:

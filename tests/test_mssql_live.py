@@ -107,6 +107,55 @@ def test_wire_multipacket_response():
             assert rows[99][1] == "99:" + payload
 
 
+def test_wire_order_returnstatus_bitn_tokens():
+    """Tokens a real server interleaves that the stub's happy path
+    didn't exercise until round 5: ORDER (0xA9, every sorted result),
+    RETURNSTATUS (0x79, proc calls), and BITN (0x68) columns.  Feeds
+    the raw token stream straight into the parser."""
+    import struct
+
+    parse = MsConn._parse_tokens
+
+    def ucs2(s: str) -> bytes:
+        return s.encode("utf-16-le")
+
+    colmeta = (
+        b"\x81" + struct.pack("<H", 2)
+        # col 1: BITN
+        + struct.pack("<HH", 0, 0x09) + b"\x68\x01"
+        + bytes([1]) + ucs2("b")
+        # col 2: NVARCHAR
+        + struct.pack("<HH", 0, 0x09) + b"\xe7" + struct.pack("<H", 100)
+        + b"\x09\x04\xd0\x00\x34" + bytes([1]) + ucs2("s")
+    )
+    stream = (
+        b"\x79" + struct.pack("<i", 0)            # RETURNSTATUS 0
+        + colmeta
+        + b"\xa9" + struct.pack("<HH", 2, 1)      # ORDER on col 1
+        + b"\xd1" + b"\x01\x01" + struct.pack("<H", 4) + ucs2("ok")   # (1,'ok')
+        + b"\xd1" + b"\x00" + struct.pack("<H", 0xFFFF)               # (N,N)
+        + b"\xfd" + struct.pack("<HHI", 0x10, 0, 2)
+    )
+    cols, rows = parse(None, stream)
+    assert cols == ["b", "s"]
+    assert rows == [("1", "ok"), (None, None)]
+
+
+def test_wire_order_token_via_stub_server():
+    """End-to-end: the stub now emits ORDER for sorted results (as the
+    real server does); the client must skip it and still parse rows."""
+    t = MsStubTable(
+        name="t",
+        columns=[MsStubColumn("id", "int", nullable=False)],
+        rows=[(2,), (1,)],
+        pkey=["id"],
+    )
+    with MsSQLStubServer("db1", [t]) as srv:
+        with MsConn(f"mssql://sa@127.0.0.1:{srv.port}/db1") as c:
+            _, rows = c.query("SELECT id FROM t ORDER BY id")
+            assert rows == [("1",), ("2",)]
+
+
 # ------------------------------------------------------------ introspect
 
 
