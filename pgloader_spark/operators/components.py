@@ -80,6 +80,59 @@ def _fingerprint(parents: DataFrame) -> tuple[int, int]:
     return row["n"], row["sig"]
 
 
+def _driver_components(edge_arr) -> "tuple":
+    """Vectorized min-label propagation with edge collapse over an
+    (E, 2) int64 edge array.  Per round: grouped-min label exchange
+    (argsort + minimum.reduceat — no per-edge ufunc.at), pointer
+    jumping, then edges rewrite under the new labels and
+    intra-component edges drop — dense near-dup cliques collapse to
+    zero edges in one round, chains shrink geometrically (hash-to-min
+    shape, O(log n) rounds).  Node ids sort ascending under
+    np.unique, so the elected label is the component MINIMUM id —
+    identical to the star algorithm's election."""
+    import numpy as np
+
+    nodes, inv = np.unique(edge_arr, return_inverse=True)
+    e = inv.reshape(-1, 2).astype(np.int64)
+    lab = np.arange(len(nodes), dtype=np.int64)
+    for _ in range(64):
+        if not e.shape[0]:
+            break
+        src = np.concatenate([e[:, 0], e[:, 1]])
+        dst = np.concatenate([lab[e[:, 1]], lab[e[:, 0]]])
+        order = np.argsort(src, kind="stable")
+        src_s, dst_s = src[order], dst[order]
+        starts = np.flatnonzero(np.r_[True, src_s[1:] != src_s[:-1]])
+        np.minimum.at(  # |V|-sized — one entry per distinct endpoint
+            lab, src_s[starts], np.minimum.reduceat(dst_s, starts)
+        )
+        while True:  # pointer jumping: labels are node indices
+            nxt = lab[lab]
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+        # collapse: rewrite edges under labels, drop settled ones
+        el = lab[e]
+        el = el[el[:, 0] != el[:, 1]]
+        if el.size:
+            # |V| < 2^31 under any driver gate -> a packed int64 key
+            key = np.unique(
+                (np.minimum(el[:, 0], el[:, 1]) << np.int64(32))
+                | np.maximum(el[:, 0], el[:, 1])
+            )
+            e = np.column_stack([key >> np.int64(32), key & np.int64(0xFFFFFFFF)])
+        else:
+            e = el
+    else:
+        raise RuntimeError("_driver_components: no fixpoint in 64 rounds")
+    while True:  # late label drops re-resolve through the final jump
+        nxt = lab[lab]
+        if np.array_equal(nxt, lab):
+            break
+        lab = nxt
+    return nodes, nodes[lab]
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -87,14 +140,71 @@ def connected_components(
     nodes: DataFrame | None = None,
     id_col: str = "id",
     max_iter: int = 50,
+    driver_edge_threshold: int = 4_000_000,
 ) -> DataFrame:
     """Resolve a pair list into (id, component) with component = min id.
 
     ``pairs``: DataFrame with two id columns (undirected edges).
     ``nodes``: optional (id) DataFrame; when given, isolated ids appear
     in the output as their own singleton components.
+
+    Size-gated execution (the bpe_learn discipline — bounded state
+    belongs on the driver, corpus-sized state on the cluster): a
+    LIMIT(threshold+1) Arrow probe materializes the edge list ONCE;
+    at or under ``driver_edge_threshold`` edges (default 4M ≈ 64 MB
+    Arrow) the probe already holds the whole graph and components
+    resolve driver-side with vectorized min-label propagation —
+    numpy-round work where the star loop pays seconds of
+    per-iteration job-scheduling latency.  Above the gate (the
+    100 TB regime: billion-edge near-dup graphs) the alternating
+    large-star / small-star loop runs distributed, O(log^2 n)
+    iterations on any graph shape (the probe's one redundant pass is
+    amortized there).  Both paths elect min-id and return identical
+    mappings (pinned by test).  ``driver_edge_threshold=0`` forces
+    the distributed path.
     """
     edges = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+
+    int_ids = all(
+        f.dataType.simpleString() in ("tinyint", "smallint", "int", "bigint")
+        for f in edges.schema.fields
+    )
+    tbl = None
+    if driver_edge_threshold and int_ids:
+        probe = edges.limit(driver_edge_threshold + 1).toArrow()
+        if probe.num_rows <= driver_edge_threshold:
+            tbl = probe
+    if tbl is not None:
+        import numpy as np
+
+        spark = pairs.sparkSession
+        if tbl.num_rows == 0:
+            parents = spark.createDataFrame([], f"{id_col} long, component long")
+        else:
+            arr = np.column_stack(
+                [
+                    tbl.column("u").to_numpy(zero_copy_only=False).astype(np.int64),
+                    tbl.column("v").to_numpy(zero_copy_only=False).astype(np.int64),
+                ]
+            )
+            node_ids, comp = _driver_components(arr)
+            import pyarrow as pa
+
+            parents = spark.createDataFrame(
+                pa.table({id_col: node_ids, "component": comp})
+            )
+        mapping = parents
+        if nodes is not None:
+            mapping = (
+                nodes.select(F.col(id_col))
+                .join(F.broadcast(mapping), id_col, "left")
+                .select(
+                    F.col(id_col),
+                    F.coalesce("component", F.col(id_col)).alias("component"),
+                )
+            )
+        return mapping
+
     prev: tuple[int, int] | None = None
     for _ in range(max_iter):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)

@@ -67,4 +67,46 @@ def test_component_stats(spark):
 
 def test_max_iter_guard(spark):
     with pytest.raises(RuntimeError, match="no fixpoint"):
-        connected_components(_pairs(spark, [(1, 2), (2, 3)]), max_iter=0)
+        connected_components(
+            _pairs(spark, [(1, 2), (2, 3)]),
+            max_iter=0,
+            driver_edge_threshold=0,  # the guard lives on the star loop
+        )
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    """The size-gated driver path (vectorized min-label propagation)
+    and the star loop elect identical min-id mappings on randomized
+    graphs: chains, cliques, stars, singleton mix."""
+    import random
+
+    rng = random.Random(13)
+    edges = []
+    # random blobs
+    for base in (0, 1000, 2000, 3000):
+        ids = [base + i for i in range(rng.randint(2, 30))]
+        for _ in range(len(ids) * 2):
+            a, b = rng.sample(ids, 2)
+            edges.append((a, b))
+    # a long chain (adversarial for propagation counts)
+    edges += [(5000 + i, 5000 + i + 1) for i in range(60)]
+    pairs = _pairs(spark, edges)
+    via_driver = _as_dict(connected_components(pairs))
+    via_stars = _as_dict(connected_components(pairs, driver_edge_threshold=0))
+    assert via_driver == via_stars
+    # every label is the component minimum
+    comp_members: dict[int, list[int]] = {}
+    for node, c in via_driver.items():
+        comp_members.setdefault(c, []).append(node)
+    for c, members in comp_members.items():
+        assert c == min(members)
+
+
+def test_driver_path_isolated_nodes_and_empty(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    got = _as_dict(
+        connected_components(_pairs(spark, [(0, 1)]), nodes=nodes)
+    )
+    assert got == {0: 0, 1: 0, 2: 2, 3: 3, 4: 4}
+    got_empty = _as_dict(connected_components(_pairs(spark, []), nodes=nodes))
+    assert got_empty == {i: i for i in range(5)}

@@ -213,11 +213,16 @@ def test_connected_components_shuffles_are_bounded(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
     )
-    mapping = connected_components(pairs)
+    mapping = connected_components(pairs, driver_edge_threshold=0)
     plan = str(mapping._jdf.queryExecution().optimizedPlan())
     # lineage was cut: the final plan reads checkpointed RDDs, not the
     # full iteration history
     assert "LogicalRDD" in plan
+    # the size-gated driver path resolves the same graph to a
+    # LocalRelation/Arrow-backed mapping (no star rounds at all)
+    small = connected_components(pairs)
+    small_plan = str(small._jdf.queryExecution().optimizedPlan())
+    assert "Join" not in small_plan
 
 
 def test_decontam_probes_via_broadcast(spark, sf_dir):
