@@ -427,3 +427,73 @@ def mix_with_temperature(
         .filter(F.col("__rn") <= F.col("__quota"))
         .drop("__rn", "__quota")
     )
+
+
+def token_budget_take(
+    scored: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    tokens_col: str = "n_tokens",
+    bucket_decimals: int = 3,
+) -> DataFrame:
+    """Quality-ranked curation under a token budget: keep the
+    highest-scoring documents whose running token total (score DESC,
+    id ASC) stays within ``budget`` — the "fill the training mix from
+    the top" selection every budgeted pretraining run makes.
+
+    Scale shape (NO corpus-wide sort): scores bucket to
+    ``bucket_decimals`` (monotone in score, so bucket order = score
+    order between buckets); one map-side-combinable aggregate yields
+    the <= 10^bucket_decimals+1-row bucket->token-total table, which
+    resolves ON THE DRIVER to the set of fully-kept buckets plus the
+    single boundary bucket.  Only that candidate PREFIX (kept-output
+    plus one bucket — budget-sized, never corpus-sized) flows into the
+    exact (score DESC, id) cumulative window.  Zero-token documents
+    are excluded by contract (they buy nothing against a budget and
+    would make the running total non-strictly-monotone).
+
+    Returns (id, n_tokens, score, cum_tokens) for every kept doc.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    base = scored.select(
+        F.col(id_col),
+        F.col(tokens_col).cast("long").alias(tokens_col),
+        F.col(score_col).cast("double").alias(score_col),
+    ).filter(F.col(tokens_col) > 0)
+    b = F.round(F.col(score_col), bucket_decimals).alias("__bucket")
+    btab = (
+        base.groupBy(b)
+        .agg(F.sum(tokens_col).alias("tok"))
+        .collect()  # bounded: one row per distinct rounded score
+    )
+    cum = 0
+    boundary = None
+    full: list[float] = []
+    for bv, tok in sorted(
+        ((r["__bucket"], r["tok"]) for r in btab), key=lambda x: -x[0]
+    ):
+        if cum + tok <= budget:
+            cum += tok
+            full.append(bv)
+        else:
+            boundary = bv  # first bucket the budget cannot swallow whole
+            break
+    keep_buckets = full + ([boundary] if boundary is not None else [])
+    if not keep_buckets:
+        return base.select(
+            id_col, tokens_col, score_col, F.lit(0).cast("long").alias("cum_tokens")
+        ).limit(0)
+    cand = base.withColumn("__bucket", b).filter(
+        F.col("__bucket").isin([float(x) for x in keep_buckets])
+    )
+    w = (
+        W.orderBy(F.desc(score_col), F.asc(id_col))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        cand.withColumn("cum_tokens", F.sum(tokens_col).over(w))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(id_col, tokens_col, score_col, "cum_tokens")
+    )

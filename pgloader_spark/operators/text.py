@@ -92,6 +92,89 @@ def quality_metrics(
     }
 
 
+def gopher_quality_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_frac: float = 0.80,
+    min_distinct_stopwords: int = 2,
+    max_symbol_word_ratio: float = 0.10,
+    max_bullet_line_frac: float = 0.90,
+    max_ellipsis_line_frac: float = 0.30,
+) -> DataFrame:
+    """Gopher-style composite quality gate (Rae et al. 2021 §A1.1,
+    public heuristics re-derived): per-document rule booleans plus the
+    AND-of-all ``keep`` flag.
+
+    The whole gate is ONE narrow Column pass — tokenization happens
+    once, every rule is a codegen'd expression over it, and at 100 TB
+    the filter runs at scan speed BEFORE any shuffle-bearing stage
+    (dedup, classifier scoring), which is exactly where pretraining
+    pipelines put it.  Thresholds are keyword-tunable; defaults follow
+    the paper except ``min_words`` (20, matched to short-doc corpora;
+    the paper's 50 assumes web pages).
+
+    Repetition gates (dup n-gram fractions) are deliberately NOT
+    re-implemented here — compose with ``text_repetition``'s columns
+    when those signals are needed; they cost an n-gram materialization
+    this scan-speed gate avoids.
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    nz = F.greatest(n_tok, F.lit(1)).cast("double")
+    mean_wlen = F.when(
+        n_tok > 0,
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t).cast("long")
+        )
+        / n_tok.cast("double"),
+    ).otherwise(F.lit(0.0))
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / nz
+    )
+    n_stop_distinct = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in STOPWORDS["en"]]),
+        )
+    )
+    symbol_ratio = F.regexp_count(c, F.lit(r"#|\.\.\.")).cast("double") / nz
+    lines = F.split(c, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))).cast("double")
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$"))).cast("double")
+        / n_lines
+    )
+    rules = {
+        "rule_word_count": (n_tok >= min_words) & (n_tok <= max_words),
+        "rule_mean_word_len": (mean_wlen >= min_mean_word_len)
+        & (mean_wlen <= max_mean_word_len),
+        "rule_alpha_words": alpha_frac >= min_alpha_word_frac,
+        "rule_stopwords": n_stop_distinct >= min_distinct_stopwords,
+        "rule_symbol_ratio": symbol_ratio <= max_symbol_word_ratio,
+        "rule_bullet_lines": bullet_frac <= max_bullet_line_frac,
+        "rule_ellipsis_lines": ellipsis_frac <= max_ellipsis_line_frac,
+    }
+    keep = None
+    for expr in rules.values():
+        keep = expr if keep is None else (keep & expr)
+    return df.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_words"),
+        *[v.alias(k) for k, v in rules.items()],
+        keep.alias("keep"),
+    )
+
+
 def lang_scores(
     text_col: Column | str, dtk: Column | None = None
 ) -> dict[str, Column]:

@@ -2693,3 +2693,104 @@ def events_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("z"),
         )
     )
+
+
+from pgloader_spark.queries import _EN_STOP  # noqa: E402
+
+
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents),
+m AS (
+  SELECT doc_id,
+         len(tk) AS n,
+         CASE WHEN len(tk) > 0
+              THEN list_sum(list_transform(tk, x -> length(x)))
+                   / CAST(len(tk) AS DOUBLE)
+              ELSE 0.0 END AS mwl,
+         len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))
+             / CAST(greatest(len(tk), 1) AS DOUBLE) AS alpha,
+         len(list_intersect(list_distinct(tk), {_EN_STOP})) AS nstop,
+         len(regexp_extract_all(text, '#|\\.\\.\\.'))
+             / CAST(greatest(len(tk), 1) AS DOUBLE) AS symr,
+         string_split(text, chr(10)) AS ln
+  FROM t),
+r AS (
+  SELECT doc_id,
+         CAST(n AS BIGINT) AS n_words,
+         n >= 20 AND n <= 100000 AS rule_word_count,
+         mwl >= 3.0 AND mwl <= 10.0 AS rule_mean_word_len,
+         alpha >= 0.80 AS rule_alpha_words,
+         nstop >= 2 AS rule_stopwords,
+         symr <= 0.10 AS rule_symbol_ratio,
+         len(list_filter(ln, l -> regexp_matches(l, '^\\s*[-*•]')))
+             / CAST(greatest(len(ln), 1) AS DOUBLE) <= 0.90
+             AS rule_bullet_lines,
+         len(list_filter(ln, l -> regexp_matches(l, '\\.\\.\\.\\s*$')))
+             / CAST(greatest(len(ln), 1) AS DOUBLE) <= 0.30
+             AS rule_ellipsis_lines
+  FROM m)
+SELECT *,
+       rule_word_count AND rule_mean_word_len AND rule_alpha_words
+       AND rule_stopwords AND rule_symbol_ratio AND rule_bullet_lines
+       AND rule_ellipsis_lines AS keep
+FROM r
+""",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality gate: 7 rule booleans + the
+    AND-of-all keep flag, one narrow scan-speed pass — the filter
+    pretraining pipelines run BEFORE any shuffle-bearing stage
+    (operators/text.py:gopher_quality_rules)."""
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    return txt.gopher_quality_rules(docs)
+
+
+_DUCK_HASH_SCORE = f"""
+toksb AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+bkt AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('h0:' || term), 1, 12)) AS BIGINT) % 4096 AS j
+  FROM toksb),
+wts AS (
+  SELECT doc_id,
+         round((CAST(('0x' || substr(md5('w0:' || CAST(j AS VARCHAR)), 1, 12))
+                     AS BIGINT) % 2001 - 1000) / 1000.0, 6) AS wj
+  FROM bkt),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         SUM(CAST(wj AS DECIMAL(28,6))) AS sw
+  FROM wts GROUP BY 1),
+scored AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         round(1.0 / (1.0 + exp(-(CAST(sw AS DOUBLE) / n_tokens))), 6) AS score
+  FROM per WHERE n_tokens > 0)
+"""
+
+
+@query(
+    "sample_token_budget",
+    oracle=f"""
+WITH {_DUCK_HASH_SCORE},
+o AS (
+  SELECT doc_id, n_tokens, score,
+         SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM scored)
+SELECT doc_id, n_tokens, score, CAST(cum AS BIGINT) AS cum_tokens
+FROM o WHERE cum <= 6000
+""",
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted curation: the highest-quality documents (hashed linear
+    classifier score) whose running token total fits a 6000-token
+    budget.  No corpus-wide sort — the score buckets to 3 decimals,
+    one combinable aggregate resolves which buckets fit on the driver,
+    and only the budget-sized candidate prefix flows through the exact
+    cumulative window (operators/sampling.py:token_budget_take)."""
+    from pgloader_spark.operators.sampling import token_budget_take
+
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    scored = txt.hashed_linear_score(docs)
+    return token_budget_take(scored, budget=6000)

@@ -429,3 +429,90 @@ def test_new_text_ops_tolerate_null_and_empty_text(spark):
     seg = {r["doc_id"]: r["n_tokens"] for r in
            txt.bpe_segment_counts(docs, merges).collect()}
     assert seg == {1: 3, 4: 2}  # null/empty docs emit no token rows
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    from pgloader_spark.operators.text import gopher_quality_rules
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away to find some more food for the day") * 1
+    docs = [
+        (1, good),                                   # passes everything
+        (2, "short text"),                           # word count
+        (3, " ".join(["a"] * 30)),                   # mean word len low (+alpha ok)
+        (4, " ".join(["12345"] * 30)),               # alpha + stopwords
+        (5, good + " ###### ## # # # ## # # # #"),   # symbol ratio
+        (6, "\n".join(["- the item is here ok"] * 10)),   # bullet lines
+        (7, "\n".join(["we keep going and on..."] * 10)),  # ellipsis lines
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["doc_id"]: r.asDict() for r in gopher_quality_rules(df).collect()}
+    assert rows[1]["keep"] is True
+    assert rows[2]["rule_word_count"] is False and rows[2]["keep"] is False
+    assert rows[3]["rule_mean_word_len"] is False
+    assert rows[4]["rule_alpha_words"] is False
+    assert rows[4]["rule_stopwords"] is False
+    assert rows[5]["rule_symbol_ratio"] is False
+    assert rows[6]["rule_bullet_lines"] is False
+    assert rows[7]["rule_ellipsis_lines"] is False
+
+
+def test_gopher_rules_plan_is_narrow(spark):
+    from pgloader_spark.operators.text import gopher_quality_rules
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = gopher_quality_rules(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # scan-speed: no shuffle anywhere
+
+
+def test_token_budget_take_prefix_semantics(spark):
+    from pgloader_spark.operators.sampling import token_budget_take
+
+    rows = [
+        # (id, tokens, score)
+        (1, 100, 0.95),
+        (2, 200, 0.90),
+        (3, 150, 0.90),   # ties with 2: id tiebreak puts 2 first
+        (4, 400, 0.50),
+        (5, 100, 0.10),
+        (6, 0, 0.99),     # zero-token: excluded by contract
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long, score double")
+
+    def take(budget):
+        got = token_budget_take(df, budget=budget).orderBy("cum_tokens").collect()
+        return [(r.doc_id, r.cum_tokens) for r in got]
+
+    assert take(449) == [(1, 100), (2, 300)]          # 3 would cross
+    assert take(450) == [(1, 100), (2, 300), (3, 450)]  # exact fit
+    assert take(99) == []                              # top doc alone too big
+    assert take(0) == []
+    assert take(10_000) == [(1, 100), (2, 300), (3, 450), (4, 850), (5, 950)]
+
+
+def test_token_budget_take_matches_global_sort_on_random(spark):
+    """Bucket decomposition == a plain global cumsum prefix, on
+    randomized scores/token counts (the boundary-bucket edge cases a
+    hand-picked fixture misses)."""
+    import random
+
+    rng = random.Random(99)
+    rows = [
+        (i, rng.randint(1, 50), round(rng.random(), 6)) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long, score double")
+    budget = 3000
+    from pgloader_spark.operators.sampling import token_budget_take
+
+    got = {
+        r.doc_id: r.cum_tokens
+        for r in token_budget_take(df, budget=budget).collect()
+    }
+    ordered = sorted(rows, key=lambda r: (-r[2], r[0]))
+    cum, want = 0, {}
+    for i, t, _s in ordered:
+        if cum + t > budget:
+            break
+        cum += t
+        want[i] = cum
+    assert got == want
