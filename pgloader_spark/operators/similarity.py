@@ -708,3 +708,184 @@ def embedding_pca_project(
         for row in range(k)
     ]
     return df.select(F.col(id_col), *comps)
+
+
+# --------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011): memory-bounded ANN at scale
+# --------------------------------------------------------------------------
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    sample_n: int = 256,
+    iters: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Train PQ codebooks: ``m`` subspaces x ``ks`` centroids each.
+
+    Driver-bounded by construction (the ivf_centroids discipline): the
+    training sample is the first ``sample_n`` vectors by id — one
+    bounded collect — and Lloyd's iterations run on that sample in
+    numpy.  Deterministic across runs/engines: first-``ks``-distinct
+    init per subspace, fixed iteration count, centroids rounded to
+    6 dp each round, empty clusters keep their previous centroid.
+
+    Returns ``codebooks[s][c] = list[dsub floats]`` — ~m*ks*dsub
+    floats (4 KB at the defaults), which ride task binaries as
+    literals; the corpus itself never shuffles for training.
+    """
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .orderBy(id_col)
+        .limit(sample_n)
+        .collect()
+    )
+    sample = np.array([r[1] for r in rows], dtype=np.float64)
+    if sample.shape[0] < ks:
+        raise ValueError(f"sample ({sample.shape[0]}) smaller than ks={ks}")
+    codebooks = []
+    for s in range(m):
+        X = sample[:, s * dsub : (s + 1) * dsub]
+        # first-ks-distinct init on the 6dp-rounded subvectors
+        seen: dict = {}
+        for v in np.round(X, 6):
+            t = tuple(v)
+            if t not in seen:
+                seen[t] = None
+            if len(seen) == ks:
+                break
+        if len(seen) < ks:
+            raise ValueError(f"subspace {s}: fewer than ks={ks} distinct subvectors")
+        C = np.array(list(seen), dtype=np.float64)
+        for _ in range(iters):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(np.round(d2, 6), axis=1)
+            for c in range(ks):
+                mask = assign == c
+                if mask.any():
+                    C[c] = np.round(X[mask].mean(axis=0), 6)
+        codebooks.append([[float(x) for x in c] for c in C])
+    return codebooks
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to ``m`` one-byte codes: (id, codes array<int>).
+
+    A 64-dim float corpus compresses 32x (256 B -> 8 B/vector) — the
+    difference between an ANN index that fits executor memory at
+    100 TB and one that doesn't.  Narrow Arrow-batched stage: each
+    batch computes per-subspace distances with one (batch x ks) gemm
+    expansion; nothing shuffles.  Argmin ties break to the lowest code
+    on the 6 dp-rounded distance (cross-impl stable).
+    """
+    import pandas as pd
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+
+    def encode(batches):
+        import numpy as np
+
+        cbs = [np.array(cb, dtype=np.float64) for cb in codebooks]
+        for pdf in batches:
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s, C in enumerate(cbs):
+                X = V[:, s * dsub : (s + 1) * dsub]
+                d2 = (
+                    (X * X).sum(axis=1)[:, None]
+                    - 2.0 * (X @ C.T)
+                    + (C * C).sum(axis=1)[None, :]
+                )
+                codes[:, s] = np.argmin(np.round(d2, 6), axis=1)
+            yield pd.DataFrame({"id": pdf[id_col], "codes": list(codes)})
+
+    out = df.select(id_col, vec_col).mapInPandas(
+        encode, f"id {dict(df.dtypes)[id_col]}, codes array<int>"
+    )
+    return out.select(F.col("id").alias(id_col), "codes")
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: exact query vectors against the
+    PQ-compressed corpus.
+
+    The bounded query set collects once; each query's m x ks
+    distance lookup table inlines as ARRAY LITERALS, so the scan side
+    is pure JVM — per corpus row the approximate distance is m
+    ``element_at`` lookups summed (no Python, no join, no shuffle
+    before the per-query rank).  Ranks on the 6 dp-rounded distance
+    with id tiebreak (cross-engine stable).
+    """
+    m = len(codebooks)
+    enc = pq_encode(corpus, codebooks, id_col, vec_col)
+    q_rows = queries.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>")
+    ).collect()
+
+    import numpy as np
+
+    per_query = []
+    for qid, qvec in q_rows:
+        qv = np.asarray(qvec, dtype=np.float64)
+        dsub = len(codebooks[0][0])
+        luts = []
+        for s, cb in enumerate(codebooks):
+            C = np.array(cb, dtype=np.float64)
+            xs = qv[s * dsub : (s + 1) * dsub]
+            luts.append(np.round(((C - xs[None, :]) ** 2).sum(axis=1), 6))
+        per_query.append((qid, luts))
+
+    def adist_for(luts) -> Column:
+        lut_cols = [F.array(*[F.lit(float(v)) for v in lut]) for lut in luts]
+        return F.round(
+            sum(
+                F.element_at(lut_cols[s], F.col("codes")[s] + 1)
+                for s in range(m)
+            ),
+            6,
+        )
+
+    # ONE corpus pass: every query's ADC distance evaluates per row
+    # (m element_at lookups each), stacked with explode — never Q scans
+    scored = enc.select(
+        F.col(id_col).alias("n_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(qid).alias("q_id"), adist_for(luts).alias("adist")
+                    )
+                    for qid, luts in per_query
+                ]
+            )
+        ).alias("qa"),
+    ).select("n_id", "qa.q_id", "qa.adist").filter(F.col("n_id") != F.col("q_id"))
+
+    w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "adist", "rank")
+    )

@@ -2794,3 +2794,22 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents", widen=True)
     scored = txt.hashed_linear_score(docs)
     return token_budget_take(scored, budget=6000)
+
+
+@query("similarity_pq_topk")  # PQ codebooks come from iterative Lloyd
+# training — not SQL-expressible; checked value-exact against the
+# independent numpy reference in tools/py_oracles.py
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011): the corpus
+    compresses 32x to 8 one-byte codes (pq_encode, one narrow Arrow
+    stage), each query's m x ks distance table inlines as array
+    literals, and the ADC scan is m element_at lookups per row — pure
+    JVM, one corpus pass for ALL queries, no shuffle before the
+    per-query rank (operators/similarity.py:pq_train/pq_encode/
+    pq_topk)."""
+    from pgloader_spark.operators.similarity import pq_topk, pq_train
+
+    emb = read_table(spark, sf_dir, "embeddings", widen=True)
+    cbs = pq_train(emb, m=8, ks=16, sample_n=256, iters=5, dim=64)
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return pq_topk(emb, queries_df, cbs, k=10)

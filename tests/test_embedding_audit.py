@@ -146,3 +146,76 @@ def test_pca_project_matches_numpy(spark):
     arr = np.array([got[i] for i in range(120)])
     v = arr.var(axis=0)
     assert v[0] >= v[1] >= v[2]
+
+
+def test_pq_roundtrip_and_recall(spark):
+    """PQ codes reconstruct locality: with well-separated synthetic
+    clusters the ADC top-1 neighbor of each query is a member of its
+    own cluster, and encode is deterministic across partitionings."""
+    import numpy as np
+
+    from pgloader_spark.operators.similarity import pq_encode, pq_topk, pq_train
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(4, 64)) * 10
+    rows = []
+    for i in range(240):
+        c = i % 4
+        rows.append((i, [float(x) for x in centers[c] + rng.normal(size=64) * 0.1]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cbs = pq_train(df, m=8, ks=16, sample_n=240, iters=5, dim=64)
+    assert len(cbs) == 8 and len(cbs[0]) == 16 and len(cbs[0][0]) == 8
+
+    codes = {r.vec_id: list(r.codes) for r in pq_encode(df, cbs).collect()}
+    codes2 = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(df.repartition(7), cbs).collect()
+    }
+    assert codes == codes2  # partition-invariant
+    assert all(0 <= c < 16 for cs in codes.values() for c in cs)
+
+    q = df.filter("vec_id < 4")  # one query per cluster
+    top = pq_topk(df, q, cbs, k=5).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r.q_id, []).append((r.rank, r.n_id))
+    for qid, lst in by_q.items():
+        assert len(lst) == 5
+        top1 = min(lst)[1]
+        assert top1 % 4 == qid % 4  # nearest neighbor from own cluster
+
+
+def test_pq_topk_single_corpus_pass(spark):
+    """ADC scoring is ONE scan for all queries: no Union of per-query
+    subplans, no shuffle before the rank window's exchange."""
+    import numpy as np
+
+    from pgloader_spark.operators.similarity import pq_topk, pq_train
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cbs = pq_train(df, m=4, ks=8, sample_n=64, iters=3, dim=16)
+    plan = (
+        pq_topk(df, df.filter("vec_id < 3"), cbs, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Union" not in plan
+    assert plan.count("MapInPandas") == 1
+
+
+def test_pq_train_validates_inputs(spark):
+    import pytest as _pytest
+
+    from pgloader_spark.operators.similarity import pq_train
+
+    df = spark.createDataFrame(
+        [(i, [float(i)] * 10) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="divisible"):
+        pq_train(df, m=3, ks=2, sample_n=4, dim=10)
+    with _pytest.raises(ValueError, match="smaller than ks"):
+        pq_train(df, m=2, ks=16, sample_n=4, dim=10)

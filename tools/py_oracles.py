@@ -237,3 +237,77 @@ PY_ORACLES = {
     "text_classifier_train": text_classifier_train,
     "embedding_pca_project": embedding_pca_project,
 }
+
+
+# ----------------------------------------------------------------- PQ
+
+
+def similarity_pq_topk(sf_dir: str):
+    """Independent numpy product-quantization reference: same spec as
+    operators/similarity.py (first-256-by-id sample, first-16-distinct
+    6dp init, 5 Lloyd rounds with 6dp-rounded centroids and argmin on
+    6dp-rounded distances), per-vector loops instead of the engine's
+    gemm expansion."""
+    import numpy as np
+
+    m, ks, sample_n, iters, dim, k = 8, 16, 256, 5, 64, 10
+    dsub = dim // m
+    data = _read(
+        sf_dir,
+        "SELECT vec_id, embedding FROM read_parquet('{sf}/embeddings.parquet') ORDER BY vec_id",
+    )
+    ids = np.array([r[0] for r in data], dtype=np.int64)
+    V = np.array([r[1] for r in data], dtype=np.float64)
+
+    codebooks = []
+    sample = V[:sample_n]
+    for s in range(m):
+        X = sample[:, s * dsub : (s + 1) * dsub]
+        seen: dict = {}
+        for v in np.round(X, 6):
+            t = tuple(v)
+            if t not in seen:
+                seen[t] = None
+            if len(seen) == ks:
+                break
+        C = np.array(list(seen), dtype=np.float64)
+        for _ in range(iters):
+            d2 = np.array(
+                [[((x - c) ** 2).sum() for c in C] for x in X]
+            )
+            assign = np.argmin(np.round(d2, 6), axis=1)
+            for c in range(ks):
+                mask = assign == c
+                if mask.any():
+                    C[c] = np.round(X[mask].mean(axis=0), 6)
+        codebooks.append(C)
+
+    codes = np.empty((len(V), m), dtype=np.int64)
+    for s, C in enumerate(codebooks):
+        X = V[:, s * dsub : (s + 1) * dsub]
+        d2 = np.array([[((x - c) ** 2).sum() for c in C] for x in X])
+        codes[:, s] = np.argmin(np.round(d2, 6), axis=1)
+
+    rows = []
+    for qi in range(len(ids)):
+        if ids[qi] % 50 != 0:
+            continue
+        luts = []
+        for s, C in enumerate(codebooks):
+            xs = V[qi, s * dsub : (s + 1) * dsub]
+            luts.append(np.round(((C - xs[None, :]) ** 2).sum(axis=1), 6))
+        cand = []
+        for ni in range(len(ids)):
+            if ni == qi:
+                continue
+            a = 0.0
+            for s in range(m):
+                a += float(luts[s][codes[ni, s]])
+            cand.append((_half_up(a, 6), int(ids[ni])))
+        cand.sort()
+        for rnk, (a, nid) in enumerate(cand[:k], 1):
+            rows.append((int(ids[qi]), nid, a, rnk))
+    return (["q_id", "n_id", "adist", "rank"], rows, 2e-6)
+
+
+PY_ORACLES["similarity_pq_topk"] = similarity_pq_topk
