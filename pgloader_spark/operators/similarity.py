@@ -831,12 +831,16 @@ def pq_topk(
     """Asymmetric-distance (ADC) top-k: exact query vectors against the
     PQ-compressed corpus.
 
-    The bounded query set collects once; each query's m x ks
-    distance lookup table inlines as ARRAY LITERALS, so the scan side
-    is pure JVM — per corpus row the approximate distance is m
-    ``element_at`` lookups summed (no Python, no join, no shuffle
-    before the per-query rank).  Ranks on the 6 dp-rounded distance
-    with id tiebreak (cross-engine stable).
+    The bounded query set collects once; its m x ks distance lookup
+    tables ride ONE broadcast (a Q-row table of nested float arrays),
+    and per (corpus row, query) the approximate distance is m
+    ``element_at`` lookups summed — pure JVM, one corpus pass, no
+    corpus shuffle before the per-query rank.  A broadcast JOIN, not
+    literal inlining: the expression tree stays constant-size no
+    matter how many queries, so whole-stage codegen never falls back
+    to interpreted mode (literal LUTs blew the janino method limit at
+    ~400 queries).  Ranks on the 6 dp-rounded distance with id
+    tiebreak (cross-engine stable).
     """
     m = len(codebooks)
     enc = pq_encode(corpus, codebooks, id_col, vec_col)
@@ -854,34 +858,28 @@ def pq_topk(
         for s, cb in enumerate(codebooks):
             C = np.array(cb, dtype=np.float64)
             xs = qv[s * dsub : (s + 1) * dsub]
-            luts.append(np.round(((C - xs[None, :]) ** 2).sum(axis=1), 6))
+            luts.append(
+                [float(v) for v in np.round(((C - xs[None, :]) ** 2).sum(axis=1), 6)]
+            )
         per_query.append((qid, luts))
 
-    def adist_for(luts) -> Column:
-        lut_cols = [F.array(*[F.lit(float(v)) for v in lut]) for lut in luts]
-        return F.round(
-            sum(
-                F.element_at(lut_cols[s], F.col("codes")[s] + 1)
-                for s in range(m)
-            ),
-            6,
-        )
-
-    # ONE corpus pass: every query's ADC distance evaluates per row
-    # (m element_at lookups each), stacked with explode — never Q scans
-    scored = enc.select(
-        F.col(id_col).alias("n_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(qid).alias("q_id"), adist_for(luts).alias("adist")
-                    )
-                    for qid, luts in per_query
-                ]
-            )
-        ).alias("qa"),
-    ).select("n_id", "qa.q_id", "qa.adist").filter(F.col("n_id") != F.col("q_id"))
+    spark = corpus.sparkSession
+    lut_df = spark.createDataFrame(
+        per_query, f"q_id {dict(queries.dtypes)[id_col]}, luts array<array<double>>"
+    )
+    adist = F.round(
+        sum(
+            F.element_at(F.element_at("luts", s + 1), F.col("codes")[s] + 1)
+            for s in range(m)
+        ),
+        6,
+    )
+    scored = (
+        enc.select(F.col(id_col).alias("n_id"), "codes")
+        .crossJoin(F.broadcast(lut_df))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("n_id", "q_id", adist.alias("adist"))
+    )
 
     w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("n_id"))
     return (
