@@ -2813,3 +2813,44 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cbs = pq_train(emb, m=8, ks=16, sample_n=256, iters=5, dim=64)
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
     return pq_topk(emb, queries_df, cbs, k=10)
+
+
+@query(
+    "pipeline_budget_admission",
+    oracle=f"""
+WITH RECURSIVE t AS MATERIALIZED (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents),
+arr AS MATERIALIZED (
+  SELECT list(doc_id ORDER BY doc_id) AS ids,
+         list(n_tokens ORDER BY doc_id) AS toks,
+         COUNT(*) AS n
+  FROM t WHERE n_tokens > 0),
+walk(rn, doc_id, n_tokens, spent, admitted) AS (
+  SELECT 1, ids[1], toks[1],
+         CASE WHEN toks[1] <= 4000 THEN toks[1] ELSE CAST(0 AS BIGINT) END,
+         toks[1] <= 4000
+  FROM arr
+  UNION ALL
+  SELECT w.rn + 1, a.ids[w.rn + 1], a.toks[w.rn + 1],
+         CASE WHEN w.spent + a.toks[w.rn + 1] <= 4000
+              THEN w.spent + a.toks[w.rn + 1] ELSE w.spent END,
+         w.spent + a.toks[w.rn + 1] <= 4000
+  FROM walk w, arr a WHERE w.rn < a.n)
+SELECT CAST(0 AS BIGINT) AS shard, doc_id, n_tokens,
+       spent AS cum_tokens
+FROM walk WHERE admitted
+""",
+)
+def pipeline_budget_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy budget-capped admission in arrival (id) order — the
+    batch twin of streaming_budget_admission's checkpointed state
+    machine: a doc is admitted iff the tokens ADMITTED so far plus its
+    own fit the 4000-token cap; rejected docs never spend.  Oracle:
+    DuckDB recursive-CTE walk of the same greedy fold
+    (streaming/stateful.py:streaming_budget_admission)."""
+    from pgloader_spark.streaming.stateful import streaming_budget_admission
+
+    docs = read_table(spark, sf_dir, "documents", widen=True).select(
+        "doc_id", txt.token_count("text").alias("n_tokens")
+    )
+    return streaming_budget_admission(docs, budget=4000)

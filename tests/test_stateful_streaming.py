@@ -519,3 +519,56 @@ def test_streaming_corpus_stats_survives_restart(spark, tmp_path):
     )
     want = hll_distinct(batch, "source", ["lang"]).collect()[0]["est_distinct"]
     assert got["est_sources"] == want  # registers survived the restart
+
+
+def test_streaming_budget_admission_across_batches(spark, tmp_path):
+    """The spent counter persists: batch 2 admissions start where
+    batch 1 left off, and a doc that would cross the budget is
+    rejected forever (no un-spend)."""
+    from pgloader_spark.streaming.stateful import streaming_budget_admission
+
+    src = tmp_path / "bin"
+    src.mkdir()
+    (src / "b1.csv").write_text("1,100\n2,200\n3,250\n")
+    stream = (
+        spark.readStream.format("csv")
+        .schema("doc_id long, n_tokens long")
+        .load(str(src))
+    )
+    out = streaming_budget_admission(stream, budget=500)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("budget_mem")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "bck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 1: 100+200=300 fits; doc 3 (250) would cross 500 -> rejected
+        (src / "b2.csv").write_text("4,150\n5,100\n6,50\n")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM budget_mem ORDER BY doc_id").collect()
+        got = [(r.doc_id, r.cum_tokens) for r in rows]
+        # batch 2 resumes at 300: 4 (150) -> 450; 5 (100) crosses -> reject;
+        # 6 (50) -> 500 exact fit
+        assert got == [(1, 100), (2, 300), (4, 450), (6, 500)]
+    finally:
+        q.stop()
+
+
+def test_streaming_budget_admission_sharded_and_batch_mode(spark):
+    from pgloader_spark.streaming.stateful import streaming_budget_admission
+
+    df = spark.createDataFrame(
+        [(1, 60, 0), (2, 60, 0), (3, 60, 1), (4, 60, 1), (5, 0, 1)],
+        "doc_id long, n_tokens long, src long",
+    )
+    got = {
+        (r.shard, r.doc_id): r.cum_tokens
+        for r in streaming_budget_admission(
+            df, budget=100, shard_col="src"
+        ).collect()
+    }
+    # each shard has its own 100-token budget; zero-token docs never admit
+    assert got == {(0, 1): 60, (1, 3): 60}
