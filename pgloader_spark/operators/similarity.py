@@ -715,6 +715,34 @@ def embedding_pca_project(
 # --------------------------------------------------------------------------
 
 
+def _lloyd(X, ks: int, iters: int, what: str = "kmeans"):
+    """Deterministic Lloyd's k-means on a driver-side sample:
+    first-``ks``-distinct init on the 6dp-rounded rows, fixed
+    iteration count, centroids rounded to 6 dp each round, argmin on
+    6dp-rounded distances (lowest index wins ties), empty clusters
+    keep their previous centroid.  Returns a (ks, d) float64 array."""
+    import numpy as np
+
+    seen: dict = {}
+    for v in np.round(X, 6):
+        t = tuple(v)
+        if t not in seen:
+            seen[t] = None
+        if len(seen) == ks:
+            break
+    if len(seen) < ks:
+        raise ValueError(f"{what}: fewer than ks={ks} distinct vectors")
+    C = np.array(list(seen), dtype=np.float64)
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(np.round(d2, 6), axis=1)
+        for c in range(ks):
+            mask = assign == c
+            if mask.any():
+                C[c] = np.round(X[mask].mean(axis=0), 6)
+    return C
+
+
 def pq_train(
     corpus: DataFrame,
     m: int = 8,
@@ -752,27 +780,16 @@ def pq_train(
     sample = np.array([r[1] for r in rows], dtype=np.float64)
     if sample.shape[0] < ks:
         raise ValueError(f"sample ({sample.shape[0]}) smaller than ks={ks}")
+    return _pq_train_arr(sample, m, ks, iters)
+
+
+def _pq_train_arr(sample, m: int, ks: int, iters: int) -> list:
+    dsub = sample.shape[1] // m
     codebooks = []
     for s in range(m):
-        X = sample[:, s * dsub : (s + 1) * dsub]
-        # first-ks-distinct init on the 6dp-rounded subvectors
-        seen: dict = {}
-        for v in np.round(X, 6):
-            t = tuple(v)
-            if t not in seen:
-                seen[t] = None
-            if len(seen) == ks:
-                break
-        if len(seen) < ks:
-            raise ValueError(f"subspace {s}: fewer than ks={ks} distinct subvectors")
-        C = np.array(list(seen), dtype=np.float64)
-        for _ in range(iters):
-            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = np.argmin(np.round(d2, 6), axis=1)
-            for c in range(ks):
-                mask = assign == c
-                if mask.any():
-                    C[c] = np.round(X[mask].mean(axis=0), 6)
+        C = _lloyd(
+            sample[:, s * dsub : (s + 1) * dsub], ks, iters, what=f"subspace {s}"
+        )
         codebooks.append([[float(x) for x in c] for c in C])
     return codebooks
 
@@ -881,6 +898,181 @@ def pq_topk(
         .select("n_id", "q_id", adist.alias("adist"))
     )
 
+    w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "adist", "rank")
+    )
+
+
+def ivfpq_train(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    m: int = 8,
+    ks: int = 16,
+    sample_n: int = 256,
+    iters: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple:
+    """Train an IVF-PQ index (the FAISS IVFPQ shape): an L2 coarse
+    quantizer of ``n_cells`` centroids plus PQ codebooks trained on
+    the RESIDUALS (vector minus its coarse centroid) — residual
+    encoding is what lets 8 one-byte codes stay accurate once the
+    coarse cell has already absorbed most of the vector's magnitude.
+
+    Same driver-bounded, deterministic recipe as pq_train (one
+    ``sample_n`` collect, Lloyd rounds with 6 dp rounding).  Returns
+    ``(coarse, codebooks)``: (n_cells, dim) centroid list + the m x ks
+    residual codebooks.
+    """
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .orderBy(id_col)
+        .limit(sample_n)
+        .collect()
+    )
+    sample = np.array([r[1] for r in rows], dtype=np.float64)
+    if sample.shape[0] < max(ks, n_cells):
+        raise ValueError(
+            f"sample ({sample.shape[0]}) smaller than ks={ks}/n_cells={n_cells}"
+        )
+    coarse = _lloyd(sample, n_cells, iters, what="coarse quantizer")
+    d2 = ((sample[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+    assign = np.argmin(np.round(d2, 6), axis=1)
+    residuals = sample - coarse[assign]
+    codebooks = _pq_train_arr(residuals, m, ks, iters)
+    return [[float(x) for x in c] for c in coarse], codebooks
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    coarse: list,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, codes): coarse-assign then PQ-encode the residual.
+    One narrow Arrow stage (same contract as pq_encode); the index
+    this emits is exactly what a 100 TB deployment writes out
+    partitioned by ``cell`` so queries prune to n_probe cells' files.
+    """
+    import pandas as pd
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+
+    def encode(batches):
+        import numpy as np
+
+        CO = np.array(coarse, dtype=np.float64)
+        cbs = [np.array(cb, dtype=np.float64) for cb in codebooks]
+        for pdf in batches:
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = (
+                (V * V).sum(axis=1)[:, None]
+                - 2.0 * (V @ CO.T)
+                + (CO * CO).sum(axis=1)[None, :]
+            )
+            cell = np.argmin(np.round(d2, 6), axis=1)
+            R = V - CO[cell]
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s, C in enumerate(cbs):
+                X = R[:, s * dsub : (s + 1) * dsub]
+                sd2 = (
+                    (X * X).sum(axis=1)[:, None]
+                    - 2.0 * (X @ C.T)
+                    + (C * C).sum(axis=1)[None, :]
+                )
+                codes[:, s] = np.argmin(np.round(sd2, 6), axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "cell": cell.astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    out = df.select(id_col, vec_col).mapInPandas(
+        encode, f"id {dict(df.dtypes)[id_col]}, cell int, codes array<int>"
+    )
+    return out.select(F.col("id").alias(id_col), "cell", "codes")
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    coarse: list,
+    codebooks: list,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cell-pruned ADC top-k — the full IVF-PQ query path: each query
+    visits only its ``n_probe`` nearest coarse cells, with a
+    PER-(query, cell) residual lookup table (the residual depends on
+    the probed centroid).
+
+    The broadcast side is Q x n_probe LUT rows; the corpus side joins
+    ON ``cell`` — an equi-join, so Catalyst broadcast-hash-joins it
+    and rows outside the probed cells are never scored (the pruning
+    that makes ANN sub-linear, vs pq_topk's full ADC scan).  Ranks on
+    the 6 dp-rounded distance with id tiebreak.
+    """
+    import numpy as np
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    CO = np.array(coarse, dtype=np.float64)
+    enc = ivfpq_encode(corpus, coarse, codebooks, id_col, vec_col)
+    q_rows = queries.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>")
+    ).collect()
+
+    lut_rows = []
+    for qid, qvec in q_rows:
+        qv = np.asarray(qvec, dtype=np.float64)
+        d2 = np.round(((CO - qv[None, :]) ** 2).sum(axis=1), 6)
+        probe = np.argsort(d2, kind="stable")[:n_probe]  # ties -> low cell
+        for cell in probe:
+            r = qv - CO[cell]
+            luts = []
+            for s, cb in enumerate(codebooks):
+                C = np.array(cb, dtype=np.float64)
+                xs = r[s * dsub : (s + 1) * dsub]
+                luts.append(
+                    [
+                        float(v)
+                        for v in np.round(((C - xs[None, :]) ** 2).sum(axis=1), 6)
+                    ]
+                )
+            lut_rows.append((qid, int(cell), luts))
+
+    spark = corpus.sparkSession
+    lut_df = spark.createDataFrame(
+        lut_rows,
+        f"q_id {dict(queries.dtypes)[id_col]}, cell int, luts array<array<double>>",
+    )
+    adist = F.round(
+        sum(
+            F.element_at(F.element_at("luts", s + 1), F.col("codes")[s] + 1)
+            for s in range(m)
+        ),
+        6,
+    )
+    scored = (
+        enc.select(F.col(id_col).alias("n_id"), "cell", "codes")
+        .join(F.broadcast(lut_df), "cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("n_id", "q_id", adist.alias("adist"))
+    )
     w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

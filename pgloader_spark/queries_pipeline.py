@@ -2854,3 +2854,24 @@ def pipeline_budget_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", txt.token_count("text").alias("n_tokens")
     )
     return streaming_budget_admission(docs, budget=4000)
+
+
+@query("similarity_ivfpq_topk")  # Lloyd-trained coarse + residual
+# codebooks are iterative — checked value-exact against the
+# independent numpy reference in tools/py_oracles.py
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN, the full FAISS-style query path: L2 coarse
+    quantizer prunes each query to its 2 nearest cells, PQ codebooks
+    trained on RESIDUALS score candidates via per-(query, cell)
+    lookup tables riding one broadcast equi-join on cell — rows
+    outside the probed cells are never scored, which is what makes
+    the scan sub-linear at 100 TB (operators/similarity.py:
+    ivfpq_train/ivfpq_encode/ivfpq_topk)."""
+    from pgloader_spark.operators.similarity import ivfpq_topk, ivfpq_train
+
+    emb = read_table(spark, sf_dir, "embeddings", widen=True)
+    coarse, cbs = ivfpq_train(
+        emb, n_cells=8, m=8, ks=16, sample_n=256, iters=5, dim=64
+    )
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivfpq_topk(emb, queries_df, coarse, cbs, k=10, n_probe=2)

@@ -219,3 +219,42 @@ def test_pq_train_validates_inputs(spark):
         pq_train(df, m=3, ks=2, sample_n=4, dim=10)
     with _pytest.raises(ValueError, match="smaller than ks"):
         pq_train(df, m=2, ks=16, sample_n=4, dim=10)
+
+
+def test_ivfpq_prunes_and_recalls(spark):
+    """IVF-PQ: encode emits (cell, codes); the query path scores ONLY
+    probed cells (plan joins on cell, no CrossJoin) and still finds
+    same-cluster nearest neighbors on separated synthetic clusters."""
+    import numpy as np
+
+    from pgloader_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_train,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, 64)) * 10
+    rows = [
+        (i, [float(x) for x in centers[i % 4] + rng.normal(size=64) * 0.1])
+        for i in range(240)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    coarse, cbs = ivfpq_train(df, n_cells=4, m=8, ks=16, sample_n=240, iters=5, dim=64)
+
+    enc = ivfpq_encode(df, coarse, cbs).collect()
+    cells = {r.vec_id: r.cell for r in enc}
+    # coarse quantizer separates the planted clusters: same-cluster
+    # vectors share a cell
+    for i in range(0, 236, 4):
+        assert cells[i] == cells[i + 4]
+
+    out = ivfpq_topk(df, df.filter("vec_id < 4"), coarse, cbs, k=5, n_probe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CrossJoin" not in plan and "BroadcastHashJoin" in plan
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r.q_id, []).append((r.rank, r.n_id))
+    for qid, lst in by_q.items():
+        assert len(lst) == 5
+        assert all(n % 4 == qid % 4 for _, n in lst)  # pruning held

@@ -311,3 +311,89 @@ def similarity_pq_topk(sf_dir: str):
 
 
 PY_ORACLES["similarity_pq_topk"] = similarity_pq_topk
+
+
+def _np_lloyd(X, ks, iters):
+    """Same deterministic Lloyd spec, independent per-vector-loop impl."""
+    import numpy as np
+
+    seen: dict = {}
+    for v in np.round(X, 6):
+        t = tuple(v)
+        if t not in seen:
+            seen[t] = None
+        if len(seen) == ks:
+            break
+    C = np.array(list(seen), dtype=np.float64)
+    for _ in range(iters):
+        d2 = np.array([[((x - c) ** 2).sum() for c in C] for x in X])
+        assign = np.argmin(np.round(d2, 6), axis=1)
+        for c in range(ks):
+            mask = assign == c
+            if mask.any():
+                C[c] = np.round(X[mask].mean(axis=0), 6)
+    return C
+
+
+def similarity_ivfpq_topk(sf_dir: str):
+    """Independent numpy IVF-PQ reference: coarse Lloyd quantizer,
+    residual PQ codebooks, n_probe=2 cell pruning, ADC ranking."""
+    import numpy as np
+
+    n_cells, m, ks, sample_n, iters, dim, k, n_probe = 8, 8, 16, 256, 5, 64, 10, 2
+    dsub = dim // m
+    data = _read(
+        sf_dir,
+        "SELECT vec_id, embedding FROM read_parquet('{sf}/embeddings.parquet') ORDER BY vec_id",
+    )
+    ids = np.array([r[0] for r in data], dtype=np.int64)
+    V = np.array([r[1] for r in data], dtype=np.float64)
+
+    sample = V[:sample_n]
+    CO = _np_lloyd(sample, n_cells, iters)
+    d2s = np.array([[((x - c) ** 2).sum() for c in CO] for x in sample])
+    res = sample - CO[np.argmin(np.round(d2s, 6), axis=1)]
+    codebooks = [
+        _np_lloyd(res[:, s * dsub : (s + 1) * dsub], ks, iters) for s in range(m)
+    ]
+
+    d2 = np.array([[((x - c) ** 2).sum() for c in CO] for x in V])
+    cell = np.argmin(np.round(d2, 6), axis=1)
+    R = V - CO[cell]
+    codes = np.empty((len(V), m), dtype=np.int64)
+    for s, C in enumerate(codebooks):
+        X = R[:, s * dsub : (s + 1) * dsub]
+        sd2 = np.array([[((x - c) ** 2).sum() for c in C] for x in X])
+        codes[:, s] = np.argmin(np.round(sd2, 6), axis=1)
+
+    rows = []
+    for qi in range(len(ids)):
+        if ids[qi] % 50 != 0:
+            continue
+        qd = np.round(((CO - V[qi][None, :]) ** 2).sum(axis=1), 6)
+        probe = np.argsort(qd, kind="stable")[:n_probe]
+        cand = []
+        for c in probe:
+            r = V[qi] - CO[c]
+            luts = [
+                np.round(
+                    ((np.array(codebooks[s]) - r[s * dsub : (s + 1) * dsub][None, :])
+                     ** 2).sum(axis=1),
+                    6,
+                )
+                for s in range(m)
+            ]
+            for ni in np.flatnonzero(cell == c):
+                if ni == qi:
+                    continue
+                a = 0.0
+                for s in range(m):
+                    a += float(luts[s][codes[ni, s]])
+                cand.append((_half_up(a, 6), int(ids[ni])))
+        cand.sort()
+        for rnk, (a, nid) in enumerate(cand[:k], 1):
+            rows.append((int(ids[qi]), nid, a, rnk))
+    return (["q_id", "n_id", "adist", "rank"], rows, 2e-6)
+
+
+PY_ORACLES["similarity_ivfpq_topk"] = similarity_ivfpq_topk
