@@ -58,6 +58,10 @@ HEADLINE = [
     "text_classifier_score",
     "sample_leakage_split_bands",
     "text_bm25_topk",
+    "text_gopher_rules",
+    "sample_token_budget",
+    "similarity_pq_topk",
+    "similarity_ivfpq_topk",
 ]
 
 RUNS = 3

@@ -158,8 +158,13 @@ def connected_components(
     per-iteration job-scheduling latency.  Above the gate (the
     100 TB regime: billion-edge near-dup graphs) the alternating
     large-star / small-star loop runs distributed, O(log^2 n)
-    iterations on any graph shape (the probe's one redundant pass is
-    amortized there).  Both paths elect min-id and return identical
+    iterations on any graph shape.  An overflowing probe costs one
+    discarded pair-generation pass (CollectLimit stops early, and the
+    star loop re-derives edges from ``pairs`` lazily); in the huge
+    regime that one extra pass is small against the loop's own
+    iteration cost — callers that KNOW the graph is huge pass
+    ``driver_edge_threshold=0`` and skip the probe entirely.  Both
+    paths elect min-id and return identical
     mappings (pinned by test).  ``driver_edge_threshold=0`` forces
     the distributed path.
     """

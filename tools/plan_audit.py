@@ -52,6 +52,13 @@ ARROW_OK = {
     # IVF path is scored against) is a deliberate BLAS batch kernel —
     # the production path it measures is the pruned IVF probe
     "similarity_ivf_quality",
+    "similarity_pq_topk",      # PQ encode: per-batch subspace gemm + argmin
+    "similarity_ivfpq_topk",   # IVF-PQ encode: coarse assign + residual PQ
+    # greedy budget admission is inherently serial per shard (one
+    # spent-counter state machine); the batch path folds each shard's
+    # rows in one pandas group — shard_col parallelizes, and the
+    # streaming form is the production shape
+    "pipeline_budget_admission",
 }
 
 # Queries whose small side is literal/driver-bounded, where a
