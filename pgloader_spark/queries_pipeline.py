@@ -2810,7 +2810,7 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgloader_spark.operators.similarity import pq_topk, pq_train
 
     emb = read_table(spark, sf_dir, "embeddings", widen=True)
-    cbs = pq_train(emb, m=8, ks=16, sample_n=256, iters=5, dim=64)
+    cbs = pq_train(emb, m=16, ks=64, sample_n=500, iters=5, dim=64)
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
     return pq_topk(emb, queries_df, cbs, k=10)
 
@@ -2871,7 +2871,59 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings", widen=True)
     coarse, cbs = ivfpq_train(
-        emb, n_cells=8, m=8, ks=16, sample_n=256, iters=5, dim=64
+        emb, n_cells=8, m=16, ks=64, sample_n=500, iters=5, dim=64
     )
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
     return ivfpq_topk(emb, queries_df, coarse, cbs, k=10, n_probe=2)
+
+
+@query("similarity_pq_quality")  # the PQ arm is Lloyd-trained
+# (iterative) — checked against the independent numpy reference in
+# tools/py_oracles.py, like the other measurement tools
+def similarity_pq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measurement tool: recall@10 of the PQ ADC ranking against the
+    exact L2 top-10 truth, per query — the number an ANN deployment
+    tunes (m, ks) against.  Runs BOTH paths by design; the exact arm
+    is the same broadcast-query brute force as cosine_topk, on L2."""
+    from pgloader_spark.operators.similarity import dot, pq_topk, pq_train
+
+    emb = read_table(spark, sf_dir, "embeddings", widen=True)
+    cbs = pq_train(emb, m=16, ks=64, sample_n=500, iters=5, dim=64)
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    approx = pq_topk(emb, queries_df, cbs, k=10).select("q_id", "n_id")
+
+    q = queries_df.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").cast("array<double>").alias("n_vec"),
+    )
+    diff = F.zip_with("q_vec", "n_vec", lambda a, b: a - b)
+    l2 = F.round(dot(diff, diff), 6)
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("q_id").orderBy(F.asc("l2"), F.asc("n_id"))
+    exact = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", l2.alias("l2"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("q_id", "n_id")
+    )
+    hits = approx.join(exact, ["q_id", "n_id"], "inner").groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        exact.select("q_id")
+        .distinct()
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(10.0), 4
+            ).alias("recall_at_10"),
+        )
+    )

@@ -53,6 +53,7 @@ ARROW_OK = {
     # the production path it measures is the pruned IVF probe
     "similarity_ivf_quality",
     "similarity_pq_topk",      # PQ encode: per-batch subspace gemm + argmin
+    "similarity_pq_quality",   # same encode stage inside the measurement tool
     "similarity_ivfpq_topk",   # IVF-PQ encode: coarse assign + residual PQ
     # greedy budget admission is inherently serial per shard (one
     # spent-counter state machine); the batch path folds each shard's
