@@ -394,3 +394,48 @@ def test_ini_columns_spec_field_order_law(specs):
     by_pos = [n for n, _ in sorted(specs, key=lambda kv: kv[1])]
     assert fields == by_pos
     assert columns == [n for n, _ in specs]
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 60)),
+        min_size=1,
+        max_size=120,
+    )
+)
+@settings(max_examples=200)
+def test_driver_components_equals_union_find(edges):
+    """_driver_components (vectorized min-label propagation + edge
+    collapse) equals a classic union-find on arbitrary random graphs,
+    including self-loops, parallel edges, and disconnected pieces."""
+    import numpy as np
+
+    from pgloader_spark.operators.components import _driver_components
+
+    arr = np.array(edges, dtype=np.int64)
+    nodes, comp = _driver_components(arr)
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # fully compress, then elect min member per root
+    members: dict[int, list[int]] = {}
+    for a, b in edges:
+        for x in (a, b):
+            members.setdefault(find(x), []).append(x)
+    want = {}
+    for root, ms in members.items():
+        m = min(ms + [root])
+        for x in set(ms) | {root}:
+            want[x] = m
+    got = dict(zip(nodes.tolist(), comp.tolist()))
+    assert got == want

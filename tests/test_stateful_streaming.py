@@ -572,3 +572,51 @@ def test_streaming_budget_admission_sharded_and_batch_mode(spark):
     }
     # each shard has its own 100-token budget; zero-token docs never admit
     assert got == {(0, 1): 60, (1, 3): 60}
+
+
+def test_streaming_pq_inference_with_frozen_codebooks(spark, tmp_path):
+    """ANN inference on an unbounded stream: pq_encode is a stateless
+    narrow stage, so a FROZEN codebook (trained offline on the corpus
+    snapshot) encodes arriving vectors micro-batch by micro-batch —
+    the embedding-side analogue of the frozen-BM25 / frozen-digest
+    incremental shapes.  Codes must match the batch encode exactly."""
+    import json
+
+    import numpy as np
+
+    from pgloader_spark.operators.similarity import pq_encode, pq_train
+
+    rng = np.random.default_rng(21)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(80)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cbs = pq_train(corpus, m=4, ks=8, sample_n=80, iters=3, dim=16)
+    want = {r.vec_id: list(r.codes) for r in pq_encode(corpus, cbs).collect()}
+
+    src = tmp_path / "vecs"
+    src.mkdir()
+    for part, lo in (("a", 0), ("b", 40)):
+        with open(src / f"{part}.jsonl", "w") as fh:
+            for i, v in rows[lo : lo + 40]:
+                fh.write(json.dumps({"vec_id": i, "embedding": v}) + "\n")
+    stream = (
+        spark.readStream.format("json")
+        .schema("vec_id long, embedding array<double>")
+        .load(str(src))
+    )
+    q = (
+        pq_encode(stream, cbs)
+        .writeStream.format("memory")
+        .queryName("pq_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "pqck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.vec_id: list(r.codes)
+            for r in spark.sql("SELECT * FROM pq_stream").collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
