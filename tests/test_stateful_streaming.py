@@ -620,3 +620,52 @@ def test_streaming_pq_inference_with_frozen_codebooks(spark, tmp_path):
         assert got == want
     finally:
         q.stop()
+
+
+def test_streaming_budget_admission_survives_restart(spark, tmp_path):
+    """The spent counter restores from the CHECKPOINT: a new query
+    started on the same checkpoint after a stop resumes mid-budget —
+    no re-admission, no budget reset."""
+    from pgloader_spark.streaming.stateful import streaming_budget_admission
+
+    src = tmp_path / "rin"
+    out = tmp_path / "rout"
+    src.mkdir()
+    ck = str(tmp_path / "rck")
+
+    def start():
+        stream = (
+            spark.readStream.format("csv")
+            .schema("doc_id long, n_tokens long")
+            .load(str(src))
+        )
+        return (
+            streaming_budget_admission(stream, budget=300)
+            .writeStream.format("parquet")  # memory sink can't recover
+            .option("path", str(out))
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+        )
+
+    (src / "b1.csv").write_text("1,200\n")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # query DOWN; new data arrives; restart from the same checkpoint
+    (src / "b2.csv").write_text("2,150\n3,100\n")
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+        rows = (
+            spark.read.parquet(str(out)).orderBy("doc_id").collect()
+        )
+        got = [(r.doc_id, r.cum_tokens) for r in rows]
+        # spent=200 restored: doc 2 (150) would cross 300 -> rejected;
+        # doc 3 (100) fits exactly
+        assert got == [(1, 200), (3, 300)]
+    finally:
+        q2.stop()
