@@ -2927,3 +2927,58 @@ def similarity_pq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_10"),
         )
     )
+
+
+@query("similarity_ivfpq_quality")  # iterative training — numpy
+# reference oracle in tools/py_oracles.py
+def similarity_ivfpq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measurement tool: recall@10 of the cell-pruned IVF-PQ ranking
+    vs the exact L2 truth — read together with similarity_pq_quality
+    it prices the n_probe pruning (recall given up for never scanning
+    unprobed cells)."""
+    from pgloader_spark.operators.similarity import dot, ivfpq_topk, ivfpq_train
+
+    emb = read_table(spark, sf_dir, "embeddings", widen=True)
+    coarse, cbs = ivfpq_train(
+        emb, n_cells=8, m=16, ks=64, sample_n=500, iters=5, dim=64
+    )
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    approx = ivfpq_topk(emb, queries_df, coarse, cbs, k=10, n_probe=2).select(
+        "q_id", "n_id"
+    )
+
+    q = queries_df.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").cast("array<double>").alias("n_vec"),
+    )
+    diff = F.zip_with("q_vec", "n_vec", lambda a, b: a - b)
+    l2 = F.round(dot(diff, diff), 6)
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("q_id").orderBy(F.asc("l2"), F.asc("n_id"))
+    exact = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", l2.alias("l2"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("q_id", "n_id")
+    )
+    hits = approx.join(exact, ["q_id", "n_id"], "inner").groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        exact.select("q_id")
+        .distinct()
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(10.0), 4
+            ).alias("recall_at_10"),
+        )
+    )

@@ -432,3 +432,38 @@ def similarity_pq_quality(sf_dir: str):
 
 
 PY_ORACLES["similarity_pq_quality"] = similarity_pq_quality
+
+
+def similarity_ivfpq_quality(sf_dir: str):
+    """Recall@10 of the IVF-PQ reference ranking vs exact L2 truth."""
+    import numpy as np
+
+    cols, rows_pq, _ = similarity_ivfpq_topk(sf_dir)
+    approx: dict[int, set] = {}
+    for q_id, n_id, _a, _r in rows_pq:
+        approx.setdefault(q_id, set()).add(n_id)
+
+    data = _read(
+        sf_dir,
+        "SELECT vec_id, embedding FROM read_parquet('{sf}/embeddings.parquet') ORDER BY vec_id",
+    )
+    ids = np.array([r[0] for r in data], dtype=np.int64)
+    V = np.array([r[1] for r in data], dtype=np.float64)
+    rows = []
+    for qi in range(len(ids)):
+        if ids[qi] % 50 != 0:
+            continue
+        cand = []
+        for ni in range(len(ids)):
+            if ni == qi:
+                continue
+            d = V[qi] - V[ni]
+            cand.append((_half_up(float((d * d).sum()), 6), int(ids[ni])))
+        cand.sort()
+        truth = {nid for _d, nid in cand[:10]}
+        hits = len(truth & approx.get(int(ids[qi]), set()))
+        rows.append((int(ids[qi]), _half_up(hits / 10.0, 4)))
+    return (["q_id", "recall_at_10"], rows, 1e-9)
+
+
+PY_ORACLES["similarity_ivfpq_quality"] = similarity_ivfpq_quality
