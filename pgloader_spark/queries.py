@@ -1960,3 +1960,50 @@ def _curate_order() -> None:
 
 
 _curate_order()
+
+
+@query(
+    "dedup_cluster_stats",
+    oracle=f"""
+WITH RECURSIVE jac AS (SELECT id_a, id_b FROM ({_duck_jaccard_sql(k=3, threshold=0.5)}) jp),
+edges AS (SELECT id_a AS u, id_b AS v FROM jac
+          UNION SELECT id_b, id_a FROM jac),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+comp AS (SELECT u AS did, MIN(v) AS mn FROM reach GROUP BY u),
+lab AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(LEAST(c.mn, d.doc_id), d.doc_id) AS BIGINT) AS component
+  FROM documents d LEFT JOIN comp c ON c.did = d.doc_id),
+sizes AS (SELECT component, COUNT(*) AS sz FROM lab GROUP BY component)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY sz
+""",
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication profile of the corpus: the cluster-SIZE histogram
+    over shingle-Jaccard components (singletons included) — the
+    first report a dedup deployment reads (a fat tail of giant
+    clusters says collapse-then-dedup or go approximate; a flat
+    profile says exact PPJoin is affordable).  One extra
+    map-side-combinable group-by pair on top of the components
+    mapping; output is histogram-sized."""
+    from pgloader_spark.operators.components import connected_components
+
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    pairs = dedup.shingle_jaccard_pairs(docs, threshold=0.5, k=3)
+    mapping = connected_components(
+        pairs, nodes=docs.select(F.col("doc_id").alias("id")), id_col="id"
+    )
+    sizes = mapping.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.groupBy("sz").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    ).select(
+        F.col("sz").cast("long").alias("cluster_size"),
+        F.col("n_clusters").cast("long").alias("n_clusters"),
+        (F.col("sz") * F.col("n_clusters")).cast("long").alias("n_docs"),
+    )
