@@ -110,3 +110,22 @@ def test_driver_path_isolated_nodes_and_empty(spark):
     assert got == {0: 0, 1: 0, 2: 2, 3: 3, 4: 4}
     got_empty = _as_dict(connected_components(_pairs(spark, []), nodes=nodes))
     assert got_empty == {i: i for i in range(5)}
+
+
+def test_both_paths_return_long_schema_on_int_input(spark):
+    """r5 advice: the same call must return one schema regardless of
+    which gated path ran — (id long, component long) even for int ids."""
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a int, id_b int")
+    for thresh in (4_000_000, 0):  # driver path / star path
+        out = connected_components(pairs, driver_edge_threshold=thresh)
+        assert [f.dataType.simpleString() for f in out.schema.fields] == [
+            "bigint",
+            "bigint",
+        ], f"threshold={thresh}"
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (9,)], "id int")
+    for thresh in (4_000_000, 0):
+        out = connected_components(pairs, nodes=nodes, driver_edge_threshold=thresh)
+        assert [f.dataType.simpleString() for f in out.schema.fields] == [
+            "bigint",
+            "bigint",
+        ], f"nodes, threshold={thresh}"

@@ -267,3 +267,39 @@ def test_minhash_bands_drops_null_text_docs(spark):
     bands = dedup.minhash_bands(docs)
     assert {r["doc_id"] for r in bands.collect()} == {1}
     assert dedup.minhash_candidate_pairs(docs).count() == 0
+
+
+def test_token_jaccard_clusters_match_raw_pipeline(spark):
+    """Identical-set collapse is a pure physical rewrite: clusters and
+    min-labels from token_jaccard_clusters equal the raw-document
+    pairs -> components -> count pipeline on a corpus mixing exact
+    clones, near-dups (>=0.8), permuted-token clones (same SET), and
+    singletons."""
+    from pgloader_spark.operators.components import connected_components
+
+    base = " ".join(f"tok{i}" for i in range(20))
+    near = " ".join(f"tok{i}" for i in range(19)) + " other"  # J = 19/21 > 0.8
+    perm = " ".join(f"tok{i}" for i in reversed(range(20)))  # same set as base
+    rows = [
+        (1, base),
+        (2, base),  # exact clone
+        (3, perm),  # identical set, different order
+        (4, near),  # near-dup of the base group
+        (5, "totally different words entirely unrelated content"),
+        (6, "x1 x2 x3"),
+        (7, "x1 x2 x3"),  # isolated exact-clone pair = its own cluster
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["canonical_id"], r["n_docs"])
+        for r in dedup.token_jaccard_clusters(docs, threshold=0.8).collect()
+    }
+    raw = (
+        connected_components(dedup.token_jaccard_pairs(docs, threshold=0.8))
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .collect()
+    )
+    want = {(r["component"], r["n_docs"]) for r in raw}
+    assert got == want == {(1, 4), (6, 2)}
