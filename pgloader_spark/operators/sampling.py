@@ -436,22 +436,36 @@ def token_budget_take(
     score_col: str = "score",
     tokens_col: str = "n_tokens",
     bucket_decimals: int = 3,
+    max_buckets: int = 100_000,
 ) -> DataFrame:
     """Quality-ranked curation under a token budget: keep the
     highest-scoring documents whose running token total (score DESC,
     id ASC) stays within ``budget`` — the "fill the training mix from
     the top" selection every budgeted pretraining run makes.
 
-    Scale shape (NO corpus-wide sort): scores bucket to
-    ``bucket_decimals`` (monotone in score, so bucket order = score
-    order between buckets); one map-side-combinable aggregate yields
-    the <= 10^bucket_decimals+1-row bucket->token-total table, which
-    resolves ON THE DRIVER to the set of fully-kept buckets plus the
-    single boundary bucket.  Only that candidate PREFIX (kept-output
-    plus one bucket — budget-sized, never corpus-sized) flows into the
-    exact (score DESC, id) cumulative window.  Zero-token documents
-    are excluded by contract (they buy nothing against a budget and
-    would make the running total non-strictly-monotone).
+    Scale shape (NO corpus-wide sort, NO corpus-wide window): scores
+    bucket to ``bucket_decimals`` (rounding is monotone, so bucket
+    order = score order BETWEEN buckets and equal scores always share
+    a bucket); one map-side-combinable aggregate yields the
+    bucket->token-total table, which resolves ON THE DRIVER to the
+    fully-kept buckets, the single boundary bucket, and each kept
+    bucket's BASE OFFSET (running total of all strictly-higher
+    buckets).  The exact cumulative window then runs PARTITIONED BY
+    BUCKET — cum_tokens = driver base offset + within-bucket running
+    sum over (score DESC, id ASC), provably equal to the global
+    running total because cross-bucket score ties are impossible —
+    so no single task ever carries the whole kept prefix (the r5
+    verdict's scale caveat: a trillion-token budget makes the kept
+    set corpus-scale; per-bucket windows keep it parallel).
+
+    Null/NaN scores are excluded by contract (unrankable against a
+    quality order), as are zero-token documents (they buy nothing
+    against a budget and would make the running total non-strictly
+    monotone).  The driver collect is one row per DISTINCT ROUNDED
+    SCORE — bounded for bounded score domains (e.g. [0,1] -> at most
+    10^decimals+1 rows); ``max_buckets`` guards the unbounded-domain
+    case: the collect never pulls more than max_buckets+1 rows and
+    raises (reduce ``bucket_decimals``) instead of degrading.
 
     Returns (id, n_tokens, score, cum_tokens) for every kept doc.
     """
@@ -461,39 +475,55 @@ def token_budget_take(
         F.col(id_col),
         F.col(tokens_col).cast("long").alias(tokens_col),
         F.col(score_col).cast("double").alias(score_col),
-    ).filter(F.col(tokens_col) > 0)
+    ).filter(
+        (F.col(tokens_col) > 0)
+        & F.col(score_col).isNotNull()
+        & ~F.isnan(score_col)
+    )
     b = F.round(F.col(score_col), bucket_decimals).alias("__bucket")
     btab = (
         base.groupBy(b)
         .agg(F.sum(tokens_col).alias("tok"))
-        .collect()  # bounded: one row per distinct rounded score
+        .limit(max_buckets + 1)
+        .collect()
     )
+    if len(btab) > max_buckets:
+        raise ValueError(
+            f"token_budget_take: > {max_buckets} distinct rounded scores; "
+            f"the driver bucket table is only bounded for bounded score "
+            f"domains — reduce bucket_decimals (= {bucket_decimals}) or "
+            f"raise max_buckets"
+        )
     cum = 0
     boundary = None
-    full: list[float] = []
+    offsets: list[tuple[float, int]] = []  # (bucket, base offset)
     for bv, tok in sorted(
         ((r["__bucket"], r["tok"]) for r in btab), key=lambda x: -x[0]
     ):
         if cum + tok <= budget:
+            offsets.append((float(bv), cum))
             cum += tok
-            full.append(bv)
         else:
-            boundary = bv  # first bucket the budget cannot swallow whole
+            boundary = (float(bv), cum)  # first bucket not swallowed whole
             break
-    keep_buckets = full + ([boundary] if boundary is not None else [])
-    if not keep_buckets:
+    if boundary is not None:
+        offsets.append(boundary)
+    if not offsets:
         return base.select(
             id_col, tokens_col, score_col, F.lit(0).cast("long").alias("cum_tokens")
         ).limit(0)
-    cand = base.withColumn("__bucket", b).filter(
-        F.col("__bucket").isin([float(x) for x in keep_buckets])
+    offs_df = scored.sparkSession.createDataFrame(
+        offsets, "__bucket double, __base long"
     )
     w = (
-        W.orderBy(F.desc(score_col), F.asc(id_col))
+        W.partitionBy("__bucket")
+        .orderBy(F.desc(score_col), F.asc(id_col))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (
-        cand.withColumn("cum_tokens", F.sum(tokens_col).over(w))
+        base.withColumn("__bucket", b)
+        .join(F.broadcast(offs_df), "__bucket")
+        .withColumn("cum_tokens", F.col("__base") + F.sum(tokens_col).over(w))
         .filter(F.col("cum_tokens") <= budget)
         .select(id_col, tokens_col, score_col, "cum_tokens")
     )

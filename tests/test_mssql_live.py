@@ -322,3 +322,40 @@ def test_introspect_mssql_keys_against_stub():
     assert keys["Child"]["pk"] == ["cid"]
     (fk,) = keys["Child"]["fkeys"]
     assert fk == (["pid"], "Parent", ["pid"], "NO ACTION", "NO ACTION")
+
+
+def test_wire_unknown_token_and_type_raise_paths():
+    """The two remaining defensive raises in the wire client (r5
+    verdict ask #5): an exotic token the text funnel doesn't model
+    (TABNAME 0xA4, sent for browse-mode queries) and a column type
+    outside the text-funnel subset (FLTN 0x6D) must fail LOUDLY with
+    the offending id — never skip bytes misaligned.  A real server
+    only emits these for query shapes the migration funnel never
+    issues; the raise is the contract that a silent protocol
+    misparse cannot happen."""
+    import struct
+
+    import pytest
+
+    parse = MsConn._parse_tokens
+
+    def ucs2(s: str) -> bytes:
+        return s.encode("utf-16-le")
+
+    # TABNAME token ahead of an otherwise-valid DONE
+    tabname_stream = (
+        b"\xa4" + struct.pack("<H", 4) + ucs2("t")
+        + b"\xfd" + struct.pack("<HHI", 0, 0, 0)
+    )
+    with pytest.raises(NotImplementedError, match="0xa4"):
+        parse(None, tabname_stream)
+
+    # COLMETADATA declaring a FLTN column (not in the text funnel)
+    fltn_colmeta = (
+        b"\x81" + struct.pack("<H", 1)
+        + struct.pack("<HH", 0, 0x09) + b"\x6d\x08"
+        + bytes([1]) + ucs2("f")
+        + b"\xfd" + struct.pack("<HHI", 0, 0, 0)
+    )
+    with pytest.raises(NotImplementedError, match="0x6d"):
+        parse(None, fltn_colmeta)

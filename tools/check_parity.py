@@ -132,6 +132,17 @@ def main() -> int:
 
                 a = by_key(s_rows, s_ord)
                 b = by_key(p_rows, p_ord)
+                # r5 advice: duplicate keys silently overwrite dict
+                # entries and could collapse rows while counts still
+                # match — a non-unique inferred key is a hard failure
+                if len(a) != len(s_rows) or len(b) != len(p_rows):
+                    problems.append(
+                        f"non-unique alignment key (key cols "
+                        f"{[sorted(sc)[ix] for ix in key_ix]}): "
+                        f"spark {len(s_rows)}->{len(a)}, "
+                        f"py {len(p_rows)}->{len(b)} distinct"
+                    )
+                    a = b = {}
                 bad = 0
                 first = None
                 for kk, ra in a.items():
