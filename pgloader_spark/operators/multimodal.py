@@ -441,9 +441,12 @@ def make_png(width: int, height: int) -> bytes:
 # average hash -> banded Hamming near-dup.
 
 
-def encode_png_gray8(pixels: list[list[int]]) -> bytes:
+def encode_png_gray8(pixels: list[list[int]], level: int = -1) -> bytes:
     """Minimal real PNG encoder (8-bit grayscale, filter 0) — fixture
-    builder for the decode path; output opens in any viewer."""
+    builder for the decode path; output opens in any viewer.
+    ``level`` is the zlib compression level: different levels produce
+    DIFFERENT byte streams for the SAME pixels (the recompressed-dup
+    fixture the content featurizer must see through)."""
     import struct as _struct
     import zlib as _zlib
 
@@ -463,7 +466,7 @@ def encode_png_gray8(pixels: list[list[int]]) -> bytes:
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", _zlib.compress(raw))
+        + chunk(b"IDAT", _zlib.compress(raw, level))
         + chunk(b"IEND", b"")
     )
 

@@ -86,3 +86,66 @@ def test_embed_media_semantic_dedup_end_to_end(spark, model_path):
     kept_ids = sorted(r.doc_id for r in kept.collect())
     # lowest variant of each pattern survives; its near-dupes drop
     assert kept_ids == [pat * 10 for pat in range(6)]
+
+
+def test_content_features_see_through_recompression(model_path):
+    """r5 stretch ask: the content featurizer embeds PIXELS, not
+    container bytes — the same frame recompressed (different zlib
+    level, GIF instead of PNG) maps to the SAME vector; different
+    frames stay apart; undecodable payloads fall back to bytes."""
+    from pgloader_spark.operators.encoders import content_features
+    from pgloader_spark.operators.multimodal import encode_png_gray8
+
+    frame = [[(x * 7 + y * 13) % 256 for x in range(24)] for y in range(24)]
+    other = [[(x * x + 3 * y) % 256 for x in range(24)] for y in range(24)]
+    png_fast = encode_png_gray8(frame, level=1)
+    png_best = encode_png_gray8(frame, level=9)
+    assert png_fast != png_best  # genuinely different byte streams
+
+    enc = NpzMlpEncoder(model_path)  # featurizer="content" default
+    v1, v2 = np.array(enc(png_fast, 16)), np.array(enc(png_best, 16))
+    vo = np.array(enc(encode_png_gray8(other), 16))
+    assert np.allclose(v1, v2), "recompressed dup must embed identically"
+    assert float(v1 @ vo) < 0.999, "different pixels must not collapse"
+
+    # byte featurizer (the r5 behavior) can NOT see through it
+    vb1 = np.array(NpzMlpEncoder(model_path, featurizer="bytes")(png_fast, 16))
+    vb2 = np.array(NpzMlpEncoder(model_path, featurizer="bytes")(png_best, 16))
+    assert not np.allclose(vb1, vb2)
+
+    # fallback: non-media bytes still featurize (byte path), same shape
+    assert np.array_equal(
+        content_features(_payload(2)), byte_features(_payload(2))
+    )
+
+
+def test_recompressed_dupes_cluster_end_to_end(spark, model_path):
+    """Planted visually-identical-but-recompressed images land in ONE
+    semantic cluster through embed_media -> semantic_dedup (the r5
+    'done =' criterion)."""
+    from pgloader_spark.operators.encoders import register_npz_mlp
+    from pgloader_spark.operators.multimodal import embed_media, encode_png_gray8
+    from pgloader_spark.operators.semdedup import semantic_dedup
+    from pgloader_spark.operators.similarity import ivf_centroids
+
+    register_npz_mlp("content-mlp", model_path)
+
+    def frame(seed):
+        return [
+            [(x * (7 + seed) + y * (13 + 2 * seed) + seed * 31) % 256
+             for x in range(24)]
+            for y in range(24)
+        ]
+
+    rows = []
+    for pat in range(4):
+        px = frame(pat)
+        rows.append((pat * 10 + 0, encode_png_gray8(px, level=1)))
+        rows.append((pat * 10 + 1, encode_png_gray8(px, level=9)))
+        rows.append((pat * 10 + 2, encode_png_gray8(px, level=6)))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    emb = embed_media(df, dim=16, encoder="content-mlp")
+    cents = ivf_centroids(emb, n_centroids=1, id_col="doc_id")
+    kept = semantic_dedup(emb, cents, tau=0.9999, id_col="doc_id")
+    kept_ids = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    assert kept_ids == [0, 10, 20, 30]
