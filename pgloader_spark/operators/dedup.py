@@ -505,29 +505,24 @@ def token_jaccard_clusters(
     at sf0.1 on the bench corpus: 5000 docs -> 3935 reps, 2.97M ->
     699k verified pairs.
 
-    Scale shape: ONE extra exchange keyed on the sorted item array
-    (the window that elects rep + group size), same volume as the
-    PPJoin's own per-doc groupBy; everything downstream runs on the
-    collapsed table.  A group spanning partitions is handled by the
-    hash partitioning on the array value itself.
+    Scale shape: ONE extra exchange keyed on the sorted item array —
+    a map-side-combinable groupBy (min id + count per distinct set;
+    partial aggregation collapses same-partition clones BEFORE the
+    shuffle, and there is no per-partition sort — measured faster
+    than the window formulation at sf0.1); everything downstream runs
+    on the collapsed table.  A group spanning partitions is handled
+    by the hash partitioning on the array value itself.
     """
-    from pyspark.sql.window import Window
-
     from pgloader_spark.operators.components import connected_components
 
     toks = F.array_distinct(F.transform(tokens(text_col), _seeded_hash(0)))
     items_df = df.select(
         F.col(id_col).cast("long").alias("id"), F.array_sort(toks).alias("items")
     )
-    w = Window.partitionBy("items")
-    tagged = items_df.select(
-        "id",
-        "items",
-        F.min("id").over(w).alias("rep"),
-        F.count(F.lit(1)).over(w).alias("gsize"),
-    )
     reps = _pin(
-        tagged.filter(F.col("id") == F.col("rep")).select("id", "items", "gsize")
+        items_df.groupBy("items").agg(
+            F.min("id").alias("id"), F.count(F.lit(1)).alias("gsize")
+        )
     )
     rep_pairs = _jaccard_pairs_ppjoin(reps.select("id", "items"), threshold).select(
         "id_a", "id_b"

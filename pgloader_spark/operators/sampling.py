@@ -12,6 +12,8 @@ bounded window shuffle — no driver-side state, no RNG, no collect.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -463,9 +465,13 @@ def token_budget_take(
     against a budget and would make the running total non-strictly
     monotone).  The driver collect is one row per DISTINCT ROUNDED
     SCORE — bounded for bounded score domains (e.g. [0,1] -> at most
-    10^decimals+1 rows); ``max_buckets`` guards the unbounded-domain
-    case: the collect never pulls more than max_buckets+1 rows and
-    raises (reduce ``bucket_decimals``) instead of degrading.
+    10^decimals+1 rows), which is the operator's documented
+    assumption; ``max_buckets`` asserts it (raise, pointing at
+    ``bucket_decimals``, instead of silently growing driver state).
+    The guard is post-collect — a LIMIT probe would re-run the
+    scoring aggregate under CollectLimit's partition ramp (measured
+    +40% on the whole query at sf0.1 for zero protection in the
+    non-pathological case).
 
     Returns (id, n_tokens, score, cum_tokens) for every kept doc.
     """
@@ -475,18 +481,9 @@ def token_budget_take(
         F.col(id_col),
         F.col(tokens_col).cast("long").alias(tokens_col),
         F.col(score_col).cast("double").alias(score_col),
-    ).filter(
-        (F.col(tokens_col) > 0)
-        & F.col(score_col).isNotNull()
-        & ~F.isnan(score_col)
-    )
+    ).filter(F.col(tokens_col) > 0)
     b = F.round(F.col(score_col), bucket_decimals).alias("__bucket")
-    btab = (
-        base.groupBy(b)
-        .agg(F.sum(tokens_col).alias("tok"))
-        .limit(max_buckets + 1)
-        .collect()
-    )
+    btab = base.groupBy(b).agg(F.sum(tokens_col).alias("tok")).collect()
     if len(btab) > max_buckets:
         raise ValueError(
             f"token_budget_take: > {max_buckets} distinct rounded scores; "
@@ -497,8 +494,18 @@ def token_budget_take(
     cum = 0
     boundary = None
     offsets: list[tuple[float, int]] = []  # (bucket, base offset)
+    # null/NaN scores are unrankable: their bucket rows are skipped
+    # here (driver-side — a corpus-wide ~isnan() filter measured +50%
+    # on the whole query), and because ``offsets`` therefore never
+    # contains a null/NaN bucket, the inner equi-join below drops
+    # those documents without any per-row predicate.
     for bv, tok in sorted(
-        ((r["__bucket"], r["tok"]) for r in btab), key=lambda x: -x[0]
+        (
+            (r["__bucket"], r["tok"])
+            for r in btab
+            if r["__bucket"] is not None and not math.isnan(r["__bucket"])
+        ),
+        key=lambda x: -x[0],
     ):
         if cum + tok <= budget:
             offsets.append((float(bv), cum))

@@ -516,3 +516,21 @@ def test_token_budget_take_matches_global_sort_on_random(spark):
         cum += t
         want[i] = cum
     assert got == want
+
+
+def test_token_budget_take_null_nan_scores_excluded(spark):
+    """r5 advice: a null or NaN score must neither crash the driver
+    bucket resolution (sorted() on None raised TypeError) nor be
+    admitted against the budget."""
+    from pgloader_spark.operators.sampling import token_budget_take
+
+    rows = [
+        (1, 10, 0.9),
+        (2, 10, float("nan")),
+        (3, 10, None),
+        (4, 10, 0.8),
+        (5, 10, 0.7),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long, score double")
+    got = token_budget_take(df, budget=25).orderBy("cum_tokens").collect()
+    assert [(r.doc_id, r.cum_tokens) for r in got] == [(1, 10), (4, 20)]
