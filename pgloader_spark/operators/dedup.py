@@ -528,21 +528,26 @@ def token_jaccard_clusters(
         "id_a", "id_b"
     )
     comp = connected_components(rep_pairs, id_col="id")
-    clustered = (
-        comp.join(reps.select("id", "gsize"), "id")
+    # one pass assembles both cluster kinds: reps in the pair graph
+    # carry their component label; an exact-clone group whose rep
+    # pairs with nothing else (gsize >= 2, no label) is still a
+    # cluster — its members sit at Jaccard 1.0 with the rep — under
+    # its own id.  Plain join (no broadcast hint): comp is tiny on
+    # the driver-gated path but corpus-scale on the star path; AQE
+    # picks the strategy.
+    return (
+        reps.select("id", "gsize")
+        .join(comp, "id", "left")
+        .filter(F.col("component").isNotNull() | (F.col("gsize") >= 2))
+        .select(
+            F.coalesce("component", F.col("id")).alias("component"), "gsize"
+        )
         .groupBy("component")
         .agg(F.sum("gsize").alias("n_docs"))
-    )
-    # an exact-clone group whose rep pairs with nothing else is still a
-    # cluster (its members sit at Jaccard 1.0 with the rep)
-    lonely = (
-        reps.filter(F.col("gsize") >= 2)
-        .join(comp.select("id"), "id", "left_anti")
-        .select(F.col("id").alias("component"), F.col("gsize").alias("n_docs"))
-    )
-    return clustered.unionByName(lonely).select(
-        F.col("component").cast("long").alias("canonical_id"),
-        F.col("n_docs").cast("long").alias("n_docs"),
+        .select(
+            F.col("component").cast("long").alias("canonical_id"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
     )
 
 
