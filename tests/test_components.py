@@ -129,3 +129,17 @@ def test_both_paths_return_long_schema_on_int_input(spark):
             "bigint",
             "bigint",
         ], f"nodes, threshold={thresh}"
+
+
+def test_overflow_probe_falls_through_to_star_loop(spark):
+    """The r6 persist+count probe: when the edge count exceeds the
+    gate, the star loop must run (and reuse the probe's cache) and
+    still produce the same mapping — covers the unpersist-after-
+    first-iteration path."""
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)]
+    pairs = _pairs(spark, edges)
+    gated = _as_dict(connected_components(pairs, driver_edge_threshold=2))
+    full = _as_dict(connected_components(pairs))
+    assert gated == full == {
+        1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20
+    }
