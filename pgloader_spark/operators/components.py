@@ -207,6 +207,15 @@ def connected_components(
             )
         return mapping
 
+    if pinned is None:
+        # star-path entry without a probe (threshold=0 / non-int ids):
+        # iteration 0 otherwise re-derives the upstream pair pipeline
+        # 4-6x (each star op consumes its sym view twice, and two star
+        # ops run before the first checkpoint)
+        from pyspark.storagelevel import StorageLevel
+
+        pinned = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        edges = pinned
     prev: tuple[int, int] | None = None
     for i in range(max_iter):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
