@@ -14,7 +14,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql.window import Window as W
 from pyspark.sql import functions as F
-
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
 # heuristic.  Deterministic and mirrored verbatim in the DuckDB oracle.
 STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -547,6 +546,9 @@ def bm25_topk(
     """
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # dl's aggregation subtree repeats (stats + score join) but the
+    # shared shuffle computes once via ReusedExchange; an explicit
+    # persist measured no better at sf0.1 (see bigram_logprob note)
     dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -778,6 +780,10 @@ def bigram_logprob(
     DECIMAL(18,6): partition- and order-invariant, engine-exact.
     """
     big = bigram_stream(df, id_col, text_col)
+    # the c2 aggregation subtree repeats under c1/v/model, but Spark's
+    # ReusedExchange computes the shared shuffle ONCE within the
+    # action — an explicit persist measured SLOWER at sf0.1 (cache
+    # materialization cost for zero saved work), so c2 stays unpinned
     c2 = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
     c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
     v = c2.agg(F.count_distinct("cur").alias("v"))
