@@ -279,6 +279,11 @@ def main() -> None:
     # reference bench's RUNS=3-take-median methodology
     # (clojure/tests/bench/Makefile, report.py).
     alive = [name for name in HEADLINE if run(name) is not None]
+    # one warm-up pass only: an experimental second pass (r6) moved the
+    # total 49.0 -> 55.4 s — the in-sequence residual over isolated
+    # steady state is GC/host noise, not JIT, and extra passes just
+    # heat the heap.  Keeping one pass also keeps the methodology
+    # identical across rounds' artifacts.
     samples: dict[str, list[float]] = {name: [] for name in alive}
     for _ in range(RUNS):
         for name in alive:
