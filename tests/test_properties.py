@@ -439,3 +439,105 @@ def test_driver_components_equals_union_find(edges):
             want[x] = m
     got = dict(zip(nodes.tolist(), comp.tolist()))
     assert got == want
+
+
+def test_token_jaccard_clusters_match_bruteforce_random(spark):
+    """The r6 identical-set collapse is EXACT: cluster summaries from
+    token_jaccard_clusters equal an O(n^2) brute-force transitive
+    closure on a randomized corpus dense in exact clones, permuted
+    clones (equal sets, different order), and near-dups."""
+    import itertools
+    import random
+
+    from pgloader_spark.operators.dedup import token_jaccard_clusters
+
+    rng = random.Random(4242)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(90):
+        r = rng.random()
+        if r < 0.3 and docs:  # exact or permuted clone of an earlier doc
+            base = docs[rng.randrange(len(docs))][1].split()
+            if rng.random() < 0.5:
+                rng.shuffle(base)
+            docs.append((i, " ".join(base)))
+        elif r < 0.55 and docs:  # near-dup: drop a token or two
+            base = docs[rng.randrange(len(docs))][1].split()
+            mutated = [t for t in base if rng.random() > 0.08]
+            docs.append((i, " ".join(mutated or base)))
+        else:
+            docs.append((i, " ".join(rng.sample(vocab, rng.randrange(8, 25)))))
+
+    threshold = 0.8
+    sets = {i: {t.lower() for t in txt.split()} for i, txt in docs}
+    parent = {i: i for i in sets}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    linked = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and round(inter / union, 6) >= threshold:
+            linked.update((a, b))
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for i in linked:
+        comp.setdefault(find(i), []).append(i)
+    expected = {(min(m), len(m)) for m in comp.values()}
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["canonical_id"], r["n_docs"])
+        for r in token_jaccard_clusters(df, threshold=threshold).collect()
+    }
+    assert got == expected
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=40),  # n_tokens
+            st.one_of(
+                st.floats(min_value=0.0, max_value=1.0, width=32),
+                st.none(),
+                st.just(float("nan")),
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=0, max_value=400),
+)
+@settings(max_examples=20, deadline=None)
+def test_token_budget_take_law(rows_in, budget):
+    """token_budget_take == 'sort by (score desc, id), take while the
+    running total fits' for ANY score distribution, including ties at
+    the bucket boundary and null/NaN scores (which never rank)."""
+    from pgloader_spark.operators.sampling import token_budget_take
+    from pgloader_spark.session import get_spark
+
+    spark = get_spark()  # session-scoped singleton; hypothesis-safe
+    rows = [(i, n, s) for i, (n, s) in enumerate(rows_in)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long, score double")
+    got = sorted(
+        (r.doc_id, r.cum_tokens)
+        for r in token_budget_take(df, budget=budget).collect()
+    )
+    ranked = sorted(
+        ((i, n, s) for i, n, s in rows if s is not None and s == s and n > 0),
+        key=lambda t: (-t[2], t[0]),
+    )
+    want, cum = [], 0
+    for i, n, _s in ranked:
+        if cum + n > budget:
+            break
+        cum += n
+        want.append((i, cum))
+    assert got == sorted(want)
