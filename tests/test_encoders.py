@@ -149,3 +149,27 @@ def test_recompressed_dupes_cluster_end_to_end(spark, model_path):
     kept = semantic_dedup(emb, cents, tau=0.9999, id_col="doc_id")
     kept_ids = sorted(r.doc_id for r in kept.select("doc_id").collect())
     assert kept_ids == [0, 10, 20, 30]
+
+
+def test_content_features_corrupt_media_falls_back(model_path):
+    """Truncated/corrupt containers with valid magic bytes must fall
+    back to byte features, never raise out of the featurizer."""
+    from pgloader_spark.operators.encoders import content_features
+    from pgloader_spark.operators.multimodal import encode_png_gray8, make_wav
+
+    good_png = encode_png_gray8([[1, 2], [3, 4]])
+    for payload in (
+        good_png[:20],              # truncated PNG (magic intact)
+        make_wav(8000, 1, 100)[:30],  # truncated WAV
+        b"\x89PNG\r\n\x1a\n" + b"\xff" * 16,  # garbage after magic
+    ):
+        x = content_features(payload)
+        assert x.shape == (258,)
+        assert np.array_equal(x, byte_features(payload))
+    # a zeroed IEND does NOT corrupt the pixels (IDAT intact): the
+    # decode still succeeds and the content features match the intact
+    # image — robustness, not fallback
+    assert np.array_equal(
+        content_features(good_png[:-8] + b"\x00" * 8),
+        content_features(good_png),
+    )

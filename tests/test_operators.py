@@ -303,3 +303,20 @@ def test_token_jaccard_clusters_match_raw_pipeline(spark):
     )
     want = {(r["component"], r["n_docs"]) for r in raw}
     assert got == want == {(1, 4), (6, 2)}
+
+
+def test_token_jaccard_clusters_empty_and_all_singletons(spark):
+    """Empty corpus and a corpus with no duplicates both yield zero
+    cluster rows with the stable (long, long) schema."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = dedup.token_jaccard_clusters(empty)
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "bigint",
+        "bigint",
+    ]
+    assert out.count() == 0
+    uniq = spark.createDataFrame(
+        [(i, f"totally unique doc {i} alpha{i} beta{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    assert dedup.token_jaccard_clusters(uniq).count() == 0
