@@ -93,13 +93,19 @@ def _driver_components(edge_arr) -> "tuple":
     geometrically (hash-to-min shape, O(log n) rounds).  Surviving
     duplicate edges are kept as-is (the r5 packed-key np.unique cost
     ~0.5 s/round and bought nothing — dupes shrink with the same
-    geometry).  Node ids sort ascending under np.unique, so the
-    elected label is the component MINIMUM id — identical to the
-    star algorithm's election."""
+    geometry).  Id compaction uses hash-based ``pd.factorize``
+    (measured 200x over sorting ``np.unique`` at 0.7-3M edges on this
+    host), so label indices follow APPEARANCE order, not id order —
+    the propagated min-label is still one member per component (labels
+    start as member indices and min only ever picks another member),
+    and the final remap below elects the component's minimum NODE id,
+    matching the star algorithm's election exactly."""
     import numpy as np
+    import pandas as pd
 
-    nodes, inv = np.unique(edge_arr, return_inverse=True)
-    e = inv.reshape(-1, 2).astype(np.int64)
+    codes, uniques = pd.factorize(edge_arr.ravel())
+    nodes = np.asarray(uniques, dtype=np.int64)
+    e = codes.reshape(-1, 2).astype(np.int64)
     lab = np.arange(len(nodes), dtype=np.int64)
     for _ in range(64):
         if not e.shape[0]:
@@ -121,7 +127,12 @@ def _driver_components(edge_arr) -> "tuple":
         if np.array_equal(nxt, lab):
             break
         lab = nxt
-    return nodes, nodes[lab]
+    # elect the component MINIMUM id: the converged label slot is some
+    # member's index (appearance order != id order under factorize);
+    # fold every member's node id into its label slot and read back
+    minid = nodes.copy()
+    np.minimum.at(minid, lab, nodes)
+    return nodes, minid[lab]
 
 
 def connected_components(
