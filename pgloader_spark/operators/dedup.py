@@ -518,7 +518,12 @@ def token_jaccard_clusters(
     toks = F.array_distinct(F.transform(tokens(text_col), _seeded_hash(0)))
     items_df = df.select(
         F.col(id_col).cast("long").alias("id"), F.array_sort(toks).alias("items")
-    )
+    ).filter(F.size("items") > 0)
+    # ^ empty token sets never pair in the pairwise formulation
+    # (J(empty, x) has an empty intersection; J(empty, empty) is 0/0,
+    # which the pair path — and the oracle — treats as NOT a
+    # duplicate), so they must stay singletons here too rather than
+    # collapsing into a spurious Jaccard-1 clone group
     reps = _pin(
         items_df.groupBy("items").agg(
             F.min("id").alias("id"), F.count(F.lit(1)).alias("gsize")
@@ -547,6 +552,64 @@ def token_jaccard_clusters(
         .select(
             F.col("component").cast("long").alias("canonical_id"),
             F.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )
+
+
+def shingle_jaccard_components(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """(id long, component long) for EVERY input document — exact
+    k-shingle-Jaccard >= threshold clusters (min-id labels, singletons
+    included), identical-set collapsed like
+    ``token_jaccard_clusters``: documents with equal shingle sets
+    (exact text clones, whitespace/punct variants) fold to their
+    min-id representative BEFORE the PPJoin, components resolve over
+    the rep graph, and every member inherits its rep's label — a pure
+    physical rewrite of pairs -> components(nodes=docs), provably the
+    same mapping, with the pair stage quadratic in DISTINCT shingle
+    sets rather than clone-group size.
+
+    The doc-level output needs each doc's rep, so the collapse here
+    is a window over the sorted shingle-set key (one exchange).
+    Empty shingle sets never pair under J >= t > 0 (and J(0/0) is not
+    a duplicate — same contract as the token path), so those docs
+    keep their own id as rep and stay singletons.
+    """
+    from pyspark.sql.window import Window
+
+    from pgloader_spark.operators.components import connected_components
+
+    items = F.array_sort(
+        F.array_distinct(F.transform(shingles(text_col, k), _seeded_hash(0)))
+    )
+    sets_df = df.select(
+        F.col(id_col).cast("long").alias("id"), items.alias("items")
+    )
+    w = Window.partitionBy("items")
+    tagged = _pin(
+        sets_df.select(
+            "id",
+            "items",
+            F.when(F.size("items") > 0, F.min("id").over(w))
+            .otherwise(F.col("id"))
+            .alias("rep"),
+        )
+    )
+    reps = tagged.filter(
+        (F.col("id") == F.col("rep")) & (F.size("items") > 0)
+    ).select("id", "items")
+    rep_pairs = _jaccard_pairs_ppjoin(reps, threshold).select("id_a", "id_b")
+    comp = connected_components(rep_pairs, id_col="id")
+    return (
+        tagged.select("id", "rep")
+        .join(comp.select(F.col("id").alias("rep"), "component"), "rep", "left")
+        .select(
+            "id", F.coalesce("component", F.col("rep")).alias("component")
         )
     )
 

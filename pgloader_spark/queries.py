@@ -979,17 +979,17 @@ FROM documents d LEFT JOIN comp c ON c.did = d.doc_id
 """,
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs resolved into clusters: large-star/small-star
-    connected components (the step between pair generation and
-    keep-one-per-cluster). Oracle: DuckDB recursive-CTE transitive
-    closure with min-label election — exact, any graph shape."""
-    from pgloader_spark.operators.components import connected_components
-
+    """Near-dup pairs resolved into clusters: identical-set-collapsed
+    PPJoin + large-star/small-star connected components (the step
+    between pair generation and keep-one-per-cluster; see
+    ``dedup.shingle_jaccard_components`` — exact clones fold to one
+    rep before the pair stage). Oracle: DuckDB recursive-CTE
+    transitive closure with min-label election — exact, any graph
+    shape."""
     docs = read_table(spark, sf_dir, "documents", widen=True)
-    pairs = dedup.shingle_jaccard_pairs(docs, threshold=0.5, k=3)
-    return connected_components(
-        pairs, nodes=docs.select(F.col("doc_id").alias("id")), id_col="id"
-    ).select(F.col("id").alias("doc_id"), "component")
+    return dedup.shingle_jaccard_components(docs, threshold=0.5, k=3).select(
+        F.col("id").alias("doc_id"), "component"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1983,15 +1983,10 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     first report a dedup deployment reads (a fat tail of giant
     clusters says collapse-then-dedup or go approximate; a flat
     profile says exact PPJoin is affordable).  One extra
-    map-side-combinable group-by pair on top of the components
-    mapping; output is histogram-sized."""
-    from pgloader_spark.operators.components import connected_components
-
+    map-side-combinable group-by pair on top of the (identical-set
+    collapsed) components mapping; output is histogram-sized."""
     docs = read_table(spark, sf_dir, "documents", widen=True)
-    pairs = dedup.shingle_jaccard_pairs(docs, threshold=0.5, k=3)
-    mapping = connected_components(
-        pairs, nodes=docs.select(F.col("doc_id").alias("id")), id_col="id"
-    )
+    mapping = dedup.shingle_jaccard_components(docs, threshold=0.5, k=3)
     sizes = mapping.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
     return sizes.groupBy("sz").agg(
         F.count(F.lit(1)).alias("n_clusters")

@@ -440,18 +440,13 @@ WHERE doc_id = component
 def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup pipeline's OUTPUT: one canonical document per
     near-dup cluster (min doc_id wins), with the cluster size it
-    represents. pairs -> components -> keep-one — what actually ships
-    to training."""
-    from pgloader_spark.operators.components import (
-        component_stats,
-        connected_components,
-    )
+    represents. collapsed pairs -> components -> keep-one — what
+    actually ships to training
+    (dedup.shingle_jaccard_components)."""
+    from pgloader_spark.operators.components import component_stats
 
     docs = read_table(spark, sf_dir, "documents", widen=True)
-    pairs = dedup.shingle_jaccard_pairs(docs, threshold=0.5, k=3)
-    mapping = connected_components(
-        pairs, nodes=docs.select(F.col("doc_id").alias("id")), id_col="id"
-    )
+    mapping = dedup.shingle_jaccard_components(docs, threshold=0.5, k=3)
     sizes = component_stats(mapping)
     return (
         mapping.filter(F.col("id") == F.col("component"))
@@ -1613,15 +1608,16 @@ FROM (SELECT doc_id, cluster_id,
 """,
 )
 def sample_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leakage-safe train/val/test split: near-dup clusters (PPJoin
-    pairs -> connected components) hash into a split as a UNIT, so a
-    document and its 95%-identical twin can never straddle the
-    train/eval fence (operators/sampling.py:leakage_safe_split)."""
+    """Leakage-safe train/val/test split: near-dup clusters
+    (identical-set-collapsed PPJoin -> connected components) hash
+    into a split as a UNIT, so a document and its 95%-identical twin
+    can never straddle the train/eval fence
+    (operators/sampling.py:leakage_safe_split, clusters= mode)."""
     from pgloader_spark.operators.sampling import leakage_safe_split
 
     docs = read_table(spark, sf_dir, "documents", widen=True)
-    pairs = dedup.shingle_jaccard_pairs(docs, threshold=0.5, k=3)
-    return leakage_safe_split(docs, pairs)
+    clusters = dedup.shingle_jaccard_components(docs, threshold=0.5, k=3)
+    return leakage_safe_split(docs, clusters=clusters)
 
 
 @query(

@@ -320,3 +320,21 @@ def test_token_jaccard_clusters_empty_and_all_singletons(spark):
         "doc_id long, text string",
     )
     assert dedup.token_jaccard_clusters(uniq).count() == 0
+
+
+def test_token_jaccard_clusters_empty_token_docs_stay_singletons(spark):
+    """J(empty, empty) = 0/0 is NOT a duplicate in the pairwise
+    formulation (no items -> no pairs; the DuckDB oracle agrees), so
+    empty-token documents must not collapse into a spurious cluster."""
+    rows = [
+        (1, "...!!!"),       # tokenizes to nothing
+        (2, "???"),          # tokenizes to nothing
+        (3, "same words here"),
+        (4, "same words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["canonical_id"], r["n_docs"])
+        for r in dedup.token_jaccard_clusters(docs, threshold=0.8).collect()
+    }
+    assert got == {(3, 2)}
