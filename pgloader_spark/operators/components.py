@@ -166,12 +166,23 @@ def connected_components(
     ``spark.sql.limit.initialNumPartitions`` and discarded a full
     pair pass on overflow).  Callers that KNOW the graph is huge
     pass ``driver_edge_threshold=0``: no probe, no persist, straight
-    to the star loop.  Both paths elect min-id and return identical
-    (id long, component long) mappings (pinned by test; the explicit
-    casts keep the schema input-type-independent — r5 advice).
+    to the star loop.  For integer ids both paths elect min-id and
+    return identical (id long, component long) mappings (pinned by
+    test; the explicit casts keep the schema independent of which
+    integer width came in — r5 advice).  Non-integer ids (strings,
+    decimals) run the star loop and PRESERVE the input type — casting
+    a string id to long would silently null the whole mapping (r6
+    advice); min-election is then the type's native ordering
+    (lexicographic for strings).
     """
     edges = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
 
+    utype, vtype = (f.dataType for f in edges.schema.fields)
+    if utype.simpleString() != vtype.simpleString():
+        raise ValueError(
+            f"connected_components: id columns must share one type, got "
+            f"{id_a}={utype.simpleString()} vs {id_b}={vtype.simpleString()}"
+        )
     int_ids = all(
         f.dataType.simpleString() in ("tinyint", "smallint", "int", "bigint")
         for f in edges.schema.fields
@@ -239,17 +250,22 @@ def connected_components(
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} iterations")
 
+    # integer ids normalize to long (one schema across both gated
+    # paths); other types pass through untouched — cast('long') on a
+    # string id is silent NULLs, not a mapping (r6 advice, medium)
+    _out = (lambda c: F.col(c).cast("long")) if int_ids else F.col
     parents = _canonical_parents(edges).select(
-        F.col("node").cast("long").alias(id_col),
-        F.col("parent").cast("long").alias("component"),
+        _out("node").alias(id_col),
+        _out("parent").alias("component"),
     )
     roots = parents.select(F.col("component").alias(id_col)).distinct().withColumn(
         "component", F.col(id_col)
     )
     mapping = parents.union(roots)
     if nodes is not None:
+        node_t = "long" if int_ids else utype.simpleString()
         mapping = (
-            nodes.select(F.col(id_col).cast("long").alias(id_col))
+            nodes.select(F.col(id_col).cast(node_t).alias(id_col))
             .join(mapping, id_col, "left")
             .select(
                 F.col(id_col),

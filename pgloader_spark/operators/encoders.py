@@ -191,6 +191,13 @@ class NpzMlpEncoder:
     ``featurizer``: "content" (default — decoded pixels/samples, so
     recompressed dupes embed identically; byte fallback for
     undecodable payloads) or "bytes" (container-byte histogram only).
+
+    COMPATIBILITY: the default flipped from "bytes" to "content" in
+    round 6.  The same checkpoint + payload now yields DIFFERENT
+    embeddings than pre-r6 runs — any persisted vectors or tuned tau
+    thresholds built on the old default must be regenerated, or pass
+    ``featurizer="bytes"`` explicitly to keep the old space (also
+    noted in README "Compatibility notes").
     """
 
     def __init__(self, path: str, featurizer: str = "content"):

@@ -468,10 +468,13 @@ def token_budget_take(
     10^decimals+1 rows), which is the operator's documented
     assumption; ``max_buckets`` asserts it (raise, pointing at
     ``bucket_decimals``, instead of silently growing driver state).
-    The guard is post-collect — a LIMIT probe would re-run the
-    scoring aggregate under CollectLimit's partition ramp (measured
-    +40% on the whole query at sf0.1 for zero protection in the
-    non-pathological case).
+    The guard runs BEFORE the collect (r6 advice): the aggregated
+    bucket table persists executor-side (spillable) and is counted —
+    a pathological unbounded score domain raises without the rows
+    ever reaching the driver.  The count reads the cache, so the
+    probe costs one tiny extra job, not a second scan (a LIMIT probe
+    instead would re-run the scoring aggregate under CollectLimit's
+    partition ramp — measured +40% on the whole query at sf0.1).
 
     Returns (id, n_tokens, score, cum_tokens) for every kept doc.
     """
@@ -483,14 +486,22 @@ def token_budget_take(
         F.col(score_col).cast("double").alias(score_col),
     ).filter(F.col(tokens_col) > 0)
     b = F.round(F.col(score_col), bucket_decimals).alias("__bucket")
-    btab = base.groupBy(b).agg(F.sum(tokens_col).alias("tok")).collect()
-    if len(btab) > max_buckets:
-        raise ValueError(
-            f"token_budget_take: > {max_buckets} distinct rounded scores; "
-            f"the driver bucket table is only bounded for bounded score "
-            f"domains — reduce bucket_decimals (= {bucket_decimals}) or "
-            f"raise max_buckets"
-        )
+    from pyspark.storagelevel import StorageLevel
+
+    btab_df = base.groupBy(b).agg(F.sum(tokens_col).alias("tok")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        if btab_df.count() > max_buckets:
+            raise ValueError(
+                f"token_budget_take: > {max_buckets} distinct rounded scores; "
+                f"the driver bucket table is only bounded for bounded score "
+                f"domains — reduce bucket_decimals (= {bucket_decimals}) or "
+                f"raise max_buckets"
+            )
+        btab = btab_df.collect()
+    finally:
+        btab_df.unpersist()
     cum = 0
     boundary = None
     offsets: list[tuple[float, int]] = []  # (bucket, base offset)

@@ -1152,7 +1152,9 @@ def bpe_learn(
     beyond it are excluded from the statistics, a documented coverage
     trade-off: by Zipf's law the dropped tail carries a vanishing
     share of occurrence mass, and merge decisions are count-weighted.
-    Pass ``max_vocab=None`` to collect the full table deliberately.
+    When the cap actually truncates, a warning is logged so the
+    trade-off is visible at runtime (r6 advice); pass
+    ``max_vocab=None`` to collect the full table deliberately.
     """
     words = (
         df.select(F.explode(tokens(text_col)).alias("word"))
@@ -1160,8 +1162,26 @@ def bpe_learn(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     if max_vocab is not None:
-        words = words.orderBy(F.desc("cnt"), F.asc("word")).limit(max_vocab)
-    freqs = {r["word"]: int(r["cnt"]) for r in words.collect()}
+        # collect cap+1 rows: an extra row proves truncation without a
+        # second count job; it is the order's last row, so drop it
+        rows = (
+            words.orderBy(F.desc("cnt"), F.asc("word"))
+            .limit(max_vocab + 1)
+            .collect()
+        )
+        if len(rows) > max_vocab:
+            rows = rows[:max_vocab]
+            import logging
+
+            logging.getLogger("pgloader_spark.text").warning(
+                "bpe_learn: vocabulary exceeds max_vocab=%d; rare words "
+                "beyond the cap are excluded from merge statistics "
+                "(pass max_vocab=None for the unbounded table)",
+                max_vocab,
+            )
+    else:
+        rows = words.collect()
+    freqs = {r["word"]: int(r["cnt"]) for r in rows}
     return bpe_train_from_freqs(freqs, n_merges, min_pair_count)
 
 

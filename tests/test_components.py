@@ -131,6 +131,35 @@ def test_both_paths_return_long_schema_on_int_input(spark):
         ], f"nodes, threshold={thresh}"
 
 
+def test_string_ids_preserved_on_star_path(spark):
+    """r6 advice (medium): non-integer ids route to the star loop,
+    which must preserve the input type — the former unconditional
+    cast('long') silently nulled every string id."""
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("c", "d"), ("x", "y")], "id_a string, id_b string"
+    )
+    out = connected_components(pairs)
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "string",
+        "string",
+    ]
+    got = {r["id"]: r["component"] for r in out.collect()}
+    assert got == {"b": "b", "c": "b", "d": "b", "x": "x", "y": "x"}
+    # nodes df adds singletons in the same (string) type
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",), ("d",), ("z",)], "id string")
+    got2 = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, nodes=nodes).collect()
+    }
+    assert got2 == {"a": "a", "b": "b", "c": "b", "d": "b", "z": "z"}
+
+
+def test_mismatched_id_types_raise(spark):
+    pairs = spark.createDataFrame([(1, "x")], "id_a long, id_b string")
+    with pytest.raises(ValueError, match="must share one type"):
+        connected_components(pairs)
+
+
 def test_overflow_probe_falls_through_to_star_loop(spark):
     """The r6 persist+count probe: when the edge count exceeds the
     gate, the star loop must run (and reuse the probe's cache) and
