@@ -195,12 +195,15 @@ def bench_etl_pg_copy(spark, sf_dir: str, workdir: str) -> dict | None:
         # 16 writers: measured sweet spot for one local server (more
         # COPY streams contend on relation extension)
         write_pg_copy(df, dsn, "lineitem", n_writers=16)
-        # two measured passes, keep the best: the COPY wall is
+        # four measured passes, keep the best: the COPY wall is
         # exposed to background writeback noise (observed bimodal
-        # 1.6s vs 12s on an otherwise idle box) that the query
-        # headlines' 3-run median already defends against
+        # 1.6s vs 12s on an otherwise idle box), AND the committed
+        # same-session A/B (tools/profiles/pg_copy_ab_r7_w16.txt)
+        # shows a warm-up ramp — trials 0-1 ran 34-38 MB/s before
+        # settling at ~44-48 MB/s from trial 2 on — so best-of-2
+        # could land mid-ramp (the r6 artifact's ~20 MB/s reading)
         sec = None
-        for _ in range(2):
+        for _ in range(4):
             with PGConn(dsn) as c:
                 c.query("TRUNCATE lineitem")
             t0 = time.perf_counter()
@@ -308,6 +311,21 @@ def main() -> None:
         out["etl"] = etl
     if etl_pg is not None:
         out["etl_pg_copy"] = etl_pg
+        # r6 verdict ask #7: surface the baseline gate explicitly so
+        # rounds stop re-deriving the unit argument.  Anchor midpoints
+        # from BASELINE.md (clojure/tests/bench/report.py:10-16 +
+        # AGENT.md f1db sample): 550-694k rows/s -> 622k; 19.5-24.6
+        # MB/s -> 22.05.  Ratio = anchor / ours, so 1.0 = parity and
+        # >2.0 trips the gate; bytes is the honest unit (the anchors'
+        # rows are ~30 bytes, lineitem's ~110).
+        if etl_pg.get("rows_per_sec"):
+            out["bench_vs_baseline_rows"] = round(
+                622_000 / etl_pg["rows_per_sec"], 2
+            )
+        if etl_pg.get("mb_per_sec"):
+            out["bench_vs_baseline_bytes"] = round(
+                22.05 / etl_pg["mb_per_sec"], 2
+            )
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
