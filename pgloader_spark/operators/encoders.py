@@ -95,16 +95,20 @@ def _audio_features(samples, sample_rate: int, in_dim: int) -> "list[float]":
 
 def content_features(data: bytes, in_dim: int = 258) -> "list[float]":
     """Decode-aware feature vector (the r5 verdict's stretch ask):
-    media the repo genuinely decodes — PNG/GIF to pixels, WAV to
-    samples (multimodal.py's struct/zlib decoders; no external libs)
-    — featurizes on CONTENT, so visually-identical-but-recompressed
-    payloads (different zlib level, different PNG filters, PNG vs
-    GIF of the same frame) land on the SAME vector.  Undecodable
-    payloads (JPEG entropy data needs a real codec; arbitrary blobs)
-    fall back to :func:`byte_features` rather than failing."""
+    media the repo genuinely decodes — PNG/GIF/baseline-JPEG to
+    pixels, WAV to samples (multimodal.py's struct/zlib/T.81
+    decoders; no external libs) — featurizes on CONTENT, so
+    visually-identical-but-recompressed payloads (different zlib
+    level, PNG vs GIF of the same frame, a JPEG re-encode of the
+    same pixels) land on the same vector (exactly for lossless
+    containers; within quantization error for JPEG — JPEG's Y
+    channel is the same ITU-R 601 luma the PNG path computes).
+    Undecodable payloads (progressive JPEG, arbitrary blobs) fall
+    back to :func:`byte_features` rather than failing."""
     from pgloader_spark.operators.multimodal import (
         UnsupportedMediaError,
         decode_gif_gray,
+        decode_jpeg_gray,
         decode_png_gray,
         decode_wav_samples,
         sniff_mime,
@@ -122,6 +126,9 @@ def content_features(data: bytes, in_dim: int = 258) -> "list[float]":
             return _image_features(rows, w, h, in_dim)
         if mime == "image/gif":
             w, h, rows = decode_gif_gray(data)
+            return _image_features(rows, w, h, in_dim)
+        if mime == "image/jpeg":
+            w, h, rows = decode_jpeg_gray(data)
             return _image_features(rows, w, h, in_dim)
         if mime == "audio/wav":
             sr, _nch, samples = decode_wav_samples(data)

@@ -1027,11 +1027,402 @@ def encode_gif_gray8(pixels: list[list[int]]) -> bytes:
     )
 
 
+# --------------------------------------------------------------------------
+# Baseline JPEG codec (ITU-T T.81, public spec): real Huffman + DCT,
+# stdlib + numpy only.  The decoder emits the LUMA (Y) plane — the
+# same grayscale semantics as decode_png_gray's ITU-R 601 conversion,
+# because JPEG's Y channel IS 601 luma — so a JPEG recompression of
+# the same pixels featurizes onto (nearly) the same content vector.
+# --------------------------------------------------------------------------
+
+# zig-zag scan order and the Annex K.1 luminance quantization table /
+# K.3 luminance Huffman tables — published interchange constants.
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+_JPEG_QT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _dct_matrix():
+    """Orthonormal 8x8 DCT-II basis T: DCT = T @ X @ T.T, IDCT = T.T @ F @ T."""
+    import math as _math
+
+    import numpy as np
+
+    t = np.zeros((8, 8))
+    for u in range(8):
+        c = _math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            t[u, x] = c / 2.0 * _math.cos((2 * x + 1) * u * _math.pi / 16)
+    return t
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 C.2): value -> (length, code)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def encode_jpeg_gray8(
+    pixels: list[list[int]], quality: int = 90, restart_interval: int = 0
+) -> bytes:
+    """Real baseline JPEG encoder, grayscale, standard tables (fixture
+    builder — the lossy twin of encode_png_gray8).  Quality scales the
+    Annex K luminance table per the common 5000/q convention;
+    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs
+    (exercises the decoder's restart/DC-reset path)."""
+    import numpy as np
+
+    h = len(pixels)
+    w = len(pixels[0]) if h else 0
+    if not (0 < quality <= 100) or w == 0:
+        raise ValueError(f"bad quality {quality} or empty image")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    qt = [max(1, min(255, (q * scale + 50) // 100)) for q in _JPEG_QT_LUMA]
+    qmat = np.zeros(64)
+    qmat[_JPEG_ZIGZAG] = qt  # zigzag table -> natural-order matrix
+    qmat = qmat.reshape(8, 8)
+
+    img = np.asarray(pixels, dtype=np.float64)
+    ph, pw = -h % 8, -w % 8  # replicate-pad to block multiples
+    img = np.pad(img, ((0, ph), (0, pw)), mode="edge") - 128.0
+    t = _dct_matrix()
+
+    dc_code = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_code = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    segments: list[list[tuple[int, int]]] = [[]]  # bit runs between RSTs
+    out_bits = segments[0]
+
+    def put(v: int, s: int) -> None:
+        if s:
+            out_bits.append((s, v if v >= 0 else v + (1 << s) - 1))
+
+    prev_dc = 0
+    n_mcu = 0
+    for by in range(img.shape[0] // 8):
+        for bx in range(img.shape[1] // 8):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                out_bits = []
+                segments.append(out_bits)
+                prev_dc = 0
+            n_mcu += 1
+            block = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = np.rint((t @ block @ t.T) / qmat).astype(np.int64)
+            zz = coef.ravel()[_JPEG_ZIGZAG]
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            s = int(abs(diff)).bit_length()
+            out_bits.append(dc_code[s])
+            put(diff, s)
+            run = 0
+            last = 63
+            while last > 0 and zz[last] == 0:
+                last -= 1
+            for i in range(1, last + 1):
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    out_bits.append(ac_code[0xF0])  # ZRL
+                    run -= 16
+                s = abs(v).bit_length()
+                out_bits.append(ac_code[(run << 4) | s])
+                put(v, s)
+                run = 0
+            if last < 63:
+                out_bits.append(ac_code[0x00])  # EOB
+
+    def pack(bits: list[tuple[int, int]]) -> bytes:
+        # MSB-first with 0xFF byte stuffing, 1-fill the tail
+        acc = nb = 0
+        buf = bytearray()
+        for length, code in bits:
+            acc = (acc << length) | (code & ((1 << length) - 1))
+            nb += length
+            while nb >= 8:
+                b = (acc >> (nb - 8)) & 0xFF
+                buf.append(b)
+                if b == 0xFF:
+                    buf.append(0x00)
+                nb -= 8
+                acc &= (1 << nb) - 1
+        if nb:
+            b = ((acc << (8 - nb)) | ((1 << (8 - nb)) - 1)) & 0xFF
+            buf.append(b)
+            if b == 0xFF:
+                buf.append(0x00)
+        return bytes(buf)
+
+    scan = bytearray()
+    for i, bits in enumerate(segments):
+        if i:
+            scan += bytes([0xFF, 0xD0 + (i - 1) % 8])
+        scan += pack(bits)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    return (
+        b"\xff\xd8"  # SOI
+        + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xFFDB, bytes([0]) + bytes(qt))
+        + seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+        + seg(0xFFC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+        + seg(0xFFC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+        + dri
+        + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes(scan)
+        + b"\xff\xd9"  # EOI
+    )
+
+
+class _JpegBitReader:
+    """MSB-first entropy-segment reader with 0xFF00 unstuffing and
+    RSTn handling (byte-align, verify, continue)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nb = 0
+
+    def read_bit(self) -> int:
+        if self.nb == 0:
+            d = self.data
+            if self.pos >= len(d):
+                raise UnsupportedMediaError("jpeg: truncated scan")
+            b = d[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                m = d[self.pos] if self.pos < len(d) else 0xD9
+                if m == 0x00:
+                    self.pos += 1
+                else:  # EOI/next marker: missing-data bits read as 0
+                    self.pos -= 1
+                    b = 0
+            self.acc = b
+            self.nb = 8
+        self.nb -= 1
+        return (self.acc >> self.nb) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        self.nb = 0  # byte-align
+        d = self.data
+        while self.pos + 1 < len(d) and not (
+            d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 1
+        self.pos += 2
+
+
+def _huff_decode(reader: _JpegBitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise UnsupportedMediaError("jpeg: bad huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_gray(data: bytes) -> tuple[int, int, list[list[float]]]:
+    """Decode a baseline (SOF0/SOF1) JPEG to its LUMA plane as a float
+    matrix — full Huffman + dequant + IDCT per T.81.  Color images
+    entropy-decode every component (the bitstream interleaves them)
+    but only Y is reconstructed; requires Y at full sampling (true of
+    4:4:4/4:2:2/4:2:0/grayscale).  Progressive (SOF2), arithmetic
+    (DAC), and 12-bit raise UnsupportedMediaError."""
+    import numpy as np
+
+    if data[:3] != b"\xff\xd8\xff":
+        raise UnsupportedMediaError("not a JPEG")
+    qts: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}  # (class,id)
+    w = h = None
+    comps: list[tuple[int, int, int, int]] = []  # (id, hs, vs, qt_id)
+    scan_comps: list[tuple[int, int, int]] = []  # (comp_idx, dc_id, ac_id)
+    dri = 0
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise UnsupportedMediaError("jpeg: lost marker sync")
+        marker = data[pos + 1]
+        if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                      0xCD, 0xCE, 0xCF):
+            raise UnsupportedMediaError(f"jpeg: unsupported SOF {marker:#x}")
+        if marker == 0xCC:
+            raise UnsupportedMediaError("jpeg: arithmetic coding")
+        (seg_len,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT: one or more tables
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if prec:  # 16-bit entries
+                    vals = struct.unpack_from(f">{64}H", body, i)
+                    i += 128
+                else:
+                    vals = body[i : i + 64]
+                    i += 64
+                q = np.zeros(64)
+                q[_JPEG_ZIGZAG] = list(vals)
+                qts[tid] = q.reshape(8, 8)
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise UnsupportedMediaError(f"jpeg: {prec}-bit precision")
+            comps = [
+                (body[6 + 3 * i], body[7 + 3 * i] >> 4,
+                 body[7 + 3 * i] & 0x0F, body[8 + 3 * i])
+                for i in range(nc)
+            ]
+        elif marker == 0xC4:  # DHT: one or more tables
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                huff[(cls, tid)] = {
+                    (length, code): v
+                    for v, (length, code) in _huff_codes(bits, vals).items()
+                }
+                i += 17 + n
+        elif marker == 0xDD:
+            (dri,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS: scan follows
+            ns = body[0]
+            by_id = {c[0]: idx for idx, c in enumerate(comps)}
+            scan_comps = [
+                (by_id[body[1 + 2 * i]], body[2 + 2 * i] >> 4,
+                 body[2 + 2 * i] & 0x0F)
+                for i in range(ns)
+            ]
+            pos += 2 + seg_len
+            break
+        pos += 2 + seg_len
+    if w is None or not scan_comps:
+        raise UnsupportedMediaError("jpeg: no SOF/SOS")
+    if len(scan_comps) != len(comps):
+        raise UnsupportedMediaError("jpeg: multi-scan not supported")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if comps[0][1] != hmax or comps[0][2] != vmax:
+        raise UnsupportedMediaError("jpeg: subsampled luma")
+    t = _dct_matrix()
+    reader = _JpegBitReader(data, pos)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    yplane = np.zeros((mcuy * vmax * 8, mcux * hmax * 8))
+    pred = [0] * len(comps)
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and n_mcu and n_mcu % dri == 0:
+                reader.restart()
+                pred = [0] * len(comps)
+            n_mcu += 1
+            for ci, dc_id, ac_id in scan_comps:
+                _cid, hs, vs, qid = comps[ci]
+                dct, act = huff[(0, dc_id)], huff[(1, ac_id)]
+                for v in range(vs):
+                    for hblk in range(hs):
+                        zz = np.zeros(64)
+                        s = _huff_decode(reader, dct)
+                        pred[ci] += _extend(reader.receive(s), s)
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, act)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r != 15:
+                                    break  # EOB
+                                k += 16  # ZRL
+                                continue
+                            k += r
+                            if k > 63:
+                                raise UnsupportedMediaError("jpeg: AC overrun")
+                            zz[k] = _extend(reader.receive(s), s)
+                            k += 1
+                        if ci == 0:
+                            coef = np.zeros(64)
+                            coef[_JPEG_ZIGZAG] = zz
+                            blk = t.T @ (coef.reshape(8, 8) * qts[qid]) @ t
+                            y0 = (my * vs + v) * 8
+                            x0 = (mx * hs + hblk) * 8
+                            yplane[y0 : y0 + 8, x0 : x0 + 8] = blk
+    out = np.clip(yplane[:h, :w] + 128.0, 0.0, 255.0)
+    return w, h, [list(row) for row in out]
+
+
 def decode_image_gray(data: bytes) -> tuple[int, int, list[list[float]]]:
-    """Pixel decode dispatch: PNG and GIF are real; others raise."""
+    """Pixel decode dispatch: PNG, GIF, and baseline JPEG are real;
+    others raise."""
     mime = sniff_mime(data)
     if mime == "image/png":
         return decode_png_gray(data)
     if mime == "image/gif":
         return decode_gif_gray(data)
+    if mime == "image/jpeg":
+        return decode_jpeg_gray(data)
     raise UnsupportedMediaError(f"no pixel decoder for {mime}")

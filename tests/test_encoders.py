@@ -113,6 +113,15 @@ def test_content_features_see_through_recompression(model_path):
     vb2 = np.array(NpzMlpEncoder(model_path, featurizer="bytes")(png_best, 16))
     assert not np.allclose(vb1, vb2)
 
+    # JPEG re-encode of the SAME pixels (r6 verdict ask #3): lossy, so
+    # near-identical within quantization error — far closer to its own
+    # frame than any other frame gets
+    from pgloader_spark.operators.multimodal import encode_jpeg_gray8
+
+    vj = np.array(enc(encode_jpeg_gray8(frame, quality=95), 16))
+    assert float(v1 @ vj) > 0.9999
+    assert float(v1 @ vj) > float(vo @ vj) + 0.05
+
     # fallback: non-media bytes still featurize (byte path), same shape
     assert np.array_equal(
         content_features(_payload(2)), byte_features(_payload(2))
@@ -137,12 +146,17 @@ def test_recompressed_dupes_cluster_end_to_end(spark, model_path):
             for y in range(24)
         ]
 
+    from pgloader_spark.operators.multimodal import encode_jpeg_gray8
+
     rows = []
     for pat in range(4):
         px = frame(pat)
         rows.append((pat * 10 + 0, encode_png_gray8(px, level=1)))
         rows.append((pat * 10 + 1, encode_png_gray8(px, level=9)))
         rows.append((pat * 10 + 2, encode_png_gray8(px, level=6)))
+        # the r6 'done =' criterion: a JPEG-recompressed duplicate of
+        # the same frame (lossy, different container) joins the cluster
+        rows.append((pat * 10 + 3, encode_jpeg_gray8(px, quality=95)))
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     emb = embed_media(df, dim=16, encoder="content-mlp")
     cents = ivf_centroids(emb, n_centroids=1, id_col="doc_id")
