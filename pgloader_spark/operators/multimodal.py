@@ -1426,3 +1426,46 @@ def decode_image_gray(data: bytes) -> tuple[int, int, list[list[float]]]:
     if mime == "image/jpeg":
         return decode_jpeg_gray(data)
     raise UnsupportedMediaError(f"no pixel decoder for {mime}")
+
+
+def media_luma_stats(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload"
+) -> DataFrame:
+    """Per-image luma statistics from DECODED pixels (PNG/GIF/baseline
+    JPEG via :func:`decode_image_gray`): (id, width, height,
+    mean_luma, min_luma, max_luma) — the content-level measurement
+    pass image curation filters run (too-dark / too-flat / wrong-
+    aspect drops).  mapInPandas, one Arrow batch in/out, narrow — no
+    shuffle; scales with input partitions.  Undecodable payloads
+    yield null stats rather than failing the batch.  Stats are raw
+    doubles: JPEG is lossy, so callers choose their own rounding."""
+
+    def stats(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[bin_col]):
+                data = bytes(payload) if payload is not None else b""
+                try:
+                    w, h, px = decode_image_gray(data)
+                    m = np.asarray(px, dtype=np.float64)
+                    rows.append(
+                        (rid, w, h, float(m.mean()), float(m.min()),
+                         float(m.max()))
+                    )
+                except (UnsupportedMediaError, ValueError, IndexError,
+                        KeyError, struct.error):
+                    rows.append((rid, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height", "mean_luma",
+                         "min_luma", "max_luma"],
+            )
+
+    return df.mapInPandas(
+        stats,
+        f"{id_col} long, width int, height int, mean_luma double, "
+        "min_luma double, max_luma double",
+    )

@@ -1574,6 +1574,74 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_jpeg_luma_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(8 * ((doc_id % 3) + 1) AS INT) AS width,
+       CAST(8 * ((n_chars % 2) + 1) AS INT) AS height,
+       round(list_avg(list_transform(
+           range(0, ((doc_id % 3) + 1) * ((n_chars % 2) + 1)),
+           k -> CAST((doc_id * 37 + 17 * k) % 256 AS DOUBLE))), 6)
+         AS mean_luma,
+       CAST(list_min(list_transform(
+           range(0, ((doc_id % 3) + 1) * ((n_chars % 2) + 1)),
+           k -> (doc_id * 37 + 17 * k) % 256)) AS INT) AS min_luma,
+       CAST(list_max(list_transform(
+           range(0, ((doc_id % 3) + 1) * ((n_chars % 2) + 1)),
+           k -> (doc_id * 37 + 17 * k) % 256)) AS INT) AS max_luma
+FROM documents
+""",
+)
+def multimodal_jpeg_luma_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full JPEG ENTROPY round-trip under the gate (r7; the header
+    twin is multimodal_decode_jpeg): each document synthesizes a
+    block-grid image — gx*gy 8x8 blocks, block k flat at
+    (doc_id*37 + 17k) % 256 — encodes it as a REAL baseline JPEG
+    (T.81 Huffman, executor-side), and ``media_luma_stats`` decodes
+    the actual entropy-coded scan back to pixels (DC-diff Huffman
+    chain across blocks, dequant, IDCT).  At quality 100 the quant
+    table is all-ones, so flat blocks reconstruct exactly and the
+    oracle is the closed-form block-value arithmetic — any Huffman /
+    DC-predictor / IDCT defect shifts the stats and hash-fails.
+    Both pandas stages are narrow Arrow batches; no shuffle
+    (operators/multimodal.py:encode_jpeg_gray8/decode_jpeg_gray)."""
+    from pgloader_spark.operators.multimodal import media_luma_stats
+
+    def synth(batches):
+        import pandas as _pd
+
+        from pgloader_spark.operators.multimodal import encode_jpeg_gray8
+
+        for pdf in batches:
+            payloads = []
+            for d, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                gx = int(d) % 3 + 1
+                gy = int(nc) % 2 + 1
+                px = [
+                    [
+                        (int(d) * 37 + 17 * ((yy // 8) * gx + xx // 8)) % 256
+                        for xx in range(8 * gx)
+                    ]
+                    for yy in range(8 * gy)
+                ]
+                payloads.append(encode_jpeg_gray8(px, quality=100))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    docs = read_table(spark, sf_dir, "documents", widen=True).select(
+        "doc_id", "n_chars"
+    )
+    jpegs = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return media_luma_stats(jpegs).select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_luma", 6).alias("mean_luma"),
+        F.round("min_luma").cast("int").alias("min_luma"),
+        F.round("max_luma").cast("int").alias("max_luma"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Migration-shaped relational operators (SURVEY §2.4/2.5/2.6): the
 # joins/aggregations the reference computes for orchestration, plus

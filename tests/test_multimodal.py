@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import struct
 
+import pytest
 from pyspark.sql import functions as F
 
 from pgloader_spark.operators.multimodal import (
@@ -283,6 +284,37 @@ def test_jpeg_restart_markers_and_unsupported_variants():
         decode_jpeg_gray(bytes(data))
     with pytest.raises(UnsupportedMediaError, match="not a JPEG"):
         decode_jpeg_gray(b"\x89PNG\r\n\x1a\n")
+
+
+def test_media_luma_stats_cross_format(spark):
+    """media_luma_stats decodes real containers to pixel stats; the
+    same frame as PNG and as q=100 JPEG (flat blocks: lossless)
+    yields identical stats; undecodable payloads yield nulls."""
+    import numpy as np
+
+    from pgloader_spark.operators.multimodal import (
+        encode_jpeg_gray8,
+        encode_png_gray8,
+        media_luma_stats,
+    )
+
+    # two flat 8x8 blocks side by side: q=100 JPEG (all-ones quant
+    # table) reconstructs flat blocks exactly, so PNG and JPEG agree
+    frame = [[40] * 8 + [200] * 8 for _ in range(8)]
+    rows = [
+        (1, encode_png_gray8(frame)),
+        (2, encode_jpeg_gray8(frame, quality=100)),
+        (3, b"not media at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in media_luma_stats(df).collect()}
+    ref = np.array(frame, dtype=float)
+    for i in (1, 2):
+        assert (got[i]["width"], got[i]["height"]) == (16, 8)
+        assert got[i]["mean_luma"] == pytest.approx(float(ref.mean()), abs=1e-9)
+        assert got[i]["min_luma"] == pytest.approx(40.0, abs=1e-9)
+        assert got[i]["max_luma"] == pytest.approx(200.0, abs=1e-9)
+    assert got[3]["width"] is None and got[3]["mean_luma"] is None
 
 
 def test_ahash_invariant_to_resize_and_sensitive_to_content():

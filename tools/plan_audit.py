@@ -48,6 +48,7 @@ ARROW_OK = {
     "multimodal_image_neardup",    # real PNG decode + aHash batch stage
     "multimodal_audio_neardup",    # real WAV decode + envelope fingerprint
     "multimodal_video_frames",     # AVI demux + per-frame pixel decode
+    "multimodal_jpeg_luma_stats",  # real JPEG encode + entropy decode stages
     # measurement query: its brute-force-TRUTH arm (the yardstick the
     # IVF path is scored against) is a deliberate BLAS batch kernel —
     # the production path it measures is the pruned IVF probe
