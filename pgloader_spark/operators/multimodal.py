@@ -1305,6 +1305,9 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, list[list[float]]]:
         if data[pos] != 0xFF:
             raise UnsupportedMediaError("jpeg: lost marker sync")
         marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte padding before a marker (B.1.1.2)
+            pos += 1
+            continue
         if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                       0xCD, 0xCE, 0xCF):
             raise UnsupportedMediaError(f"jpeg: unsupported SOF {marker:#x}")

@@ -19,18 +19,60 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 
-def hash_bucket(col: Column | str, seed: int = 0, buckets: int = 1_000_000) -> Column:
-    """Uniform bucket in [0, buckets) from md5(seed:key) — engine-portable.
+def hash_u48(col: Column | str, seed: int = 0) -> Column:
+    """Uniform 48-bit value from md5(seed:key) — engine-portable.
 
-    md5 (not xxhash64) so DuckDB reproduces the exact assignment.
-    """
+    md5 (not xxhash64) so DuckDB reproduces the exact value."""
     c = F.col(col) if isinstance(col, str) else col
-    h = F.conv(
+    return F.conv(
         F.substring(F.md5(F.concat(F.lit(f"{seed}:"), c.cast("string"))), 1, 12),
         16,
         10,
     ).cast("long")
-    return h % F.lit(buckets)
+
+
+def hash_bucket(col: Column | str, seed: int = 0, buckets: int = 1_000_000) -> Column:
+    """Uniform bucket in [0, buckets) from md5(seed:key) — engine-portable."""
+    return hash_u48(col, seed) % F.lit(buckets)
+
+
+def shuffle_shard_plan(
+    df: DataFrame,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Seeded deterministic global shuffle for training export:
+    adds (shard int, pos long) such that reading shard files in pos
+    order realizes one fixed pseudo-random permutation of the corpus
+    — the epoch-reproducible shuffle every training dataloader
+    contract needs (same seed -> identical shard contents AND order
+    on ANY cluster layout or rerun; a different seed -> an
+    independent permutation for the next epoch).
+
+    shard = md5-bucket(seed) over the id; pos = dense rank within the
+    shard by a SECOND independent hash (seed+1, id tiebreak).  Both
+    are pure functions of (id, seed): no RNG state, no
+    zipWithIndex/driver coordination, engine-portable (the DuckDB
+    oracle reproduces the exact plan).
+
+    Scale shape: one shuffle on shard + a per-shard window — each
+    shard's position numbering is a single task, so ``n_shards`` must
+    scale with the corpus (pick corpus_bytes / ~256 MB, the shard
+    file size downstream loaders want anyway; at 100 TB that is
+    ~400k shards, each a bounded task).  There is deliberately NO
+    corpus-wide sort and no driver state."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be > 0, got {n_shards}")
+    w = W.partitionBy("shard").orderBy("__ord", id_col)
+    return (
+        df.withColumn(
+            "shard", hash_bucket(id_col, seed=seed, buckets=n_shards).cast("int")
+        )
+        .withColumn("__ord", hash_u48(id_col, seed=seed + 1))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("__ord")
+    )
 
 
 def hash_sample(

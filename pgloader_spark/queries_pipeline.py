@@ -159,6 +159,40 @@ def sample_hash_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "export_shuffle_plan",
+    oracle="""
+WITH plan AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 12))
+                   AS BIGINT) % 8 AS INT) AS shard,
+         CAST(('0x' || substr(md5('12:' || CAST(doc_id AS VARCHAR)), 1, 12))
+              AS BIGINT) AS ord
+  FROM documents)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1
+            AS BIGINT) AS pos
+FROM plan
+""",
+)
+def export_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic global shuffle for training export (r7):
+    (shard, pos) realize one fixed pseudo-random permutation of the
+    corpus — same seed reproduces shard contents AND order on any
+    cluster layout or rerun; the next epoch's seed gives an
+    independent permutation.  Pure hash functions of the id (no RNG
+    state, no zipWithIndex): one shuffle on shard + a per-shard
+    window, n_shards scales with corpus so each numbering task stays
+    file-sized (operators/sampling.py:shuffle_shard_plan;
+    sinks/writers.py:export_shuffled is the writer)."""
+    from pgloader_spark.operators.sampling import shuffle_shard_plan
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_shard_plan(docs, n_shards=8, seed=11).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+@query(
     "sample_stratified_lang",
     oracle="""
 WITH ranked AS (

@@ -24,6 +24,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 DEFAULT_BATCH_ROWS = 25_000  # *copy-batch-rows*, src/params.lisp:133
 
@@ -138,6 +139,40 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def export_shuffled(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    compression: str | None = "gzip",
+    mode: str = "overwrite",
+) -> None:
+    """Epoch-reproducible shuffled corpus export: one `shard=K/`
+    directory per shard, rows inside each file in the deterministic
+    shuffle order (`pos` ascending; the column is kept so loaders can
+    verify).  Same (df, seed) -> byte-identical shard contents on any
+    cluster layout; bump the seed per epoch for a fresh permutation.
+
+    Plan shape (operators/sampling.py:shuffle_shard_plan): whole
+    shards co-locate via one repartition on the shard column, rows
+    sort within tasks, and partitionBy splits each task's rows into
+    its shard directory — per-shard file order IS pos order, with no
+    corpus-wide sort."""
+    from pgloader_spark.operators.sampling import shuffle_shard_plan
+
+    plan = shuffle_shard_plan(df, n_shards, seed=seed, id_col=id_col)
+    w = (
+        plan.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.mode(mode)
+        .partitionBy("shard")
+    )
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
 
 
 def write_jsonl(

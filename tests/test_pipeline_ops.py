@@ -78,6 +78,69 @@ def test_stratified_take_exact_counts(spark):
     assert a == b
 
 
+def test_shuffle_shard_plan_is_a_deterministic_permutation(spark):
+    """(shard, pos) must be a permutation: every id exactly once, pos
+    dense 0..k-1 per shard; identical across reruns and partition
+    layouts; a different seed gives a different order."""
+    from pgloader_spark.operators.sampling import shuffle_shard_plan
+
+    df = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    plan = shuffle_shard_plan(df, n_shards=7, seed=4, id_col="doc_id")
+    rows = plan.collect()
+    assert len(rows) == 1000
+    assert len({r["doc_id"] for r in rows}) == 1000
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(7))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), shard
+    # rerun- and layout-stable
+    again = shuffle_shard_plan(
+        df.repartition(13), n_shards=7, seed=4, id_col="doc_id"
+    ).collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in rows} == {
+        (r["doc_id"], r["shard"], r["pos"]) for r in again
+    }
+    # another seed is an independent permutation
+    other = shuffle_shard_plan(df, n_shards=7, seed=5, id_col="doc_id").collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in other} != {
+        (r["doc_id"], r["shard"], r["pos"]) for r in rows
+    }
+
+
+def test_export_shuffled_writes_ordered_shards(spark, tmp_path):
+    import glob
+    import gzip
+    import json as _json
+
+    from pgloader_spark.operators.sampling import shuffle_shard_plan
+    from pgloader_spark.sinks.writers import export_shuffled
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 2).alias("v")
+    )
+    out = str(tmp_path / "export")
+    export_shuffled(df, out, n_shards=4, seed=9)
+    plan = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shuffle_shard_plan(df, 4, seed=9).collect()
+    }
+    seen = 0
+    for shard in range(4):
+        recs = []
+        for f in sorted(glob.glob(f"{out}/shard={shard}/*.json.gz")):
+            with gzip.open(f, "rt") as fh:
+                recs += [_json.loads(line) for line in fh]
+        # file order IS pos order, and matches the registered plan
+        assert [r["pos"] for r in recs] == sorted(r["pos"] for r in recs)
+        for r in recs:
+            assert plan[r["doc_id"]] == (shard, r["pos"])
+            assert r["v"] == r["doc_id"] * 2  # payload columns ride along
+        seen += len(recs)
+    assert seen == 200
+
+
 def test_tfidf_topk_basic(spark):
     df = spark.createDataFrame(
         [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry date date")],
