@@ -286,6 +286,112 @@ def test_jpeg_restart_markers_and_unsupported_variants():
         decode_jpeg_gray(b"\x89PNG\r\n\x1a\n")
 
 
+def _color_jpeg(y_blocks: list[list[int]], samp_y: int, w: int, h: int) -> bytes:
+    """Hand-build a baseline COLOR JPEG (3 components sharing the
+    luminance tables; chroma blocks flat gray).  ``y_blocks`` lists
+    each Y block's flat value in MCU interleave order; ``samp_y`` is
+    Y's sampling byte (0x11 = 4:4:4 one block/MCU, 0x22 = 4:2:0 four
+    blocks/MCU).  Exercises the decoder's multi-component entropy
+    path, which the grayscale encoder cannot produce."""
+    import struct as _struct
+
+    from pgloader_spark.operators.multimodal import (
+        _huff_codes,
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+    )
+
+    dc = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    qt = [1] * 64  # quality-100 table: flat blocks reconstruct exactly
+    bits: list[tuple[int, int]] = []
+
+    def put_block(dc_diff: int) -> None:
+        s = abs(dc_diff).bit_length()
+        bits.append(dc[s])
+        if s:
+            bits.append((s, dc_diff if dc_diff >= 0 else dc_diff + (1 << s) - 1))
+        bits.append(ac[0x00])  # EOB: flat block, no AC
+
+    n_y = samp_y >> 4  # blocks per MCU row for Y
+    per_mcu = n_y * (samp_y & 0x0F)
+    pred = {0: 0, 1: 0, 2: 0}
+    for m in range(0, len(y_blocks), per_mcu):
+        for v in y_blocks[m : m + per_mcu]:  # Y blocks, interleave order
+            d = 8 * (v - 128) - pred[0]
+            pred[0] = 8 * (v - 128)
+            put_block(d)
+        for c in (1, 2):  # one flat-gray chroma block each (128 -> DC 0)
+            put_block(0 - pred[c])
+            pred[c] = 0
+    acc = nb = 0
+    scan = bytearray()
+    for length, code in bits:
+        acc = (acc << length) | code
+        nb += length
+        while nb >= 8:
+            b = (acc >> (nb - 8)) & 0xFF
+            scan.append(b)
+            if b == 0xFF:
+                scan.append(0x00)
+            nb -= 8
+            acc &= (1 << nb) - 1
+    if nb:
+        b = ((acc << (8 - nb)) | ((1 << (8 - nb)) - 1)) & 0xFF
+        scan.append(b)
+        if b == 0xFF:
+            scan.append(0x00)
+
+    def seg(marker, payload):
+        return _struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    sof = _struct.pack(">BHHB", 8, h, w, 3) + bytes(
+        [1, samp_y, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + seg(0xFFDB, bytes([0]) + bytes(qt))
+        + seg(0xFFC0, sof)
+        + seg(0xFFC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+        + seg(0xFFC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+        + seg(0xFFDA, sos)
+        + bytes(scan)
+        + b"\xff\xd9"
+    )
+
+
+def test_jpeg_color_multicomponent_decode():
+    """Color JPEGs: the decoder entropy-decodes every component but
+    reconstructs the luma plane — 4:4:4 (1 Y block/MCU) and 4:2:0
+    (4 Y blocks/MCU, the web's default) both pinned with flat blocks
+    (exact to float residue); chroma bits must advance the bitstream correctly or every
+    later Y block lands on garbage."""
+    import numpy as np
+
+    from pgloader_spark.operators.multimodal import decode_jpeg_gray
+
+    # 4:4:4, 16x8: two MCUs of one Y block each
+    w, h, rows = decode_jpeg_gray(_color_jpeg([50, 180], 0x11, 16, 8))
+    assert (w, h) == (16, 8)
+    m = np.array(rows)
+    assert np.allclose(m[:, :8], 50.0, atol=1e-9)
+    assert np.allclose(m[:, 8:], 180.0, atol=1e-9)
+
+    # 4:2:0, 16x16: one MCU, four Y blocks in 2x2 raster order
+    w, h, rows = decode_jpeg_gray(
+        _color_jpeg([10, 60, 110, 240], 0x22, 16, 16)
+    )
+    assert (w, h) == (16, 16)
+    m = np.array(rows)
+    assert np.allclose(m[:8, :8], 10.0, atol=1e-9)
+    assert np.allclose(m[:8, 8:], 60.0, atol=1e-9)
+    assert np.allclose(m[8:, :8], 110.0, atol=1e-9)
+    assert np.allclose(m[8:, 8:], 240.0, atol=1e-9)
+
+
 def test_media_luma_stats_cross_format(spark):
     """media_luma_stats decodes real containers to pixel stats; the
     same frame as PNG and as q=100 JPEG (flat blocks: lossless)
