@@ -36,6 +36,46 @@ def hash_bucket(col: Column | str, seed: int = 0, buckets: int = 1_000_000) -> C
     return hash_u48(col, seed) % F.lit(buckets)
 
 
+def weighted_hash_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Derandomized Efraimidis-Spirakis (A-ES) weighted sampling
+    without replacement: each row gets key = u^(1/w) with u a pure
+    hash of its id mapped into (0, 1], and the k largest keys win —
+    selection probability proportional to weight, reproducible on any
+    engine/layout/rerun because there is no RNG state (the quality-
+    weighted subsample ablation pipelines re-derive).  Ranked in log
+    space (ln(u)/w, monotone in u^(1/w)) and ROUNDED to 6 decimals
+    with an id tiebreak, so the DuckDB oracle — whose libm ln may
+    differ in the last ulp — ranks identically.
+
+    Rows with null or non-positive weight are excluded (they have
+    zero selection probability in A-ES).  Scale shape: one narrow
+    projection + a global top-k (TakeOrdered, k-bounded per
+    partition then k-bounded on the driver) — no full sort, no
+    shuffle of the corpus.  Returns (id, weight, sample_key)."""
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    u = (hash_u48(id_col, seed) + F.lit(1)).cast("double") / F.lit(
+        float(1 << 48)
+    )
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 6)
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .select(
+            F.col(id_col),
+            F.col(weight_col).alias("weight"),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def shuffle_shard_plan(
     df: DataFrame,
     n_shards: int,

@@ -193,6 +193,33 @@ def export_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_weighted_topk",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         CAST(('0x' || substr(md5('5:' || CAST(doc_id AS VARCHAR)), 1, 12))
+              AS BIGINT) AS h
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+SELECT doc_id, n_chars AS weight,
+       round(ln((h + 1) / 281474976710656.0) / n_chars, 6) AS sample_key
+FROM t
+ORDER BY sample_key DESC, doc_id
+LIMIT 100
+""",
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derandomized A-ES weighted sampling (Efraimidis-Spirakis):
+    100 documents drawn with probability proportional to length, as a
+    pure hash function of the id — rerun/engine/layout-reproducible,
+    no RNG state; one narrow projection + a k-bounded TakeOrdered, no
+    corpus sort (operators/sampling.py:weighted_hash_sample)."""
+    from pgloader_spark.operators.sampling import weighted_hash_sample
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_hash_sample(docs, "n_chars", k=100, seed=5)
+
+
+@query(
     "sample_stratified_lang",
     oracle="""
 WITH ranked AS (

@@ -141,6 +141,43 @@ def test_export_shuffled_writes_ordered_shards(spark, tmp_path):
     assert seen == 200
 
 
+def test_weighted_hash_sample_matches_reference_and_is_stable(spark):
+    """A-ES selection must equal the top-k of the exact per-row keys
+    (independent Python recompute), exclude non-positive weights, and
+    be layout-stable."""
+    import hashlib
+    import math as _math
+
+    from pgloader_spark.operators.sampling import weighted_hash_sample
+
+    rows = [(i, float(1 + (i * 7) % 50)) for i in range(500)]
+    rows += [(900, 0.0), (901, -3.0), (902, None)]  # excluded
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_hash_sample(df, "w", k=40, seed=5, id_col="doc_id").collect()
+    assert len(got) == 40
+    assert {r["doc_id"] for r in got}.isdisjoint({900, 901, 902})
+
+    def key(i, w):
+        h = int(hashlib.md5(f"5:{i}".encode()).hexdigest()[:12], 16)
+        return round(_math.log((h + 1) / float(1 << 48)) / w, 6)
+
+    expect = sorted(
+        ((key(i, w), i) for i, w in rows[:500]), key=lambda t: (-t[0], t[1])
+    )[:40]
+    assert [(r["sample_key"], r["doc_id"]) for r in got] == expect
+    # layout-stable
+    again = weighted_hash_sample(
+        df.repartition(17), "w", k=40, seed=5, id_col="doc_id"
+    ).collect()
+    assert {(r["doc_id"], r["sample_key"]) for r in again} == {
+        (r["doc_id"], r["sample_key"]) for r in got
+    }
+    # heavier rows win more often: mean selected weight > corpus mean
+    mean_sel = sum(r["weight"] for r in got) / len(got)
+    mean_all = sum(w for _, w in rows[:500]) / 500
+    assert mean_sel > mean_all
+
+
 def test_tfidf_topk_basic(spark):
     df = spark.createDataFrame(
         [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry date date")],

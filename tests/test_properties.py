@@ -541,3 +541,32 @@ def test_token_budget_take_law(rows_in, budget):
         cum += n
         want.append((i, cum))
     assert got == sorted(want)
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=60, max_value=100),
+    st.integers(min_value=0, max_value=9999),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_roundtrip_error_bound(w, h, quality, seed):
+    """Baseline JPEG codec law: any small image round-trips within a
+    quality-dependent error bound (pure driver-side codec, no Spark)
+    — dims crop exactly, pixels stay in [0,255], and q>=90 keeps the
+    mean error under 3 gray levels even on adversarial noise."""
+    import numpy as np
+
+    from pgloader_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray8,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w)).tolist()
+    w2, h2, rows = decode_jpeg_gray(encode_jpeg_gray8(px, quality=quality))
+    assert (w2, h2) == (w, h)
+    m = np.array(rows)
+    assert m.min() >= 0.0 and m.max() <= 255.0
+    err = np.abs(m - np.array(px, dtype=float)).mean()
+    assert err < (3.0 if quality >= 90 else 16.0), (quality, err)
