@@ -1289,7 +1289,14 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, list[list[float]]]:
     entropy-decode every component (the bitstream interleaves them)
     but only Y is reconstructed; requires Y at full sampling (true of
     4:4:4/4:2:2/4:2:0/grayscale).  Progressive (SOF2), arithmetic
-    (DAC), and 12-bit raise UnsupportedMediaError."""
+    (DAC), and 12-bit raise UnsupportedMediaError.
+
+    Scale note: the entropy loop is pure Python (this container ships
+    no image libs) — correct and test-pinned, but ~ms-per-small-image.
+    The 100 TB contract lives in the SURROUNDING plumbing (narrow
+    Arrow batches, per-row error isolation, schema); production swaps
+    this kernel for libjpeg-turbo/PIL inside the same mapInPandas
+    stage without touching any plan."""
     import numpy as np
 
     if data[:3] != b"\xff\xd8\xff":
