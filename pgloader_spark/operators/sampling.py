@@ -54,7 +54,10 @@ def weighted_hash_sample(
     differ in the last ulp — ranks identically.
 
     Rows with null or non-positive weight are excluded (they have
-    zero selection probability in A-ES).  Scale shape: one narrow
+    zero selection probability in A-ES).  Ids must be UNIQUE:
+    duplicate ids tie on both the key and the tiebreak, so which
+    physical row survives the k boundary would be layout-dependent.
+    Scale shape: one narrow
     projection + a global top-k (TakeOrdered, k-bounded per
     partition then k-bounded on the driver) — no full sort, no
     shuffle of the corpus.  Returns (id, weight, sample_key)."""
@@ -94,7 +97,9 @@ def shuffle_shard_plan(
     shard by a SECOND independent hash (seed+1, id tiebreak).  Both
     are pure functions of (id, seed): no RNG state, no
     zipWithIndex/driver coordination, engine-portable (the DuckDB
-    oracle reproduces the exact plan).
+    oracle reproduces the exact plan).  Ids must be UNIQUE —
+    duplicate ids tie on both hashes, making their relative pos
+    layout-dependent.
 
     Scale shape: one shuffle on shard + a per-shard window — each
     shard's position numbering is a single task, so ``n_shards`` must
