@@ -178,15 +178,19 @@ def connected_components(
     edges = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
 
     utype, vtype = (f.dataType for f in edges.schema.fields)
-    if utype.simpleString() != vtype.simpleString():
-        raise ValueError(
-            f"connected_components: id columns must share one type, got "
-            f"{id_a}={utype.simpleString()} vs {id_b}={vtype.simpleString()}"
-        )
     int_ids = all(
         f.dataType.simpleString() in ("tinyint", "smallint", "int", "bigint")
         for f in edges.schema.fields
     )
+    # mixed integer WIDTHS are fine (both normalize to long below); the
+    # guard only rejects pairs the preserved-type star path cannot
+    # order consistently (e.g. string vs long — r6 advice, r7 review)
+    if not int_ids and utype.simpleString() != vtype.simpleString():
+        raise ValueError(
+            f"connected_components: non-integer id columns must share one "
+            f"type, got {id_a}={utype.simpleString()} vs "
+            f"{id_b}={vtype.simpleString()}"
+        )
     tbl = None
     pinned = None
     if driver_edge_threshold and int_ids:

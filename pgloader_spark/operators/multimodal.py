@@ -1120,12 +1120,23 @@ def encode_jpeg_gray8(
     if not (0 < quality <= 100) or w == 0:
         raise ValueError(f"bad quality {quality} or empty image")
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    # _JPEG_QT_LUMA is the Annex K.1 table in NATURAL (row-major)
+    # order; the quantization matrix reshapes it directly, and the
+    # DQT payload below re-orders it to the zigzag sequence the
+    # segment format requires (r7 review: the previous code treated
+    # the natural list as zigzag, silently quantizing with a
+    # permuted table — self-consistent, but not the K.1 convention
+    # the docstring promises)
     qt = [max(1, min(255, (q * scale + 50) // 100)) for q in _JPEG_QT_LUMA]
-    qmat = np.zeros(64)
-    qmat[_JPEG_ZIGZAG] = qt  # zigzag table -> natural-order matrix
-    qmat = qmat.reshape(8, 8)
+    qmat = np.asarray(qt, dtype=np.float64).reshape(8, 8)
+    qt_zz = [qt[n] for n in _JPEG_ZIGZAG]  # payload entry i = natural ZIGZAG[i]
 
     img = np.asarray(pixels, dtype=np.float64)
+    if img.min() < 0 or img.max() > 255:
+        raise ValueError(
+            f"pixel values must be in [0, 255], got "
+            f"[{img.min():g}, {img.max():g}]"
+        )
     ph, pw = -h % 8, -w % 8  # replicate-pad to block multiples
     img = np.pad(img, ((0, ph), (0, pw)), mode="edge") - 128.0
     t = _dct_matrix()
@@ -1213,7 +1224,7 @@ def encode_jpeg_gray8(
     return (
         b"\xff\xd8"  # SOI
         + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-        + seg(0xFFDB, bytes([0]) + bytes(qt))
+        + seg(0xFFDB, bytes([0]) + bytes(qt_zz))
         + seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
         + seg(0xFFC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
         + seg(0xFFC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
@@ -1372,12 +1383,27 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, list[list[float]]]:
         pos += 2 + seg_len
     if w is None or not scan_comps:
         raise UnsupportedMediaError("jpeg: no SOF/SOS")
-    if len(scan_comps) != len(comps):
+    if len(scan_comps) != len(comps) and len(scan_comps) != 1:
         raise UnsupportedMediaError("jpeg: multi-scan not supported")
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    if comps[0][1] != hmax or comps[0][2] != vmax:
-        raise UnsupportedMediaError("jpeg: subsampled luma")
+    if len(scan_comps) == 1:
+        # T.81 A.2: a single-component scan is NON-interleaved — the
+        # MCU is one 8x8 block in raster order and the declared
+        # sampling factors do not shape the stream (grayscale files
+        # declaring 2x2 exist in the wild; libjpeg forces 1x1 here).
+        # Only the scanned component is reconstructed, so requiring
+        # it to be Y keeps the luma contract.
+        ci0 = scan_comps[0][0]
+        if ci0 != 0:
+            raise UnsupportedMediaError("jpeg: single-component non-luma scan")
+        cid, _hs, _vs, qid0 = comps[ci0]
+        comps = list(comps)
+        comps[ci0] = (cid, 1, 1, qid0)
+        hmax = vmax = 1
+    else:
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        if comps[0][1] != hmax or comps[0][2] != vmax:
+            raise UnsupportedMediaError("jpeg: subsampled luma")
     t = _dct_matrix()
     reader = _JpegBitReader(data, pos)
     mcux = -(-w // (8 * hmax))
@@ -1451,6 +1477,8 @@ def media_luma_stats(
     doubles: JPEG is lossy, so callers choose their own rounding."""
 
     def stats(batches: Iterator) -> Iterator:
+        import zlib
+
         import numpy as np
         import pandas as pd
 
@@ -1466,7 +1494,8 @@ def media_luma_stats(
                          float(m.max()))
                     )
                 except (UnsupportedMediaError, ValueError, IndexError,
-                        KeyError, struct.error):
+                        KeyError, struct.error, zlib.error):
+                    # zlib.error: valid PNG magic, corrupt IDAT deflate
                     rows.append((rid, None, None, None, None, None))
             yield pd.DataFrame(
                 rows,
@@ -1474,8 +1503,9 @@ def media_luma_stats(
                          "min_luma", "max_luma"],
             )
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.mapInPandas(
         stats,
-        f"{id_col} long, width int, height int, mean_luma double, "
+        f"{id_col} {id_type}, width int, height int, mean_luma double, "
         "min_luma double, max_luma double",
     )

@@ -45,28 +45,38 @@ def weighted_hash_sample(
 ) -> DataFrame:
     """Derandomized Efraimidis-Spirakis (A-ES) weighted sampling
     without replacement: each row gets key = u^(1/w) with u a pure
-    hash of its id mapped into (0, 1], and the k largest keys win —
+    hash of its id mapped into (0, 1), and the k largest keys win —
     selection probability proportional to weight, reproducible on any
     engine/layout/rerun because there is no RNG state (the quality-
-    weighted subsample ablation pipelines re-derive).  Ranked in log
-    space (ln(u)/w, monotone in u^(1/w)) and ROUNDED to 6 decimals
-    with an id tiebreak, so the DuckDB oracle — whose libm ln may
-    differ in the last ulp — ranks identically.
+    weighted subsample ablation pipelines re-derive).
+
+    Ranking uses the RECIPROCAL log form w/ln(u) ascending — monotone
+    in u^(1/w) (ln u < 0 strictly, so x -> 1/x flips the order once)
+    — because its magnitude SCALES with the weight: rounding it to 6
+    decimals (needed so the DuckDB oracle, whose libm ln may differ
+    in the last ulp, ranks identically) stays far below the key
+    spread whether weights are 1 or 10^9.  The naive ln(u)/w form
+    collapses the whole population into a handful of rounded values
+    once weights reach ~10^6 (r7 review).  Weights below ~10^-3
+    would re-create that collapse on this form — normalize tiny
+    fractional weights before calling.
 
     Rows with null or non-positive weight are excluded (they have
     zero selection probability in A-ES).  Ids must be UNIQUE:
     duplicate ids tie on both the key and the tiebreak, so which
     physical row survives the k boundary would be layout-dependent.
-    Scale shape: one narrow
-    projection + a global top-k (TakeOrdered, k-bounded per
-    partition then k-bounded on the driver) — no full sort, no
-    shuffle of the corpus.  Returns (id, weight, sample_key)."""
+    Scale shape: one narrow projection + a global top-k (TakeOrdered,
+    k-bounded per partition then k-bounded on the driver) — no full
+    sort, no shuffle of the corpus.  Returns (id, weight,
+    sample_key); smaller (more negative) keys rank first."""
     if k <= 0:
         raise ValueError(f"k must be > 0, got {k}")
+    # (h+1)/(2^48+1) lies strictly inside (0,1): ln(u) is never 0, so
+    # the reciprocal never divides by zero; 2^48+1 < 2^53 is exact
     u = (hash_u48(id_col, seed) + F.lit(1)).cast("double") / F.lit(
-        float(1 << 48)
+        float((1 << 48) + 1)
     )
-    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 6)
+    key = F.round(F.col(weight_col).cast("double") / F.log(u), 6)
     return (
         df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
         .select(
@@ -74,7 +84,7 @@ def weighted_hash_sample(
             F.col(weight_col).alias("weight"),
             key.alias("sample_key"),
         )
-        .orderBy(F.desc("sample_key"), F.asc(id_col))
+        .orderBy(F.asc("sample_key"), F.asc(id_col))
         .limit(k)
     )
 
@@ -84,6 +94,7 @@ def shuffle_shard_plan(
     n_shards: int,
     seed: int = 0,
     id_col: str = "doc_id",
+    shard_partitions: int | None = None,
 ) -> DataFrame:
     """Seeded deterministic global shuffle for training export:
     adds (shard int, pos long) such that reading shard files in pos
@@ -106,15 +117,24 @@ def shuffle_shard_plan(
     scale with the corpus (pick corpus_bytes / ~256 MB, the shard
     file size downstream loaders want anyway; at 100 TB that is
     ~400k shards, each a bounded task).  There is deliberately NO
-    corpus-wide sort and no driver state."""
+    corpus-wide sort and no driver state.
+
+    ``shard_partitions``: when a writer will immediately repartition
+    the plan on the shard column anyway (export_shuffled), pass the
+    target partition count here — the explicit repartition happens
+    BEFORE the window, whose required clustering it already
+    satisfies, so the corpus shuffles ONCE instead of window-then-
+    repartition shuffling it twice (r7 review)."""
     if n_shards <= 0:
         raise ValueError(f"n_shards must be > 0, got {n_shards}")
+    out = df.withColumn(
+        "shard", hash_bucket(id_col, seed=seed, buckets=n_shards).cast("int")
+    )
+    if shard_partitions:
+        out = out.repartition(shard_partitions, F.col("shard"))
     w = W.partitionBy("shard").orderBy("__ord", id_col)
     return (
-        df.withColumn(
-            "shard", hash_bucket(id_col, seed=seed, buckets=n_shards).cast("int")
-        )
-        .withColumn("__ord", hash_u48(id_col, seed=seed + 1))
+        out.withColumn("__ord", hash_u48(id_col, seed=seed + 1))
         .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
         .drop("__ord")
     )

@@ -201,9 +201,9 @@ WITH t AS (
               AS BIGINT) AS h
   FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
 SELECT doc_id, n_chars AS weight,
-       round(ln((h + 1) / 281474976710656.0) / n_chars, 6) AS sample_key
+       round(n_chars / ln((h + 1) / 281474976710657.0), 6) AS sample_key
 FROM t
-ORDER BY sample_key DESC, doc_id
+ORDER BY sample_key ASC, doc_id
 LIMIT 100
 """,
 )
@@ -211,8 +211,10 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derandomized A-ES weighted sampling (Efraimidis-Spirakis):
     100 documents drawn with probability proportional to length, as a
     pure hash function of the id — rerun/engine/layout-reproducible,
-    no RNG state; one narrow projection + a k-bounded TakeOrdered, no
-    corpus sort (operators/sampling.py:weighted_hash_sample)."""
+    no RNG state; ranked on the weight-scaled reciprocal log key (see
+    the operator docstring for why rounding demands that form); one
+    narrow projection + a k-bounded TakeOrdered, no corpus sort
+    (operators/sampling.py:weighted_hash_sample)."""
     from pgloader_spark.operators.sampling import weighted_hash_sample
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")

@@ -24,7 +24,6 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 DEFAULT_BATCH_ROWS = 25_000  # *copy-batch-rows*, src/params.lisp:133
 
@@ -157,16 +156,19 @@ def export_shuffled(
     cluster layout; bump the seed per epoch for a fresh permutation.
 
     Plan shape (operators/sampling.py:shuffle_shard_plan): whole
-    shards co-locate via one repartition on the shard column, rows
-    sort within tasks, and partitionBy splits each task's rows into
-    its shard directory — per-shard file order IS pos order, with no
+    shards co-locate via ONE repartition on the shard column placed
+    BEFORE the position window (which reuses that clustering — the
+    corpus shuffles once, not twice; r7 review), rows sort within
+    tasks, and partitionBy splits each task's rows into its shard
+    directory — per-shard file order IS pos order, with no
     corpus-wide sort."""
     from pgloader_spark.operators.sampling import shuffle_shard_plan
 
-    plan = shuffle_shard_plan(df, n_shards, seed=seed, id_col=id_col)
+    plan = shuffle_shard_plan(
+        df, n_shards, seed=seed, id_col=id_col, shard_partitions=n_shards
+    )
     w = (
-        plan.repartition(n_shards, F.col("shard"))
-        .sortWithinPartitions("shard", "pos")
+        plan.sortWithinPartitions("shard", "pos")
         .write.mode(mode)
         .partitionBy("shard")
     )

@@ -156,8 +156,25 @@ def test_string_ids_preserved_on_star_path(spark):
 
 def test_mismatched_id_types_raise(spark):
     pairs = spark.createDataFrame([(1, "x")], "id_a long, id_b string")
-    with pytest.raises(ValueError, match="must share one type"):
+    with pytest.raises(ValueError, match="must share one"):
         connected_components(pairs)
+
+
+def test_mixed_integer_widths_still_normalize(spark):
+    """r7 review: int id_a + bigint id_b was valid before the r7 type
+    guard (both normalize to long) and must stay valid on BOTH gated
+    paths."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a int, id_b bigint"
+    )
+    for thresh in (4_000_000, 0):
+        out = connected_components(pairs, driver_edge_threshold=thresh)
+        assert [f.dataType.simpleString() for f in out.schema.fields] == [
+            "bigint",
+            "bigint",
+        ], f"threshold={thresh}"
+        got = {r["id"]: r["component"] for r in out.collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}, f"threshold={thresh}"
 
 
 def test_overflow_probe_falls_through_to_star_loop(spark):

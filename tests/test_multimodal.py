@@ -392,6 +392,84 @@ def test_jpeg_color_multicomponent_decode():
     assert np.allclose(m[8:, 8:], 240.0, atol=1e-9)
 
 
+def test_jpeg_single_component_scan_is_noninterleaved():
+    """T.81 A.2 (r7 review): a one-component scan is raster-ordered
+    8x8 blocks regardless of declared sampling — a grayscale file
+    declaring 2x2 factors must decode identically to one declaring
+    1x1 (libjpeg forces h=v=1 here; such files exist in the wild)."""
+    import numpy as np
+
+    from pgloader_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray8,
+    )
+
+    frame = [[(x * 7 + y * 13) % 256 for x in range(32)] for y in range(32)]
+    data = encode_jpeg_gray8(frame, quality=90)
+    ref = np.array(decode_jpeg_gray(data)[2])
+    sof = data.index(b"\xff\xc0")
+    # component sampling byte sits at SOF0 payload offset +7
+    patched = bytearray(data)
+    assert patched[sof + 11] == 0x11
+    patched[sof + 11] = 0x22
+    got = np.array(decode_jpeg_gray(bytes(patched))[2])
+    assert np.array_equal(got, ref)
+
+
+def test_jpeg_dqt_follows_annex_k_convention():
+    """r7 review: the emitted DQT must be the quality-scaled Annex K.1
+    table (zigzag-serialized), not a permutation of it — decode the
+    segment back to natural order and compare against the scaled
+    table computed independently."""
+    from pgloader_spark.operators.multimodal import (
+        _JPEG_QT_LUMA,
+        _JPEG_ZIGZAG,
+        encode_jpeg_gray8,
+    )
+
+    q = 75
+    data = encode_jpeg_gray8([[128] * 8] * 8, quality=q)
+    i = data.index(b"\xff\xdb")
+    payload = data[i + 5 : i + 5 + 64]  # skip marker, length, Pq/Tq byte
+    natural = [0] * 64
+    for zz_ix, v in enumerate(payload):
+        natural[_JPEG_ZIGZAG[zz_ix]] = v
+    scale = 200 - 2 * q
+    expect = [max(1, min(255, (k * scale + 50) // 100)) for k in _JPEG_QT_LUMA]
+    assert natural == expect
+
+
+def test_jpeg_encoder_rejects_out_of_range_pixels():
+    from pgloader_spark.operators.multimodal import encode_jpeg_gray8
+
+    with pytest.raises(ValueError, match=r"\[0, 255\]"):
+        encode_jpeg_gray8([[300] * 8] * 8)
+    with pytest.raises(ValueError, match=r"\[0, 255\]"):
+        encode_jpeg_gray8([[-1] * 8] * 8)
+
+
+def test_media_luma_stats_corrupt_idat_and_string_ids(spark):
+    """r7 review: a valid-magic PNG with a corrupt IDAT deflate stream
+    raises zlib.error inside decode — it must yield null stats, not
+    kill the batch; and a non-long id column must ride through with
+    its own type."""
+    from pgloader_spark.operators.multimodal import (
+        encode_png_gray8,
+        media_luma_stats,
+    )
+
+    good = encode_png_gray8([[7] * 8] * 8)
+    idat = good.index(b"IDAT")
+    corrupt = good[: idat + 8] + b"\xff" * 8 + good[idat + 16 :]
+    rows = [("ok", good), ("bad", corrupt)]
+    df = spark.createDataFrame(rows, "doc_id string, payload binary")
+    out = media_luma_stats(df)
+    assert out.schema["doc_id"].dataType.simpleString() == "string"
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got["ok"]["mean_luma"] == pytest.approx(7.0, abs=1e-9)
+    assert got["bad"]["width"] is None and got["bad"]["mean_luma"] is None
+
+
 def test_media_luma_stats_cross_format(spark):
     """media_luma_stats decodes real containers to pixel stats; the
     same frame as PNG and as q=100 JPEG (flat blocks: lossless)

@@ -109,6 +109,29 @@ def test_shuffle_shard_plan_is_a_deterministic_permutation(spark):
     }
 
 
+def test_shuffle_shard_plan_prepartition_single_exchange(spark):
+    """r7 review: with shard_partitions set (the export path), the
+    position window must reuse the explicit repartition's clustering
+    — exactly ONE Exchange in the plan, and the mapping is identical
+    to the default path."""
+    import re
+
+    from pgloader_spark.operators.sampling import shuffle_shard_plan
+
+    df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    pre = shuffle_shard_plan(df, 5, seed=2, shard_partitions=5)
+    je = pre._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = je.explainString(mode)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    base = shuffle_shard_plan(df, 5, seed=2)
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in pre.collect()} == {
+        (r["doc_id"], r["shard"], r["pos"]) for r in base.collect()
+    }
+
+
 def test_export_shuffled_writes_ordered_shards(spark, tmp_path):
     import glob
     import gzip
@@ -159,10 +182,10 @@ def test_weighted_hash_sample_matches_reference_and_is_stable(spark):
 
     def key(i, w):
         h = int(hashlib.md5(f"5:{i}".encode()).hexdigest()[:12], 16)
-        return round(_math.log((h + 1) / float(1 << 48)) / w, 6)
+        return round(w / _math.log((h + 1) / float((1 << 48) + 1)), 6)
 
     expect = sorted(
-        ((key(i, w), i) for i, w in rows[:500]), key=lambda t: (-t[0], t[1])
+        ((key(i, w), i) for i, w in rows[:500]), key=lambda t: (t[0], t[1])
     )[:40]
     assert [(r["sample_key"], r["doc_id"]) for r in got] == expect
     # layout-stable
@@ -176,6 +199,23 @@ def test_weighted_hash_sample_matches_reference_and_is_stable(spark):
     mean_sel = sum(r["weight"] for r in got) / len(got)
     mean_all = sum(w for _, w in rows[:500]) / 500
     assert mean_sel > mean_all
+
+
+def test_weighted_hash_sample_large_weights_keep_key_spread(spark):
+    """r7 review regression: with weights ~1e7 the old ln(u)/w key
+    rounded to a handful of values and the sample degenerated into
+    lowest-id selection; the reciprocal w/ln(u) key must keep the
+    keys distinct and the selection hash-driven, not id-driven."""
+    from pgloader_spark.operators.sampling import weighted_hash_sample
+
+    df = spark.createDataFrame(
+        [(i, 1.0e7 + (i % 97)) for i in range(400)], "doc_id long, w double"
+    )
+    got = weighted_hash_sample(df, "w", k=50, seed=5, id_col="doc_id").collect()
+    keys = [r["sample_key"] for r in got]
+    assert len(set(keys)) == len(keys), "keys must not collapse under rounding"
+    ids = sorted(r["doc_id"] for r in got)
+    assert ids != list(range(50)), "selection must not be lowest-id"
 
 
 def test_tfidf_topk_basic(spark):
