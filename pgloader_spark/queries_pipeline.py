@@ -193,6 +193,49 @@ def export_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_snapshot_diff",
+    oracle="""
+WITH old AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v0' ELSE text END) AS h
+  FROM documents WHERE doc_id % 11 <> 3
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, md5('ghost') AS h
+  FROM documents WHERE doc_id % 13 = 0),
+new AS (SELECT doc_id, md5(text) AS h FROM documents)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.h IS NULL THEN 'added'
+            WHEN n.h IS NULL THEN 'removed'
+            WHEN o.h = n.h THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+""",
+)
+def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus version delta (r7): per-document added/removed/changed/
+    unchanged between two snapshots — the audit report an incremental
+    curation run publishes.  The 'previous' snapshot is planted
+    deterministically (every 11th doc absent = added, every 7th
+    text-perturbed = changed, ghosts beyond the id range = removed);
+    content compares by md5 so wide text never crosses the full-outer
+    join's shuffle (plans/corpus.py:snapshot_diff)."""
+    from pgloader_spark.plans.corpus import snapshot_diff
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 11 != 3).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v0"))
+        ).otherwise(F.col("text")),
+    )
+    ghosts = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.lit("ghost").alias("text"),
+    )
+    return snapshot_diff(old.unionByName(ghosts), docs)
+
+
+@query(
     "sample_weighted_topk",
     oracle="""
 WITH t AS (

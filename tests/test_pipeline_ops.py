@@ -218,6 +218,19 @@ def test_weighted_hash_sample_large_weights_keep_key_spread(spark):
     assert ids != list(range(50)), "selection must not be lowest-id"
 
 
+def test_snapshot_diff_all_statuses(spark):
+    from pgloader_spark.plans.corpus import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "d")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
 def test_tfidf_topk_basic(spark):
     df = spark.createDataFrame(
         [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry date date")],
