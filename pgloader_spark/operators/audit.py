@@ -1,0 +1,217 @@
+"""Load-verification audits: FK-orphan reports and portable table
+checksums.
+
+pgloader's post-load phase creates the target's foreign keys and
+aborts the whole index/constraint stage when a dangling reference
+surfaces (ref: src/pg-copy/copy-db.lisp — after-load FK install), and
+its summary reporting counts rows per table as the only completeness
+signal (src/monitor.lisp stats).  At 100 TB a migration needs both
+checks BEFORE constraint install, as restartable scans:
+
+- ``fk_orphan_summary`` counts dangling child keys per FK edge with
+  one map-side-combinable key aggregation + one key-partitioned (or
+  broadcast) join per edge — no constraint-install-then-abort cycle.
+- ``table_checksum`` reduces each table to (row count, distinct keys,
+  order-independent key checksum).  Run against source and target and
+  diff the two one-row-per-table frames to verify a load moved every
+  row exactly once.  The checksum is a SUM of md5-prefix hashes
+  (decimal accumulator, folded to 60 bits at the end), so it is
+  commutative — partition order, shuffle order, and parallelism never
+  change it — and DuckDB-reproducible for the oracle.
+
+Everything is Column expressions inside whole-stage codegen; per edge
+/ table the result is ONE row, so the union output is trivially
+small no matter the input scale.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pgloader_spark.operators.dedup import md5_hash64
+
+CHECKSUM_SEED = 11
+CHECKSUM_MOD = 1 << 60
+
+
+def fk_orphan_summary(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    edge: str,
+    broadcast_parent: bool = False,
+) -> DataFrame:
+    """One-row referential-integrity report for child.key -> parent.key.
+
+    Plan shape: aggregate the child to (key, n_rows) first — map-side
+    combinable, so the shuffle carries distinct keys, not rows — then
+    LEFT-join the parent's distinct key set (broadcast when the caller
+    knows the parent is a dim) and fold to a single summary row.
+    NULL child keys never match the join (SQL semantics) and are
+    reported separately from orphans, mirroring how an FK constraint
+    treats them (NULL passes, dangling aborts).
+    """
+    keys = child.groupBy(F.col(child_key).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__rows")
+    )
+    pkeys = parent.select(F.col(parent_key).alias("__k")).distinct()
+    pkeys = pkeys.withColumn("__hit", F.lit(True))
+    if broadcast_parent:
+        pkeys = F.broadcast(pkeys)
+    joined = keys.join(pkeys, "__k", "left")
+    null_k = F.col("__k").isNull()
+    orphan = (~null_k) & F.col("__hit").isNull()
+    return joined.agg(
+        F.lit(edge).alias("edge"),
+        F.sum("__rows").cast("long").alias("n_child_rows"),
+        F.count(F.when(~null_k, 1)).cast("long").alias("n_child_keys"),
+        F.coalesce(F.sum(F.when(null_k, F.col("__rows"))), F.lit(0))
+        .cast("long")
+        .alias("n_null_keys"),
+        F.count(F.when(orphan, 1)).cast("long").alias("n_orphan_keys"),
+        F.coalesce(F.sum(F.when(orphan, F.col("__rows"))), F.lit(0))
+        .cast("long")
+        .alias("n_orphan_rows"),
+    )
+
+
+def fk_orphan_report(
+    edges: list[tuple[DataFrame, str, DataFrame, str, str, bool]],
+) -> DataFrame:
+    """Union of ``fk_orphan_summary`` over (child, child_key, parent,
+    parent_key, edge_name, broadcast_parent) tuples — one row per FK
+    edge, evaluated as a single lazy plan."""
+    parts = [fk_orphan_summary(*e[:5], broadcast_parent=e[5]) for e in edges]
+    return reduce(DataFrame.unionByName, parts)
+
+
+def table_checksum(
+    df: DataFrame, table: str, key_cols: list[str], seed: int = CHECKSUM_SEED
+) -> DataFrame:
+    """One-row (table, n_rows, n_keys, key_checksum) completeness
+    summary.
+
+    The key string is ``concat_ws('|', keys-as-string)`` (PKs are
+    non-null by contract; composite keys joined in declared order).
+    Each key hashes through the engine-portable md5-prefix hash
+    (``dedup.md5_hash64`` == the oracle's ``_duck_hash64``), sums in a
+    decimal(38,0) accumulator — sum of n 60-bit terms needs
+    ~60+log2(n) bits, so int64 would overflow silently around 8
+    rows — and folds to 60 bits at the very end.  Order-independent by
+    construction: SUM is commutative, so any partitioning produces the
+    same checksum.
+    """
+    key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    h = md5_hash64(key_str, seed=seed)
+    return df.agg(
+        F.lit(table).alias("table_name"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct(key_str).cast("long").alias("n_keys"),
+        (F.sum(h.cast("decimal(38,0)")) % F.lit(CHECKSUM_MOD))
+        .cast("long")
+        .alias("key_checksum"),
+    )
+
+
+def table_checksum_report(
+    tables: list[tuple[DataFrame, str, list[str]]], seed: int = CHECKSUM_SEED
+) -> DataFrame:
+    """Union of ``table_checksum`` across tables — the whole catalog's
+    completeness fingerprint as one tiny frame."""
+    parts = [table_checksum(df, name, keys, seed=seed) for df, name, keys in tables]
+    return reduce(DataFrame.unionByName, parts)
+
+
+def bucket_checksums(
+    df: DataFrame,
+    table: str,
+    key_cols: list[str],
+    n_buckets: int = 256,
+    seed: int = CHECKSUM_SEED,
+) -> DataFrame:
+    """Per-bucket drill-down of ``table_checksum``: rows hash into
+    ``n_buckets`` stable buckets by key, each bucket carrying its own
+    count + checksum.
+
+    The operational pattern: when the whole-table checksums disagree
+    between source and target, join the two bucket frames and the
+    mismatching buckets localize the diff to 1/n_buckets of the data —
+    repeat with a finer bucket count over just those keys to bisect
+    down to rows without ever sorting or collecting the table.
+    Bucket id derives from the SAME portable hash as the checksum
+    (pmod over the md5-prefix), so source and target agree on bucket
+    membership by construction.
+
+    One map-side-combinable agg; output is n_buckets rows max.
+    """
+    key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    h = md5_hash64(key_str, seed=seed)
+    return (
+        df.select(
+            F.pmod(h, F.lit(n_buckets)).cast("int").alias("bucket"),
+            h.cast("decimal(38,0)").alias("__h"),
+            key_str.alias("__k"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.lit(table).alias("table_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("__k").cast("long").alias("n_keys"),
+            (F.sum("__h") % F.lit(CHECKSUM_MOD)).cast("long").alias("key_checksum"),
+        )
+        .select("table_name", "bucket", "n_rows", "n_keys", "key_checksum")
+    )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 20,
+) -> DataFrame:
+    """Heavy-hitter pre-flight for a join/agg key: the top_k most
+    frequent key values with count, share of all rows, and the ratio
+    to a uniform key's expected count.
+
+    At 100 TB this report is what decides the physical strategy
+    BEFORE the expensive job runs: a top key holding 10% of rows
+    means the plain shuffle join will straggle on one task (use
+    ``skew.salted_agg`` / AQE skew join / broadcast instead).  One
+    map-side-combinable count agg; the top-k selection is a k-bounded
+    TakeOrdered, never a full sort.
+
+    The two ratio columns are EXACT integers (share in ppm, skew
+    ratio x100), computed with decimal integral division — float
+    rounding at a representation boundary (1.275 -> 1.28 vs 1.27)
+    differs between engines, so a report meant for cross-engine
+    comparison must never emit a rounded double.  Decimal accumulators
+    keep n_rows * n_keys exact past the int64 range a petabyte-scale
+    corpus would overflow.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total"), F.count(F.lit(1)).alias("__nkeys")
+    )
+    dec = "decimal(38,0)"
+    share_ppm = F.expr(
+        f"CAST((CAST(n_rows AS {dec}) * 1000000) DIV __total AS BIGINT)"
+    )
+    skew_x100 = F.expr(
+        f"CAST((CAST(n_rows AS {dec}) * __nkeys * 100) DIV __total AS BIGINT)"
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("key").cast("string").alias("key"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            share_ppm.alias("row_share_ppm"),
+            skew_x100.alias("skew_vs_uniform_x100"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("key").asc())
+        .limit(top_k)
+    )

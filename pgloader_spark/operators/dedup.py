@@ -918,3 +918,209 @@ def dup_span_remove(
             F.md5(F.array_join(clean, " ")).alias("clean_md5"),
         )
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Banded Levenshtein near-dup: (id_a, id_b, lev_dist, sim) for
+    candidate pairs with normalized edit similarity >= threshold.
+
+    Set-based Jaccard is blind to token ORDER; edit distance is the
+    classic order-aware signal (record-linkage literature), but it is
+    O(len^2) per pair, so the pair set must be bounded before any
+    character work.  Candidates come from the existing MinHash LSH
+    bands (``minhash_candidate_pairs`` — bucketed, never all-pairs),
+    then each candidate pays exactly one JVM-codegen ``levenshtein``
+    call.  sim = 1 - dist / max(len_a, len_b); equal texts score 1.0,
+    and two empty texts (max len 0) define sim = 1.0 explicitly to
+    dodge the 0/0.
+
+    Scale shape: band self-join (keyed exchange) + two key-partitioned
+    joins to attach the texts — text never fans out past the candidate
+    set.  Two traps this kernel dodges explicitly:
+
+    - **AQE coalescing is blind to CPU cost.**  The candidate-pair
+      frame is tiny in BYTES, so size-based partition coalescing folds
+      the whole levenshtein stage into one task while each row costs
+      ~len^2 character ops (measured: a single-task stage pinned a
+      core for 15+ min at sf0.1×10).  The pairs are repartitioned with
+      an explicit partition COUNT before the text joins — a
+      user-specified number AQE must respect — so the character work
+      spreads across the cluster.
+    - **Unbounded levenshtein is O(len·len).**  sim >= t implies
+      dist <= (1-t)·maxlen, so the banded SQL variant
+      ``levenshtein(a, b, threshold)`` computes O(len·(1-t)·len) and
+      returns -1 the moment the bound is exceeded (+1 margin covers
+      the 1e-6 output rounding) — a 5x work cut at t=0.8 and an early
+      exit for length-mismatched candidates.
+    """
+    cands = minhash_candidate_pairs(df, id_col, text_col)
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    txt = df.select(F.col(id_col), F.col(text_col))
+    pairs = (
+        cands.repartition(n_part, "id_a", "id_b")
+        .join(
+            txt.select(
+                F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta")
+            ),
+            "id_a",
+        )
+        .join(
+            txt.select(
+                F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb")
+            ),
+            "id_b",
+        )
+    )
+    max_len = F.greatest(F.length("__ta"), F.length("__tb"))
+    bound = F.floor((1.0 - F.lit(threshold)) * max_len).cast("int") + F.lit(1)
+    dist = F.expr(
+        "levenshtein(__ta, __tb, __bound)"
+    )  # -1 when distance exceeds the bound
+    sim = F.when(max_len == 0, F.lit(1.0)).otherwise(
+        F.round(1.0 - dist.cast("double") / max_len, 6)
+    )
+    return (
+        pairs.withColumn("__bound", bound)
+        .select(
+            "id_a",
+            "id_b",
+            dist.cast("long").alias("lev_dist"),
+            sim.alias("edit_sim"),
+        )
+        .filter((F.col("lev_dist") >= 0) & (F.col("edit_sim") >= threshold))
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """EXACT asymmetric shingle containment: directed (id_in, id_out,
+    n_common, containment) pairs where |A ∩ B| / |A| >= threshold —
+    the "document A is mostly contained in document B" signal that
+    symmetric Jaccard misses (quotes, boilerplate wrappers, extended
+    re-posts; A ⊂ B with |B| >> |A| has low Jaccard but containment
+    1.0).
+
+    Candidate generation is the asymmetric prefix filter (PPJoin
+    family, containment variant): order each document's distinct
+    shingles by ascending GLOBAL frequency (rarest first, ties by
+    hash) and probe only the first floor((1-t)*|A|)+1 — if fewer than
+    that many of A's shingles hit B, containment < t is impossible,
+    so joining the rare-biased prefix against the full inverted index
+    finds every qualifying pair (no false negatives).  The probe side
+    carries only rare shingles, so a corpus-frequent shingle never
+    drives the join fan-out from the probe side; the verify stage then
+    counts the TRUE intersection for candidates only.
+
+    Two further EXACT prunes run inside the join condition (PPJoin's
+    size + positional filters, containment-adapted, with a -1 slack
+    absorbing the 1e-6 output rounding).  Let α = ceil(t·|A|) - 1 be
+    the minimum overlap:
+
+    - size: |B| >= α — a too-small B can never contain α of A;
+    - positional: min(|A| - r_A, |B| - r_B) + 1 >= α for the matched
+      shingle's frequency-order ranks.  For a qualifying pair the
+      FIRST common shingle (canonical order) satisfies this, so no
+      false negatives.
+
+    The verify stage intersects via per-document SORTED ARRAYS
+    (``array_intersect`` on two ~|doc| long-arrays, JVM codegen) —
+    two hash joins of the candidate list against the array table —
+    NOT by re-exploding candidates against the item table, which
+    multiplies candidate volume by document size (measured on the
+    10x probe replica: 37.7M candidates x ~40 items = a 1.5-billion-
+    row explode that dominated the old plan's wall-clock 5:1).
+
+    Scale shape: one frequency agg (map-side combinable), one window
+    rank per document (doc-keyed, bounded by doc length), the
+    prefix-probe join (shingle-keyed, rare-biased, position-pruned),
+    and two candidate-keyed array joins — every exchange is on a key
+    with bounded skew by construction.  Candidate volume itself is a
+    property of the corpus's phrase-sharing (Σ over probe shingles of
+    their global frequency); on phrase-dense corpora raise k or t, or
+    exact-collapse clones first, to shrink it.
+    """
+    items = _pin(
+        shingle_rows(df, id_col, text_col, k=k)
+        .select(F.col(id_col).alias("id"), md5_hash64(F.col("sh")).alias("item"))
+        .distinct()
+    )
+    sizes = items.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    freq = items.groupBy("item").agg(F.count(F.lit(1)).alias("gf"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("gf").asc(), F.col("item").asc())
+    ranked = _pin(
+        items.join(freq, "item")
+        .withColumn("__r", F.row_number().over(w))
+        .join(sizes, "id")
+    )
+    probe = ranked.filter(
+        F.col("__r")
+        <= F.floor((1.0 - F.lit(threshold)) * F.col("n")).cast("long") + 1
+    ).select(
+        F.col("id").alias("id_in"),
+        "item",
+        F.col("n").alias("n_in"),
+        F.col("__r").alias("__ra"),
+    )
+    index = ranked.select(
+        F.col("id").alias("id_out"),
+        "item",
+        F.col("n").alias("n_out"),
+        F.col("__r").alias("__rb"),
+    )
+    alpha = F.ceil(F.lit(threshold) * F.col("n_in")).cast("long") - 1
+    cands = (
+        probe.join(index, "item")
+        .filter(
+            (F.col("id_in") != F.col("id_out"))
+            & (F.col("n_out") >= alpha)
+            & (
+                F.least(
+                    F.col("n_in") - F.col("__ra"),
+                    F.col("n_out") - F.col("__rb"),
+                )
+                + 1
+                >= alpha
+            )
+        )
+        .select("id_in", "id_out", "n_in")
+        .distinct()
+    )
+    arrays = items.groupBy("id").agg(
+        F.sort_array(F.collect_list("item")).alias("arr")
+    )
+    inter = (
+        cands.join(
+            arrays.select(F.col("id").alias("id_in"), F.col("arr").alias("__aa")),
+            "id_in",
+        )
+        .join(
+            arrays.select(F.col("id").alias("id_out"), F.col("arr").alias("__ab")),
+            "id_out",
+        )
+        .select(
+            "id_in",
+            "id_out",
+            "n_in",
+            F.size(F.array_intersect("__aa", "__ab")).alias("n_common"),
+        )
+    )
+    return inter.select(
+        "id_in",
+        "id_out",
+        F.col("n_common").cast("long"),
+        F.round(F.col("n_common") / F.col("n_in").cast("double"), 6).alias(
+            "containment"
+        ),
+    ).filter(F.col("containment") >= threshold)

@@ -963,6 +963,76 @@ def dedup_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_span_stats(docs, w=20)
 
 
+_EDIT_SIM = (
+    "CASE WHEN greatest(length(da.text), length(db.text)) = 0 THEN 1.0 "
+    "ELSE round(1.0 - levenshtein(da.text, db.text) "
+    "/ CAST(greatest(length(da.text), length(db.text)) AS DOUBLE), 6) END"
+)
+
+
+@query(
+    "dedup_edit_distance",
+    oracle=f"""
+WITH {_duck_minhash_sig_cte()},
+bands AS ({_duck_bands_select()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_ix = b.band_ix AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+       CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev_dist,
+       {_EDIT_SIM} AS edit_sim
+FROM cand
+JOIN documents da ON da.doc_id = id_a
+JOIN documents db ON db.doc_id = id_b
+WHERE {_EDIT_SIM} >= 0.8
+""",
+)
+def dedup_edit_distance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-aware near-dup: Levenshtein similarity >= 0.8 over MinHash
+    LSH band candidates (never all-pairs).  Set-Jaccard treats
+    shuffled token bags as duplicates; edit distance catches only
+    genuinely aligned rewrites — the record-linkage complement to
+    dedup_shingle_jaccard, with the O(len^2) character work paid only
+    inside LSH buckets."""
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    return dedup.edit_distance_pairs(docs, threshold=0.8)
+
+
+def _duck_containment_sql(k: int, threshold: float) -> str:
+    sets = (
+        _duck_shingles_cte(k=k).strip().rstrip(")")
+        + ") , renamed AS (SELECT doc_id, shingles AS items FROM sh)"
+    )
+    return f"""
+WITH {sets},
+raw_items AS (SELECT doc_id, unnest(list_distinct(items)) AS item0 FROM renamed),
+items AS (SELECT DISTINCT doc_id, {_duck_hash64("item0", 0)} AS item FROM raw_items),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM items GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_in, b.doc_id AS id_out, COUNT(*) AS n_common
+  FROM items a JOIN items b ON a.item = b.item AND a.doc_id != b.doc_id
+  GROUP BY 1, 2)
+SELECT id_in, id_out, CAST(n_common AS BIGINT) AS n_common,
+       round(n_common / CAST(s.n AS DOUBLE), 6) AS containment
+FROM pairs JOIN sz s ON s.doc_id = id_in
+WHERE round(n_common / CAST(s.n AS DOUBLE), 6) >= {threshold}
+"""
+
+
+@query("dedup_containment", oracle=_duck_containment_sql(k=3, threshold=0.6))
+def dedup_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT asymmetric shingle containment |A∩B|/|A| >= 0.6 — the
+    "mostly contained in" signal (quotes, wrappers, extended reposts)
+    that symmetric Jaccard misses when |B| >> |A|.  Candidates via the
+    asymmetric prefix filter: probe only each doc's floor(0.4*|A|)+1
+    globally-RAREST shingles against the full inverted index — zero
+    false negatives, and corpus-frequent shingles never enter the
+    probe side, so the join fan-out stays bounded at 100 TB."""
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    return dedup.containment_pairs(docs, threshold=0.6, k=3)
+
+
 @query(
     "dedup_components",
     oracle=f"""
@@ -1961,6 +2031,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registration side-effect modules (each adds entries to QUERIES/ORACLES).
 from pgloader_spark import queries_tpch  # noqa: E402,F401  isort:skip
 from pgloader_spark import queries_pipeline  # noqa: E402,F401  isort:skip
+from pgloader_spark import queries_audit  # noqa: E402,F401  isort:skip
 
 # ---------------------------------------------------------------------------
 # Registration order curation.  The driver's correctness gate samples the

@@ -91,7 +91,20 @@ BNLJ_OK_PATTERNS = (
     "text_bm25_incremental", # frozen index snapshot (query-term-sized) broadcast
     "events_funnel",         # three 1-row stage aggregates crossJoined
     "events_cohort_retention",  # 1-row cohort-anchor aggregate crossed on
+    "audit_key_skew",        # 1-row total/key-count aggregate crossed on
 )
+
+
+# Queries whose exchange COUNT scales with the number of independent
+# one-row branches in a union, not with data volume: each branch is a
+# map-side-combinable agg (+ bounded join) folding to a SINGLE row, so
+# branches never share a shuffle boundary and the union output is
+# edge/table-count rows total.  High exchange count here is the
+# catalog's width, not a data-path smell.
+EXCHANGES_OK = {
+    "audit_fk_orphans": "7 FK edges x (key agg + dim join + 1-row fold)",
+    "audit_table_checksums": "10 tables x (1-row checksum agg)",
+}
 
 
 def formatted(df) -> str:
@@ -119,7 +132,10 @@ def audit_one(name: str, plan: str) -> tuple[list[str], list[str]]:
     if ("FlatMapGroupsInPandas" in plan or "MapInPandas" in plan) and name not in ARROW_OK:
         soft.append("pandas stage outside the declared pandas paths")
     if n_ex > 12:
-        soft.append(f"{n_ex} Exchanges (document why)")
+        if name in EXCHANGES_OK:
+            soft.append(f"{n_ex} Exchanges (documented: {EXCHANGES_OK[name]})")
+        else:
+            soft.append(f"{n_ex} Exchanges (document why)")
     return hard, soft
 
 
