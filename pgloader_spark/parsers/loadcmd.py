@@ -810,6 +810,9 @@ _WITH_FLAGS = {
     "snake_case identifiers", "downcase identifiers",
     "on error stop", "on error resume next", "multiple readers per thread",
     "preserve index names", "uniquify index names", "downcase identifiers",
+    # extension beyond the reference: post-load source-vs-target
+    # checksum verification (plans/verify_load.py)
+    "verify load",
 }
 
 
@@ -825,7 +828,13 @@ def _parse_with(p: _P, cmd: LoadCommand) -> None:
             if t is None or t.kind in ("comma", "semi"):
                 break
             if t.kind == "word" and t.value.lower() in _SECTION_WORDS and words:
-                break
+                # 'verify load' is one option name — the only WITH
+                # flag containing a section keyword
+                if not (
+                    t.value.lower() == "load"
+                    and [w.lower() for w in words] == ["verify"]
+                ):
+                    break
             t = p.next()
             if t.kind == "word" and t.value == "=":
                 value = p.next().value

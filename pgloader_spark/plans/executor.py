@@ -1084,6 +1084,48 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
                 for stmt in read_sql_statements(_resolve_script(path, cmd)):
                     conn.query(stmt)
 
+    # WITH verify load (extension beyond the reference): re-read every
+    # loaded table from the target through the distributed ctid-range
+    # reader and compare (count, distinct keys, portable checksum)
+    # against the source frame — content-addressed completeness proof,
+    # not just same-side row counting.  Mismatches log per table and
+    # raise under WITH on error stop.
+    if pg_target and cmd.options.get("verify_load") and not schema_only:
+        from pgloader_spark.plans.verify_load import pk_columns, verify_migration
+
+        items = []
+        for rep in reports:
+            tbl = tables.get(rep.table) or next(
+                (t for t in tables.values() if t.name == rep.table), None
+            )
+            if tbl is None or rep.result is None:
+                continue
+            keys = pk_columns(tbl)
+            if not keys:
+                log.warning("verify load: %s has no PK/unique key, skipped", rep.table)
+                continue
+            items.append((rep.result, _qualified(tbl), keys, tbl.name))
+        if items:
+            vrows = verify_migration(ctx.spark, target, items).collect()
+            for v in vrows:
+                if v.match:
+                    log.info(
+                        "verify load: %s OK (%d rows, checksum %d)",
+                        v.table_name, v.src_rows, v.src_checksum,
+                    )
+                else:
+                    log.error(
+                        "verify load: %s MISMATCH src(rows=%d keys=%d sum=%d) "
+                        "tgt(rows=%d keys=%d sum=%d)",
+                        v.table_name, v.src_rows, v.src_keys, v.src_checksum,
+                        v.tgt_rows, v.tgt_keys, v.tgt_checksum,
+                    )
+            bad = [v.table_name for v in vrows if not v.match]
+            if bad and cmd.options.get("on_error_stop"):
+                raise RuntimeError(
+                    f"verify load failed for tables: {', '.join(bad)}"
+                )
+
     # drop the materialized-view staging tables on the source, like
     # the reference drops its views once migrated
     if mv_staging:
