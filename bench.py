@@ -62,6 +62,13 @@ HEADLINE = [
     "sample_token_budget",
     "similarity_pq_topk",
     "similarity_ivfpq_topk",
+    # round-7 second wave: load-verification audits + order-aware /
+    # asymmetric dedup (PERF.md "Round-7 second wave"; when comparing
+    # totals against r6 artifacts, sum only the queries both rounds ran)
+    "dedup_edit_distance",
+    "dedup_containment",
+    "audit_fk_orphans",
+    "audit_table_checksums",
 ]
 
 RUNS = 3
