@@ -1090,8 +1090,12 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
     # against the source frame — content-addressed completeness proof,
     # not just same-side row counting.  Mismatches log per table and
     # raise under WITH on error stop.
-    if pg_target and cmd.options.get("verify_load") and not schema_only:
-        from pgloader_spark.plans.verify_load import pk_columns, verify_migration
+    if cmd.options.get("verify_load") and not schema_only:
+        from pgloader_spark.plans.verify_load import (
+            pk_columns,
+            verify_migration,
+            verify_parquet_lake,
+        )
 
         items = []
         for rep in reports:
@@ -1104,9 +1108,15 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
             if not keys:
                 log.warning("verify load: %s has no PK/unique key, skipped", rep.table)
                 continue
-            items.append((rep.result, _qualified(tbl), keys, tbl.name))
+            tgt_name = _qualified(tbl) if pg_target else os.path.join(
+                target or ctx.root_dir, f"{tbl.name}.parquet"
+            )
+            items.append((rep.result, tgt_name, keys, tbl.name))
         if items:
-            vrows = verify_migration(ctx.spark, target, items).collect()
+            if pg_target:
+                vrows = verify_migration(ctx.spark, target, items).collect()
+            else:
+                vrows = verify_parquet_lake(ctx.spark, items).collect()
             for v in vrows:
                 if v.match:
                     log.info(

@@ -93,6 +93,41 @@ def verify_migration(
     return reduce(DataFrame.unionByName, parts)
 
 
+def verify_parquet_lake(
+    spark: SparkSession,
+    items: list[tuple[DataFrame, str, list[str], str]],
+) -> DataFrame:
+    """``verify_migration`` for parquet-lake targets: (source_df,
+    parquet_path, key_cols, label) tuples, target side read straight
+    back from the lake.  Same output schema — one row per table with
+    both sides' counts/keys/checksums and a match flag."""
+    from functools import reduce
+
+    parts = []
+    for df, path, keys, label in items:
+        src = _summary(df.select(*keys), label, keys, "src")
+        tgt = _summary(
+            spark.read.parquet(path).select(*keys), label, keys, "tgt"
+        )
+        parts.append(
+            src.join(tgt, "table_name").select(
+                "table_name",
+                "src_rows",
+                "tgt_rows",
+                "src_keys",
+                "tgt_keys",
+                "src_checksum",
+                "tgt_checksum",
+                (
+                    (F.col("src_rows") == F.col("tgt_rows"))
+                    & (F.col("src_keys") == F.col("tgt_keys"))
+                    & (F.col("src_checksum") == F.col("tgt_checksum"))
+                ).alias("match"),
+            )
+        )
+    return reduce(DataFrame.unionByName, parts)
+
+
 def locate_mismatched_buckets(
     spark: SparkSession,
     source_df: DataFrame,

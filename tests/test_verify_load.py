@@ -123,3 +123,22 @@ def test_migration_verify_load_catches_tampering(seeded, spark, tmp_path):
     WITH on error stop escalates it to a hard failure."""
     with pytest.raises(RuntimeError, match="verify load failed.*widgets"):
         _migrate(spark, tmp_path, seeded, "DELETE FROM widgets WHERE id = 7")
+
+
+def test_migration_verify_load_parquet_lake(spark, tmp_path):
+    """verify load also covers parquet-lake targets: the loaded files
+    read back and checksum-match the source frames."""
+    from pgloader_spark.parsers.loadcmd import parse_load
+    from pgloader_spark.plans.executor import ExecutionContext, execute_database
+
+    db = os.path.join(str(tmp_path), "lake_src.db")
+    _make_sqlite(db)
+    lake = os.path.join(str(tmp_path), "lake")
+    cmd = parse_load(
+        f"LOAD DATABASE FROM sqlite://{db} INTO {lake} "
+        "WITH create tables, verify load, on error stop;"
+    )
+    ctx = ExecutionContext(spark=spark, root_dir=str(tmp_path))
+    reports = execute_database(ctx, cmd)
+    assert {r.table: r.loaded for r in reports} == {"widgets": 200}
+    assert os.path.exists(os.path.join(lake, "widgets.parquet"))
