@@ -1178,6 +1178,14 @@ def execute(ctx: ExecutionContext, cmd: LoadCommand) -> LoadReport:
     table = _target_table_name(cmd)
     report = LoadReport(table=table)
 
+    if cmd.options.get("verify_load"):
+        # key-checksum verification needs introspected PKs, which only
+        # LOAD DATABASE migrations have — be loud, not silent
+        log.warning(
+            "verify load applies to LOAD DATABASE migrations; ignored "
+            "for single-table loads (no introspected primary key)"
+        )
+
     if ctx.sql_runner:
         for path in cmd.execute_files:  # BEFORE LOAD EXECUTE 'f.sql'
             for stmt in read_sql_statements(_resolve_script(path, cmd)):
