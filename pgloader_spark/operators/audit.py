@@ -67,7 +67,8 @@ def fk_orphan_summary(
     orphan = (~null_k) & F.col("__hit").isNull()
     return joined.agg(
         F.lit(edge).alias("edge"),
-        F.sum("__rows").cast("long").alias("n_child_rows"),
+        # coalesce: SUM over an EMPTY child yields NULL, not 0
+        F.coalesce(F.sum("__rows"), F.lit(0)).cast("long").alias("n_child_rows"),
         F.count(F.when(~null_k, 1)).cast("long").alias("n_child_keys"),
         F.coalesce(F.sum(F.when(null_k, F.col("__rows"))), F.lit(0))
         .cast("long")

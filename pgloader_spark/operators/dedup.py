@@ -947,10 +947,11 @@ def edit_distance_pairs(
       frame is tiny in BYTES, so size-based partition coalescing folds
       the whole levenshtein stage into one task while each row costs
       ~len^2 character ops (measured: a single-task stage pinned a
-      core for 15+ min at sf0.1×10).  The pairs are repartitioned with
-      an explicit partition COUNT before the text joins — a
-      user-specified number AQE must respect — so the character work
-      spreads across the cluster.
+      core for 15+ min at sf0.1×10).  The joined pairs+texts frame is
+      repartitioned with an explicit partition COUNT — a
+      user-specified number AQE must respect — AFTER the text joins,
+      so the pin holds whether those joins broadcast or shuffle, and
+      the character work spreads across the cluster.
     - **Unbounded levenshtein is O(len·len).**  sim >= t implies
       dist <= (1-t)·maxlen, so the banded SQL variant
       ``levenshtein(a, b, threshold)`` computes O(len·(1-t)·len) and
@@ -962,8 +963,7 @@ def edit_distance_pairs(
     n_part = df.sparkSession.sparkContext.defaultParallelism
     txt = df.select(F.col(id_col), F.col(text_col))
     pairs = (
-        cands.repartition(n_part, "id_a", "id_b")
-        .join(
+        cands.join(
             txt.select(
                 F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta")
             ),
@@ -975,6 +975,12 @@ def edit_distance_pairs(
             ),
             "id_b",
         )
+        # AFTER the joins, so the pin survives both join regimes: a
+        # shuffle join would insert its own exchange on the join key
+        # (discarding a pre-join partitioning), and either way the
+        # user-specified partition COUNT here is what AQE must respect
+        # for the levenshtein projection that follows
+        .repartition(n_part, "id_a", "id_b")
     )
     max_len = F.greatest(F.length("__ta"), F.length("__tb"))
     bound = F.floor((1.0 - F.lit(threshold)) * max_len).cast("int") + F.lit(1)
@@ -1064,9 +1070,15 @@ def containment_pairs(
         .withColumn("__r", F.row_number().over(w))
         .join(sizes, "id")
     )
+    # prefix length n - α + 1 where α = ceil(t·n) - 1 is the SLACKED
+    # minimum overlap (one more shingle than floor((1-t)n)+1): the
+    # final filter admits pairs via the 1e-6 round-up, so the prefix
+    # bound must use the same slacked α or those boundary pairs could
+    # be missed while the size/positional filters (and the oracle)
+    # keep them
+    prefix_alpha = F.ceil(F.lit(threshold) * F.col("n")).cast("long") - 1
     probe = ranked.filter(
-        F.col("__r")
-        <= F.floor((1.0 - F.lit(threshold)) * F.col("n")).cast("long") + 1
+        F.col("__r") <= F.col("n") - F.greatest(prefix_alpha, F.lit(1)) + 1
     ).select(
         F.col("id").alias("id_in"),
         "item",

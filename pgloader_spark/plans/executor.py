@@ -50,6 +50,9 @@ class LoadReport:
     # on-disk recovery copy survives a crash before the rebuild runs
     post_load: list[str] = field(default_factory=list)
     post_load_file: str | None = None
+    # where the load actually landed (qualified PG table or parquet
+    # path) — recorded by the writer so verify load never re-derives it
+    target_path: str | None = None
 
 
 @dataclass
@@ -1006,12 +1009,17 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
         df = df.toDF(*[c.name for c in tbl.columns])
         if pg_target:
             # one distributed pass: the COPY sink reports rows loaded
-            n = write_pg_copy(df, target, _qualified(tbl), n_writers=n_writers)
+            tgt_path = _qualified(tbl)
+            n = write_pg_copy(df, target, tgt_path, n_writers=n_writers)
         else:
-            out = os.path.join(target or ctx.root_dir, f"{tbl.name}.parquet")
-            df.write.mode("overwrite").parquet(out)
-            n = ctx.spark.read.parquet(out).count()
-        reports.append(LoadReport(table=tbl.name, read=n, loaded=n, result=df))
+            tgt_path = os.path.join(target or ctx.root_dir, f"{tbl.name}.parquet")
+            df.write.mode("overwrite").parquet(tgt_path)
+            n = ctx.spark.read.parquet(tgt_path).count()
+        reports.append(
+            LoadReport(
+                table=tbl.name, read=n, loaded=n, result=df, target_path=tgt_path
+            )
+        )
 
     if rebuild_stmts:
         from pgloader_spark.plans.orchestrate import run_post_load
@@ -1090,6 +1098,7 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
     # against the source frame — content-addressed completeness proof,
     # not just same-side row counting.  Mismatches log per table and
     # raise under WITH on error stop.
+    verify_failed: list[str] = []
     if cmd.options.get("verify_load") and not schema_only:
         from pgloader_spark.plans.verify_load import (
             pk_columns,
@@ -1102,16 +1111,13 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
             tbl = tables.get(rep.table) or next(
                 (t for t in tables.values() if t.name == rep.table), None
             )
-            if tbl is None or rep.result is None:
+            if tbl is None or rep.result is None or rep.target_path is None:
                 continue
             keys = pk_columns(tbl)
             if not keys:
                 log.warning("verify load: %s has no PK/unique key, skipped", rep.table)
                 continue
-            tgt_name = _qualified(tbl) if pg_target else os.path.join(
-                target or ctx.root_dir, f"{tbl.name}.parquet"
-            )
-            items.append((rep.result, tgt_name, keys, tbl.name))
+            items.append((rep.result, rep.target_path, keys, tbl.name))
         if items:
             if pg_target:
                 vrows = verify_migration(ctx.spark, target, items).collect()
@@ -1130,20 +1136,22 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
                         v.table_name, v.src_rows, v.src_keys, v.src_checksum,
                         v.tgt_rows, v.tgt_keys, v.tgt_checksum,
                     )
-            bad = [v.table_name for v in vrows if not v.match]
-            if bad and cmd.options.get("on_error_stop"):
-                raise RuntimeError(
-                    f"verify load failed for tables: {', '.join(bad)}"
-                )
+            verify_failed = [v.table_name for v in vrows if not v.match]
 
     # drop the materialized-view staging tables on the source, like
-    # the reference drops its views once migrated
+    # the reference drops its views once migrated — BEFORE any
+    # verification raise, or a failed verify would leak staging
+    # objects onto the source
     if mv_staging:
         _source_admin(
             [
                 f"DROP TABLE IF EXISTS {_qident(staging)}"
                 for staging in mv_staging
             ]
+        )
+    if verify_failed and cmd.options.get("on_error_stop"):
+        raise RuntimeError(
+            f"verify load failed for tables: {', '.join(verify_failed)}"
         )
     return reports
 

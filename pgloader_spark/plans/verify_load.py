@@ -43,23 +43,9 @@ def _summary(df: DataFrame, table: str, key_cols: list[str], side: str) -> DataF
     )
 
 
-def verify_table(
-    spark: SparkSession,
-    source_df: DataFrame,
-    target_dsn: str,
-    target_table: str,
-    key_cols: list[str],
-    label: str | None = None,
-) -> DataFrame:
-    """One-row verification frame for one loaded table:
-    (table_name, src_rows, tgt_rows, src_keys, tgt_keys,
-    src_checksum, tgt_checksum, match)."""
-    from pgloader_spark.sources.pg_live import read_pg_table
-
-    name = label or target_table
-    tgt_df = read_pg_table(spark, target_dsn, target_table).select(*key_cols)
-    src = _summary(source_df.select(*key_cols), name, key_cols, "src")
-    tgt = _summary(tgt_df, name, key_cols, "tgt")
+def _compare(src: DataFrame, tgt: DataFrame) -> DataFrame:
+    """Join the two one-row summaries and append the match verdict —
+    the single definition of 'verified' shared by every target kind."""
     return src.join(tgt, "table_name").select(
         "table_name",
         "src_rows",
@@ -74,6 +60,27 @@ def verify_table(
             & (F.col("src_checksum") == F.col("tgt_checksum"))
         ).alias("match"),
     )
+
+
+def verify_table(
+    spark: SparkSession,
+    source_df: DataFrame,
+    target_dsn: str,
+    target_table: str,
+    key_cols: list[str],
+    label: str | None = None,
+) -> DataFrame:
+    """One-row verification frame for one loaded table:
+    (table_name, src_rows, tgt_rows, src_keys, tgt_keys,
+    src_checksum, tgt_checksum, match).  ``target_table`` may be
+    schema-qualified; the target read COPYs only the key columns."""
+    from pgloader_spark.sources.pg_live import read_pg_table
+
+    name = label or target_table
+    tgt_df = read_pg_table(spark, target_dsn, target_table, columns=key_cols)
+    src = _summary(source_df.select(*key_cols), name, key_cols, "src")
+    tgt = _summary(tgt_df, name, key_cols, "tgt")
+    return _compare(src, tgt)
 
 
 def verify_migration(
@@ -109,22 +116,7 @@ def verify_parquet_lake(
         tgt = _summary(
             spark.read.parquet(path).select(*keys), label, keys, "tgt"
         )
-        parts.append(
-            src.join(tgt, "table_name").select(
-                "table_name",
-                "src_rows",
-                "tgt_rows",
-                "src_keys",
-                "tgt_keys",
-                "src_checksum",
-                "tgt_checksum",
-                (
-                    (F.col("src_rows") == F.col("tgt_rows"))
-                    & (F.col("src_keys") == F.col("tgt_keys"))
-                    & (F.col("src_checksum") == F.col("tgt_checksum"))
-                ).alias("match"),
-            )
-        )
+        parts.append(_compare(src, tgt))
     return reduce(DataFrame.unionByName, parts)
 
 
@@ -143,7 +135,7 @@ def locate_mismatched_buckets(
     on one side reports with zeros."""
     from pgloader_spark.sources.pg_live import read_pg_table
 
-    tgt_df = read_pg_table(spark, target_dsn, target_table).select(*key_cols)
+    tgt_df = read_pg_table(spark, target_dsn, target_table, columns=key_cols)
     src = audit.bucket_checksums(
         source_df.select(*key_cols), target_table, key_cols, n_buckets
     ).select(

@@ -55,7 +55,7 @@ def _duck_fk_edge_sql(child: str, ck: str, parent: str, pk: str) -> str:
     edge = _edge_name(child, ck, parent, pk)
     return f"""
 SELECT '{edge}' AS edge,
-       CAST(SUM(__rows) AS BIGINT) AS n_child_rows,
+       CAST(COALESCE(SUM(__rows), 0) AS BIGINT) AS n_child_rows,
        CAST(COUNT(CASE WHEN __k IS NOT NULL THEN 1 END) AS BIGINT)
            AS n_child_keys,
        CAST(COALESCE(SUM(CASE WHEN __k IS NULL THEN __rows END), 0) AS BIGINT)

@@ -280,9 +280,16 @@ def _schema_for(fields: list[SourceField], engine: CastEngine) -> T.StructType:
 
 
 def _ctid_ranges(dsn: str, table: str, pages_per_range: int) -> list[tuple[int, int]]:
+    if "." in table:
+        # schema-qualified: resolve through regclass (bare relname is
+        # ambiguous across schemas)
+        rc = ".".join('"' + p + '"' for p in table.split("."))
+        where = f"oid = '{rc}'::regclass"
+    else:
+        where = f"relname = '{table}'"
     with PGConn(dsn) as conn:
         _, rows = conn.query(
-            f"SELECT GREATEST(relpages, 1) FROM pg_class WHERE relname = '{table}'"
+            f"SELECT GREATEST(relpages, 1) FROM pg_class WHERE {where}"
         )
     relpages = int(rows[0][0]) if rows else 1
     n = max(math.ceil(relpages / pages_per_range), 1)
@@ -322,19 +329,38 @@ def read_pg_table(
     table: str,
     engine: CastEngine | None = None,
     pages_per_range: int = PAGES_PER_RANGE,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """Distributed typed read of one PostgreSQL table via per-range
-    ``COPY (SELECT ...) TO STDOUT`` streams."""
+    ``COPY (SELECT ...) TO STDOUT`` streams.
+
+    ``table`` may be schema-qualified (``myschema.items``); bare names
+    read from ``public``.  ``columns`` limits both the COPY SELECT and
+    the output schema — the pruning a mapInPandas source cannot get
+    from Catalyst, so wide tables aren't streamed whole when the
+    caller (e.g. checksum verification) needs two key columns.
+    """
     import pandas as pd
 
     eng = engine or CastEngine(source_kind="pgsql")
-    fields = introspect_pg(dsn)[table]
+    if "." in table:
+        pg_schema, bare = table.rsplit(".", 1)
+    else:
+        pg_schema, bare = "public", table
+    fields = introspect_pg(dsn, schema=pg_schema)[bare]
+    if columns is not None:
+        by_name = {f.name: f for f in fields}
+        missing = [c for c in columns if c not in by_name]
+        if missing:
+            raise KeyError(f"{table}: no such column(s): {', '.join(missing)}")
+        fields = [by_name[c] for c in columns]
     schema = _schema_for(fields, eng)
     names = [f.name for f in fields]
     spark_types = [sf.dataType for sf in schema.fields]
     ranges = _ctid_ranges(dsn, table, pages_per_range)
     ranges_df = spark.createDataFrame(ranges, "lo long, hi long")
     col_list = ", ".join(f'"{n}"' for n in names)
+    from_ref = quote_qualified(table)
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -345,7 +371,7 @@ def read_pg_table(
                 with PGConn(dsn) as conn:
                     data = b"".join(
                         conn.copy_out(
-                            f'COPY (SELECT {col_list} FROM "{table}" '
+                            f"COPY (SELECT {col_list} FROM {from_ref} "
                             f"WHERE {where}) TO STDOUT"
                         )
                     )

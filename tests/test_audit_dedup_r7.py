@@ -338,3 +338,11 @@ def test_streaming_bucket_checksums_match_batch(spark, tmp_path):
         assert got2 == batch_frame(300)
     finally:
         q.stop()
+
+
+def test_fk_orphan_empty_child_reports_zeros(spark):
+    child = spark.createDataFrame([], "row_id long, fk int")
+    parent = spark.createDataFrame([(10,)], "pk int")
+    row = audit.fk_orphan_summary(child, "fk", parent, "pk", "e").collect()[0]
+    assert (row.n_child_rows, row.n_child_keys, row.n_null_keys,
+            row.n_orphan_keys, row.n_orphan_rows) == (0, 0, 0, 0, 0)

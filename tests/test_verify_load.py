@@ -142,3 +142,23 @@ def test_migration_verify_load_parquet_lake(spark, tmp_path):
     reports = execute_database(ctx, cmd)
     assert {r.table: r.loaded for r in reports} == {"widgets": 200}
     assert os.path.exists(os.path.join(lake, "widgets.parquet"))
+
+
+def test_verify_table_schema_qualified(seeded, spark):
+    """Non-public target schemas verify through the qualified name
+    (regclass-resolved ctid ranges + qualified COPY), and the target
+    read COPYs only the key columns."""
+    from pgloader_spark.plans.verify_load import verify_table
+    from pgloader_spark.sources.pgwire import PGConn
+
+    with PGConn(seeded) as c:
+        c.query("CREATE SCHEMA IF NOT EXISTS app")
+        c.query("DROP TABLE IF EXISTS app.gadgets")
+        c.query("CREATE TABLE app.gadgets (id bigint PRIMARY KEY, blob text)")
+        rows = "".join(f"{i}\t{'x' * 200}\n" for i in range(1, 101))
+        c.copy_in("COPY app.gadgets FROM STDIN", [rows.encode()])
+    src = spark.createDataFrame(
+        [(i, "x" * 200) for i in range(1, 101)], "id long, blob string"
+    )
+    row = verify_table(spark, src, seeded, "app.gadgets", ["id"]).collect()[0]
+    assert row.match and row.src_rows == 100
