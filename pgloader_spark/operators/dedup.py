@@ -947,11 +947,18 @@ def edit_distance_pairs(
       frame is tiny in BYTES, so size-based partition coalescing folds
       the whole levenshtein stage into one task while each row costs
       ~len^2 character ops (measured: a single-task stage pinned a
-      core for 15+ min at sf0.1×10).  The joined pairs+texts frame is
+      core for 15+ min at sf0.1×10).  The CANDIDATE frame is
       repartitioned with an explicit partition COUNT — a
-      user-specified number AQE must respect — AFTER the text joins,
-      so the pin holds whether those joins broadcast or shuffle, and
-      the character work spreads across the cluster.
+      user-specified number AQE must respect — BEFORE the text joins.
+      Placement was settled by A/B at sf0.1×10 (747k candidates):
+      pre-join 19.0 s, post-join 186.3 s, none 173.9 s.  A post-join
+      repartition does NOT protect the levenshtein: Catalyst pushes
+      the (deterministic, column-pruned) projection below the
+      exchange, so the character work still executes in the
+      AQE-coalesced narrow stage feeding it.  The pre-join
+      REPARTITION_BY_NUM floor instead propagates through join
+      planning, keeping every downstream stage — including whichever
+      one the projection lands in — at >= N partitions.
     - **Unbounded levenshtein is O(len·len).**  sim >= t implies
       dist <= (1-t)·maxlen, so the banded SQL variant
       ``levenshtein(a, b, threshold)`` computes O(len·(1-t)·len) and
@@ -963,7 +970,11 @@ def edit_distance_pairs(
     n_part = df.sparkSession.sparkContext.defaultParallelism
     txt = df.select(F.col(id_col), F.col(text_col))
     pairs = (
-        cands.join(
+        # pre-join placement is measured, not theoretical — see the
+        # docstring A/B (a post-join repartition is defeated by
+        # Catalyst pushing the levenshtein projection below it)
+        cands.repartition(n_part, "id_a", "id_b")
+        .join(
             txt.select(
                 F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta")
             ),
@@ -975,12 +986,6 @@ def edit_distance_pairs(
             ),
             "id_b",
         )
-        # AFTER the joins, so the pin survives both join regimes: a
-        # shuffle join would insert its own exchange on the join key
-        # (discarding a pre-join partitioning), and either way the
-        # user-specified partition COUNT here is what AQE must respect
-        # for the levenshtein projection that follows
-        .repartition(n_part, "id_a", "id_b")
     )
     max_len = F.greatest(F.length("__ta"), F.length("__tb"))
     bound = F.floor((1.0 - F.lit(threshold)) * max_len).cast("int") + F.lit(1)
