@@ -100,6 +100,33 @@ def verify_migration(
     return reduce(DataFrame.unionByName, parts)
 
 
+def verify_replication(
+    spark: SparkSession,
+    src_dsn: str,
+    dst_dsn: str,
+    src_table: str,
+    dst_table: str,
+    key_cols: list[str],
+    label: str | None = None,
+) -> DataFrame:
+    """Cross-DATABASE verification: two live PostgreSQL tables compared
+    on (rows, distinct keys, portable checksum) — the replication
+    invariant for the CDC path (``sources/pg_cdc.replicate_pg_table``):
+    after draining the slot, source and target must match.  Both sides
+    read through the distributed ctid-range COPY reader, key columns
+    only; quiescence is the caller's contract (verify between drain
+    cycles, or under a source snapshot)."""
+    from pgloader_spark.sources.pg_live import read_pg_table
+
+    name = label or dst_table
+    src_df = read_pg_table(spark, src_dsn, src_table, columns=key_cols)
+    tgt_df = read_pg_table(spark, dst_dsn, dst_table, columns=key_cols)
+    return _compare(
+        _summary(src_df, name, key_cols, "src"),
+        _summary(tgt_df, name, key_cols, "tgt"),
+    )
+
+
 def verify_parquet_lake(
     spark: SparkSession,
     items: list[tuple[DataFrame, str, list[str], str]],

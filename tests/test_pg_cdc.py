@@ -422,3 +422,51 @@ def test_peek_is_transaction_safe_under_limit(logical_dsn):
             mod.PGConn = orig
     finally:
         drop_cdc_slot(dsn, "s_tx")
+
+
+def test_replication_verified_by_checksums(logical_dsn, spark):
+    """The CDC loop's convergence invariant, checked content-addressed:
+    after a drain, source and target checksum-match; an un-replicated
+    mutation breaks the match until the next drain restores it."""
+    from pgloader_spark.plans.verify_load import verify_replication
+
+    dsn = logical_dsn
+    with PGConn(dsn) as c:
+        c.query("CREATE TABLE vrep_src (id bigint PRIMARY KEY, v text)")
+        c.query("CREATE TABLE vrep_dst (id bigint PRIMARY KEY, v text)")
+    create_cdc_slot(dsn, "s_vrep")
+    try:
+        with PGConn(dsn) as c:
+            c.query(
+                "INSERT INTO vrep_src SELECT g, 'v' || g "
+                "FROM generate_series(1, 300) g"
+            )
+        replicate_pg_table(
+            spark, dsn, "s_vrep", dsn, "vrep_dst", key_cols=["id"],
+            src_table="vrep_src",
+        )
+        row = verify_replication(
+            spark, dsn, dsn, "vrep_src", "vrep_dst", ["id"]
+        ).collect()[0]
+        assert row.match and row.src_rows == 300
+
+        # mutate the source without draining: invariant must break
+        with PGConn(dsn) as c:
+            c.query("DELETE FROM vrep_src WHERE id = 17")
+            c.query("INSERT INTO vrep_src VALUES (301, 'new')")
+        row = verify_replication(
+            spark, dsn, dsn, "vrep_src", "vrep_dst", ["id"]
+        ).collect()[0]
+        assert not row.match
+
+        # drain; invariant restored
+        replicate_pg_table(
+            spark, dsn, "s_vrep", dsn, "vrep_dst", key_cols=["id"],
+            src_table="vrep_src",
+        )
+        row = verify_replication(
+            spark, dsn, dsn, "vrep_src", "vrep_dst", ["id"]
+        ).collect()[0]
+        assert row.match and row.src_rows == 300
+    finally:
+        drop_cdc_slot(dsn, "s_vrep")
