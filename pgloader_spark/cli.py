@@ -284,6 +284,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="number of drain cycles (0 = poll forever)")
     ap.add_argument("--poll-interval", type=float, default=1.0,
                     metavar="SEC", help="sleep between drain cycles")
+    ap.add_argument("--verify", action="store_true",
+                    help="with --replicate: after the final drain cycle, "
+                    "checksum-compare every replicated table against its "
+                    "source (rows, distinct keys, portable checksum); "
+                    "non-zero exit on mismatch")
     args = ap.parse_args(argv)
 
     if args.version:
@@ -328,6 +333,26 @@ def main(argv: list[str] | None = None) -> int:
                 )
             cycles += 1
             if args.polls and cycles >= args.polls:
+                if args.verify:
+                    from pgloader_spark.plans.verify_load import (
+                        verify_replication,
+                    )
+
+                    bad = []
+                    for tname, keys in tables.items():
+                        row = verify_replication(
+                            spark, args.source, args.target,
+                            src_tables.get(tname, tname), tname, keys,
+                        ).collect()[0]
+                        status = "OK" if row.match else "MISMATCH"
+                        print(
+                            f"verify {tname}: {status} "
+                            f"(src {row.src_rows} rows / {row.src_checksum}, "
+                            f"tgt {row.tgt_rows} rows / {row.tgt_checksum})"
+                        )
+                        if not row.match:
+                            bad.append(tname)
+                    return 1 if bad else 0
                 return 0
             _time.sleep(args.poll_interval)
     if args.upgrade_config:

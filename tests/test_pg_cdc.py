@@ -470,3 +470,34 @@ def test_replication_verified_by_checksums(logical_dsn, spark):
         assert row.match and row.src_rows == 300
     finally:
         drop_cdc_slot(dsn, "s_vrep")
+
+
+def test_cli_replicate_verify_flag(logical_dsn, spark, capsys):
+    """--replicate --verify checksum-checks each table after the final
+    drain: exit 0 on convergence, 1 when the target diverges."""
+    from pgloader_spark.cli import main
+    from pgloader_spark.sources.pg_cdc import create_cdc_slot, drop_cdc_slot
+
+    dsn = logical_dsn
+    with PGConn(dsn) as c:
+        c.query("CREATE TABLE cliv_src (id bigint PRIMARY KEY, v text)")
+        c.query("CREATE TABLE cliv_dst (id bigint PRIMARY KEY, v text)")
+    create_cdc_slot(dsn, "s_cliv")
+    try:
+        with PGConn(dsn) as c:
+            c.query("INSERT INTO cliv_src VALUES (1, 'x'), (2, 'y'), (3, 'z')")
+        argv = [
+            dsn, dsn, "--replicate", "--slot", "s_cliv",
+            "--tables", "cliv_dst:id:cliv_src", "--polls", "1",
+            "--master", "local[4]", "--verify",
+        ]
+        assert main(list(argv)) == 0
+        assert "verify cliv_dst: OK" in capsys.readouterr().out
+
+        # tamper with the target out-of-band: next verified drain fails
+        with PGConn(dsn) as c:
+            c.query("DELETE FROM cliv_dst WHERE id = 2")
+        assert main(list(argv)) == 1
+        assert "MISMATCH" in capsys.readouterr().out
+    finally:
+        drop_cdc_slot(dsn, "s_cliv")
