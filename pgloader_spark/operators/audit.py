@@ -37,6 +37,27 @@ CHECKSUM_SEED = 11
 CHECKSUM_MOD = 1 << 60
 
 
+def key_string(key_cols: list[str]) -> "F.Column":
+    """Unambiguous composite-key rendering: each part escapes
+    backslash then the separator BEFORE the '|' join, so
+    ('a|b', 'c') and ('a', 'b|c') render differently — a plain
+    concat_ws would checksum-collide them.  Single-column keys skip
+    the escaping (nothing to disambiguate), keeping the common case
+    one cast.  Mirrored exactly by the oracle SQL
+    (queries_audit._duck_key_string)."""
+    if len(key_cols) == 1:
+        return F.col(key_cols[0]).cast("string")
+    parts = [
+        F.replace(
+            F.replace(F.col(c).cast("string"), F.lit("\\"), F.lit("\\\\")),
+            F.lit("|"),
+            F.lit("\\|"),
+        )
+        for c in key_cols
+    ]
+    return F.concat_ws("|", *parts)
+
+
 def fk_orphan_summary(
     child: DataFrame,
     child_key: str,
@@ -96,8 +117,9 @@ def table_checksum(
     """One-row (table, n_rows, n_keys, key_checksum) completeness
     summary.
 
-    The key string is ``concat_ws('|', keys-as-string)`` (PKs are
-    non-null by contract; composite keys joined in declared order).
+    The key string renders through ``key_string`` (PKs are non-null
+    by contract; composite keys separator-escaped and joined in
+    declared order).
     Each key hashes through the engine-portable md5-prefix hash
     (``dedup.md5_hash64`` == the oracle's ``_duck_hash64``), sums in a
     decimal(38,0) accumulator — sum of n 60-bit terms needs
@@ -106,7 +128,7 @@ def table_checksum(
     construction: SUM is commutative, so any partitioning produces the
     same checksum.
     """
-    key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    key_str = key_string(key_cols)
     h = md5_hash64(key_str, seed=seed)
     return df.agg(
         F.lit(table).alias("table_name"),
@@ -149,7 +171,7 @@ def bucket_checksums(
 
     One map-side-combinable agg; output is n_buckets rows max.
     """
-    key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    key_str = key_string(key_cols)
     h = md5_hash64(key_str, seed=seed)
     return (
         df.select(
@@ -194,7 +216,7 @@ def streaming_bucket_checksums(
     Use ``outputMode("complete")`` (or "update") on the writer; keys
     here are buckets, so complete mode's state is n_buckets rows.
     """
-    key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    key_str = key_string(key_cols)
     h = md5_hash64(key_str, seed=seed)
     return (
         df.select(

@@ -78,8 +78,21 @@ def _duck_fk_report_sql() -> str:
     )
 
 
+def _duck_key_string(keys: list[str]) -> str:
+    """DuckDB mirror of ``audit.key_string``: single column = plain
+    cast; composite = backslash-then-separator escape before the '|'
+    join (disambiguates separator characters inside key values)."""
+    if len(keys) == 1:
+        return f"CAST({keys[0]} AS VARCHAR)"
+    parts = ", ".join(
+        "replace(replace(CAST({k} AS VARCHAR), '\\', '\\\\'), '|', '\\|')".format(k=k)
+        for k in keys
+    )
+    return f"concat_ws('|', {parts})"
+
+
 def _duck_checksum_sql(table: str, keys: list[str]) -> str:
-    key_str = "concat_ws('|', " + ", ".join(f"CAST({k} AS VARCHAR)" for k in keys) + ")"
+    key_str = _duck_key_string(keys)
     h = (
         f"CAST(('0x' || substr(md5('{audit.CHECKSUM_SEED}:' || {key_str}), 1, 15))"
         " AS BIGINT)"
@@ -132,7 +145,7 @@ def audit_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_bucket_checksum_sql(table: str, keys: list[str], n_buckets: int) -> str:
-    key_str = "concat_ws('|', " + ", ".join(f"CAST({k} AS VARCHAR)" for k in keys) + ")"
+    key_str = _duck_key_string(keys)
     h = (
         f"CAST(('0x' || substr(md5('{audit.CHECKSUM_SEED}:' || {key_str}), 1, 15))"
         " AS BIGINT)"

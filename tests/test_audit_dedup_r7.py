@@ -346,3 +346,23 @@ def test_fk_orphan_empty_child_reports_zeros(spark):
     row = audit.fk_orphan_summary(child, "fk", parent, "pk", "e").collect()[0]
     assert (row.n_child_rows, row.n_child_keys, row.n_null_keys,
             row.n_orphan_keys, row.n_orphan_rows) == (0, 0, 0, 0, 0)
+
+
+def test_composite_key_separator_disambiguation(spark):
+    """('a|b','c') and ('a','b|c') must NOT checksum-collide (the
+    plain concat_ws rendering collided them); backslashes in key
+    parts escape too."""
+    a = spark.createDataFrame([("a|b", "c")], "x string, y string")
+    b = spark.createDataFrame([("a", "b|c")], "x string, y string")
+    ca = audit.table_checksum(a, "t", ["x", "y"]).collect()[0].key_checksum
+    cb = audit.table_checksum(b, "t", ["x", "y"]).collect()[0].key_checksum
+    assert ca != cb
+    c = spark.createDataFrame([("a\\", "|b")], "x string, y string")
+    d = spark.createDataFrame([("a", "\\|b")], "x string, y string")
+    cc = audit.table_checksum(c, "t", ["x", "y"]).collect()[0].key_checksum
+    cd = audit.table_checksum(d, "t", ["x", "y"]).collect()[0].key_checksum
+    assert cc != cd
+    # and n_keys sees them as distinct composite keys too
+    both = a.unionByName(b)
+    row = audit.table_checksum(both, "t", ["x", "y"]).collect()[0]
+    assert row.n_keys == 2
