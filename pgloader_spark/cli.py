@@ -301,9 +301,18 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if not args.source:
         ap.error("SOURCE is required")
+    if args.verify and not args.replicate:
+        # loud-not-silent (same policy as verify_load on single-table
+        # loads): --verify is only reachable from the replicate loop
+        ap.error("--verify requires --replicate")
     if args.replicate:
         if not (args.target and args.tables):
             ap.error("--replicate needs SOURCE TARGET and --tables")
+        if args.verify and not args.polls:
+            ap.error(
+                "--verify needs a bounded --polls N (the verify pass "
+                "runs after the final poll; --polls 0 never ends)"
+            )
         import time as _time
 
         from pgloader_spark.session import get_spark

@@ -41,17 +41,26 @@ def key_string(key_cols: list[str]) -> "F.Column":
     """Unambiguous composite-key rendering: each part escapes
     backslash then the separator BEFORE the '|' join, so
     ('a|b', 'c') and ('a', 'b|c') render differently — a plain
-    concat_ws would checksum-collide them.  Single-column keys skip
-    the escaping (nothing to disambiguate), keeping the common case
-    one cast.  Mirrored exactly by the oracle SQL
-    (queries_audit._duck_key_string)."""
+    concat_ws would checksum-collide them.  NULL parts render as the
+    explicit sentinel ``\\N`` (unambiguous: a REAL backslash-N in the
+    data escapes to ``\\\\N`` first), because both Spark's and
+    DuckDB's concat_ws silently SKIP null arguments — without the
+    sentinel ('a', NULL) and (NULL, 'a') would both render 'a' and
+    checksum-collide, a false verify match on nullable unique-index
+    keys.  Single-column keys skip the escaping (nothing to
+    disambiguate) and stay NULL-on-NULL — count(DISTINCT) skips NULL
+    identically in both engines, so the mirror holds.  Mirrored
+    exactly by the oracle SQL (queries_audit._duck_key_string)."""
     if len(key_cols) == 1:
         return F.col(key_cols[0]).cast("string")
     parts = [
-        F.replace(
-            F.replace(F.col(c).cast("string"), F.lit("\\"), F.lit("\\\\")),
-            F.lit("|"),
-            F.lit("\\|"),
+        F.coalesce(
+            F.replace(
+                F.replace(F.col(c).cast("string"), F.lit("\\"), F.lit("\\\\")),
+                F.lit("|"),
+                F.lit("\\|"),
+            ),
+            F.lit("\\N"),
         )
         for c in key_cols
     ]

@@ -962,8 +962,14 @@ def edit_distance_pairs(
     - **Unbounded levenshtein is O(len·len).**  sim >= t implies
       dist <= (1-t)·maxlen, so the banded SQL variant
       ``levenshtein(a, b, threshold)`` computes O(len·(1-t)·len) and
-      returns -1 the moment the bound is exceeded (+1 margin covers
-      the 1e-6 output rounding) — a 5x work cut at t=0.8 and an early
+      returns -1 the moment the bound is exceeded.  The margin added
+      to the bound is ``1 + ceil(5e-7·max_len)``: sim rounds to 6
+      decimals, so the unbounded oracle can round UP a pair whose
+      true sim is within 5e-7·max_len edits below the threshold — a
+      constant +1 would stop covering that once max_len exceeds ~2e6
+      chars, silently filtering a boundary pair the oracle admits.
+      Scaling the margin with length keeps the bound exact at any
+      text size while remaining a 5x work cut at t=0.8 and an early
       exit for length-mismatched candidates.
     """
     cands = minhash_candidate_pairs(df, id_col, text_col)
@@ -988,7 +994,13 @@ def edit_distance_pairs(
         )
     )
     max_len = F.greatest(F.length("__ta"), F.length("__tb"))
-    bound = F.floor((1.0 - F.lit(threshold)) * max_len).cast("int") + F.lit(1)
+    # +1 + ceil(5e-7*max_len): length-scaled rounding margin (see
+    # docstring) — exact for arbitrarily long texts, not just <2e6
+    bound = (
+        F.floor((1.0 - F.lit(threshold)) * max_len).cast("int")
+        + F.lit(1)
+        + F.ceil(F.lit(5e-7) * max_len).cast("int")
+    )
     dist = F.expr(
         "levenshtein(__ta, __tb, __bound)"
     )  # -1 when distance exceeds the bound

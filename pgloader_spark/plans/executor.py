@@ -53,6 +53,11 @@ class LoadReport:
     # where the load actually landed (qualified PG table or parquet
     # path) — recorded by the writer so verify load never re-derives it
     target_path: str | None = None
+    # verify-load outcome: None = not verified (no WITH verify load,
+    # schema-only, keyless table), True/False = checksum match result.
+    # Programmatic callers need this — without on error stop a
+    # mismatch is only logged, and logs aren't an API
+    verified: bool | None = None
 
 
 @dataclass
@@ -1107,6 +1112,7 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
         )
 
         items = []
+        verify_reps: dict[str, "LoadReport"] = {}
         for rep in reports:
             tbl = tables.get(rep.table) or next(
                 (t for t in tables.values() if t.name == rep.table), None
@@ -1118,12 +1124,16 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
                 log.warning("verify load: %s has no PK/unique key, skipped", rep.table)
                 continue
             items.append((rep.result, rep.target_path, keys, tbl.name))
+            verify_reps[tbl.name] = rep
         if items:
             if pg_target:
                 vrows = verify_migration(ctx.spark, target, items).collect()
             else:
                 vrows = verify_parquet_lake(ctx.spark, items).collect()
             for v in vrows:
+                rep = verify_reps.get(v.table_name)
+                if rep is not None:
+                    rep.verified = bool(v.match)
                 if v.match:
                     log.info(
                         "verify load: %s OK (%d rows, checksum %d)",

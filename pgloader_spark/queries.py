@@ -2055,30 +2055,41 @@ _PRIORITY = [
     "q17_small_quantity_revenue", "q18_large_volume_orders",
     "q19_discounted_revenue", "q20_excess_suppliers",
     "q21_sole_return_supplier", "q22_acctbal_opportunity",
+    # -- r8 re-curation (judge ask #3): the 28 non-TPC-H slots now
+    # sample EVERY family added r3-r7 (audit, containment,
+    # edit-distance, JPEG, weighted sampling, PQ, BPE, sketches)
+    # instead of doubling up early-round variants.  The displaced
+    # queries (moving_avg, subq_top_supplier, shingle_jaccard,
+    # components, keep_canonical, ivf_topk, langid, repetition,
+    # decode_png, decontam, pack_sequences, mix_to_target,
+    # unigram_logprob, projection/dateformat twins) remain registered
+    # and PARITY-graded; the one-time cross-round comparability break
+    # in CORRECTNESS_r08 is documented in PERF.md.
     # windows / joins / aggs (distinctive shapes)
     "events_sessionize", "window_top3_orders_per_customer",
-    "window_moving_avg_daily", "subq_top_supplier_per_nation",
     "join_asof_last_event", "join_range_bucket", "join_citus_backfill",
     "agg_grouping_sets",
-    # ETL (pgloader-parity core; dateformat_roundtrip overlaps
-    # etl_transforms_datetime and yields its slot to sample_dsir_weights)
+    # ETL (pgloader-parity core)
     "etl_projection_constants", "etl_transforms_datetime",
-    # dedup family (dedup_semantic supersedes dedup_embedding_near in
-    # the graded window: same blocked-cosine core plus the cluster
-    # assignment and keep policy; _near stays registered for PARITY)
-    "dedup_exact", "dedup_minhash_bands", "dedup_shingle_jaccard",
-    "dedup_components", "dedup_keep_canonical", "dedup_semantic",
-    # similarity family
-    "similarity_cosine_topk", "similarity_ivf_topk",
-    # data-selection scorer (DSIR)
-    "sample_dsir_weights",
-    # text family
-    "text_quality_stats", "text_langid", "text_repetition",
-    # multimodal
-    "multimodal_binary_meta", "multimodal_decode_png",
-    # round-3 pipeline additions
-    "pipeline_decontam", "pipeline_pack_sequences",
-    "sample_mix_to_target", "text_unigram_logprob",
+    # dedup: exact, MinHash-LSH, order-aware (PPJoin token, banded
+    # levenshtein), asymmetric containment, embedding-semantic
+    "dedup_exact", "dedup_minhash_bands", "dedup_token_jaccard",
+    "dedup_containment", "dedup_edit_distance", "dedup_semantic",
+    # similarity: brute-force baseline + the IVF-PQ scale path
+    # (rows-only driver check — PQ codebooks aren't SQL-expressible)
+    "similarity_cosine_topk", "similarity_ivfpq_topk",
+    # sampling: DSIR + derandomized weighted (Efraimidis-Spirakis)
+    "sample_dsir_weights", "sample_weighted_topk",
+    # text: quality scoring, BM25 retrieval, BPE tokenization
+    # (rows-only: iterative merges aren't SQL-expressible)
+    "text_quality_stats", "text_bm25_topk", "text_bpe_tokenize",
+    # sketches
+    "sketch_hll_distinct",
+    # multimodal: metadata plumbing + the JPEG pixel codec path
+    "multimodal_binary_meta", "multimodal_jpeg_luma_stats",
+    # load-verification audits (round 7)
+    "audit_fk_orphans", "audit_table_checksums",
+    "audit_checksum_buckets", "audit_key_skew",
 ]
 
 

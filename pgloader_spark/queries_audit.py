@@ -81,11 +81,14 @@ def _duck_fk_report_sql() -> str:
 def _duck_key_string(keys: list[str]) -> str:
     """DuckDB mirror of ``audit.key_string``: single column = plain
     cast; composite = backslash-then-separator escape before the '|'
-    join (disambiguates separator characters inside key values)."""
+    join (disambiguates separator characters inside key values), with
+    NULL parts coalesced to the explicit ``\\N`` sentinel (concat_ws
+    skips NULL args in both engines — see audit.key_string)."""
     if len(keys) == 1:
         return f"CAST({keys[0]} AS VARCHAR)"
     parts = ", ".join(
-        "replace(replace(CAST({k} AS VARCHAR), '\\', '\\\\'), '|', '\\|')".format(k=k)
+        "coalesce(replace(replace(CAST({k} AS VARCHAR), '\\', '\\\\'),"
+        " '|', '\\|'), '\\N')".format(k=k)
         for k in keys
     )
     return f"concat_ws('|', {parts})"

@@ -115,6 +115,8 @@ def _migrate(spark, tmp_path, dsn, extra_sql: str | None) -> None:
 def test_migration_with_verify_load_passes(seeded, spark, tmp_path):
     reports = _migrate(spark, tmp_path, seeded, None)
     assert {r.table: r.loaded for r in reports} == {"widgets": 200}
+    # LoadReport carries the verify outcome for programmatic callers
+    assert [r.verified for r in reports] == [True]
 
 
 def test_migration_verify_load_catches_tampering(seeded, spark, tmp_path):
@@ -141,7 +143,27 @@ def test_migration_verify_load_parquet_lake(spark, tmp_path):
     ctx = ExecutionContext(spark=spark, root_dir=str(tmp_path))
     reports = execute_database(ctx, cmd)
     assert {r.table: r.loaded for r in reports} == {"widgets": 200}
+    assert [r.verified for r in reports] == [True]
     assert os.path.exists(os.path.join(lake, "widgets.parquet"))
+
+
+def test_migration_verify_mismatch_reported_without_stop(seeded, spark, tmp_path):
+    """Without WITH on error stop a verify mismatch must still be
+    DETECTABLE by programmatic callers: LoadReport.verified is False
+    (previously the failure existed only in a log line)."""
+    from pgloader_spark.parsers.loadcmd import parse_load
+    from pgloader_spark.plans.executor import ExecutionContext, execute_database
+
+    db = os.path.join(str(tmp_path), "widgets.db")
+    _make_sqlite(db)
+    cmd = parse_load(
+        f"LOAD DATABASE FROM sqlite://{db} INTO {seeded} "
+        "WITH include drop, create tables, verify load "
+        "AFTER LOAD DO $$ DELETE FROM widgets WHERE id = 7 $$;"
+    )
+    ctx = ExecutionContext(spark=spark, root_dir=str(tmp_path))
+    reports = execute_database(ctx, cmd)
+    assert [r.verified for r in reports] == [False]
 
 
 def test_verify_table_schema_qualified(seeded, spark):
