@@ -1019,13 +1019,14 @@ def edit_distance_pairs(
     )
 
 
-def containment_pairs(
+def _containment_core(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.6,
     k: int = SHINGLE_K,
-) -> DataFrame:
+    collapse_clones: bool = True,
+):
     """EXACT asymmetric shingle containment: directed (id_in, id_out,
     n_common, containment) pairs where |A ∩ B| / |A| >= threshold —
     the "document A is mostly contained in document B" signal that
@@ -1069,15 +1070,66 @@ def containment_pairs(
     and two candidate-keyed array joins — every exchange is on a key
     with bounded skew by construction.  Candidate volume itself is a
     property of the corpus's phrase-sharing (Σ over probe shingles of
-    their global frequency); on phrase-dense corpora raise k or t, or
-    exact-collapse clones first, to shrink it.
+    their global frequency); ``collapse_clones`` (default ON, r7
+    verdict ask #5) bounds the clone-driven part of it as a
+    MECHANISM: documents with identical shingle SETS fold to their
+    min-id representative BEFORE candidate generation — exact, since
+    containment is a pure function of the two sets — the prefix/
+    verify pipeline runs over representatives only, and the directed
+    pairs expand back through the membership table afterwards
+    (cross-group pairs inherit the rep pair's stats; within-group
+    ordered pairs are containment 1.0 by identity).  A million-copy
+    boilerplate group then costs ONE probe row instead of a million,
+    and — because global shingle frequency is also computed over
+    representatives — clones no longer degrade every OTHER document's
+    rare-prefix selectivity (the failure mode the r7 salted 10x
+    replica manufactured).  On phrase-dense corpora beyond that,
+    raise k or t.
     """
-    items = _pin(
+    raw_items = _pin(
         shingle_rows(df, id_col, text_col, k=k)
         .select(F.col(id_col).alias("id"), md5_hash64(F.col("sh")).alias("item"))
         .distinct()
     )
-    sizes = items.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    # one per-document sorted-array agg serves BOTH the clone grouping
+    # and the verify stage (the pre-r8 plan built it for verify anyway,
+    # so the collapse reuses a shuffle instead of adding one)
+    all_arrays = _pin(
+        raw_items.groupBy("id").agg(
+            F.sort_array(F.collect_list("item")).alias("arr")
+        )
+    )
+    membership = None
+    if collapse_clones:
+        # group key = sha2 of the sorted item list, NOT the array
+        # itself: a 64-char string shuffles/compares far cheaper than
+        # an |doc|-long array key, and 256-bit collisions are beyond
+        # adversarial corpus sizes.  groupBy-then-join (not a window):
+        # partial aggregation folds same-partition clones pre-shuffle.
+        sig = F.sha2(
+            F.concat_ws(
+                ",", F.transform(F.col("arr"), lambda x: x.cast("string"))
+            ),
+            256,
+        ).alias("sig")
+        ids_sig = all_arrays.select("id", sig)
+        groups = ids_sig.groupBy("sig").agg(
+            F.min("id").alias("rep"), F.count(F.lit(1)).alias("gsize")
+        )
+        membership = _pin(
+            ids_sig.join(groups, "sig").select("id", "rep", "gsize")
+        )
+        reps_only = membership.filter(F.col("id") == F.col("rep")).select("id")
+        arrays = all_arrays.join(reps_only, "id", "semi")
+        # items from the pinned flat table via an id-keyed semi join
+        # (NOT by re-exploding rep arrays: the explode re-runs for
+        # every downstream consumer and its output partitioning is
+        # whatever the array agg left behind)
+        items = raw_items.join(reps_only, "id", "semi")
+    else:
+        arrays = all_arrays
+        items = raw_items
+    sizes = arrays.select("id", F.size("arr").cast("long").alias("n"))
     freq = items.groupBy("item").agg(F.count(F.lit(1)).alias("gf"))
     from pyspark.sql import Window
 
@@ -1126,8 +1178,42 @@ def containment_pairs(
         .select("id_in", "id_out", "n_in")
         .distinct()
     )
-    arrays = items.groupBy("id").agg(
-        F.sort_array(F.collect_list("item")).alias("arr")
+    return cands, arrays, sizes, membership
+
+
+def containment_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    k: int = SHINGLE_K,
+    collapse_clones: bool = True,
+) -> DataFrame:
+    """Probe surface: the exact-algorithm candidate set BEFORE the
+    array-intersect verify — (id_in, id_out, n_in) over collapsed
+    representatives when ``collapse_clones``.  Candidate volume is the
+    containment kernel's scale-governing quantity (tools/scale_probe
+    graphs it across corpus growth), so it is exposed as a first-class
+    frame rather than re-derived by copying kernel internals."""
+    cands, _arrays, _sizes, _membership = _containment_core(
+        df, id_col, text_col, threshold, k, collapse_clones
+    )
+    return cands
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    k: int = SHINGLE_K,
+    collapse_clones: bool = True,
+) -> DataFrame:
+    """See _containment_core for the algorithm; this public wrapper
+    runs the verify stage and (when collapsed) the membership
+    expansion."""
+    cands, arrays, sizes, membership = _containment_core(
+        df, id_col, text_col, threshold, k, collapse_clones
     )
     inter = (
         cands.join(
@@ -1145,7 +1231,7 @@ def containment_pairs(
             F.size(F.array_intersect("__aa", "__ab")).alias("n_common"),
         )
     )
-    return inter.select(
+    pairs = inter.select(
         "id_in",
         "id_out",
         F.col("n_common").cast("long"),
@@ -1153,3 +1239,47 @@ def containment_pairs(
             "containment"
         ),
     ).filter(F.col("containment") >= threshold)
+    if membership is None:
+        return pairs
+    # Expand representative pairs back to document pairs.  Cross-group:
+    # every member of id_in's group pairs with every member of id_out's
+    # group, inheriting (n_common, containment) verbatim — exact, the
+    # sets are equal.  Within-group: each ordered pair of clones is
+    # containment 1.0 with n_common = the set size.  Both joins are
+    # keyed on rep ids and sized by the OUTPUT, which the uncollapsed
+    # kernel would have had to produce anyway.
+    cross = (
+        pairs.join(
+            membership.select(
+                F.col("rep").alias("id_in"), F.col("id").alias("__min")
+            ),
+            "id_in",
+        )
+        .join(
+            membership.select(
+                F.col("rep").alias("id_out"), F.col("id").alias("__mout")
+            ),
+            "id_out",
+        )
+        .select(
+            F.col("__min").alias("id_in"),
+            F.col("__mout").alias("id_out"),
+            "n_common",
+            "containment",
+        )
+    )
+    within = membership.filter(F.col("gsize") >= 2).join(
+        sizes.withColumnRenamed("id", "rep"), "rep"
+    )
+    within_pairs = (
+        within.select("rep", F.col("id").alias("id_in"), "n")
+        .join(within.select("rep", F.col("id").alias("id_out")), "rep")
+        .filter(F.col("id_in") != F.col("id_out"))
+        .select(
+            "id_in",
+            "id_out",
+            F.col("n").cast("long").alias("n_common"),
+            F.lit(1.0).alias("containment"),
+        )
+    )
+    return cross.unionByName(within_pairs)

@@ -211,10 +211,30 @@ def _changes_to_rows(
     move a row between keys in one op.  A ``(no-tuple-data)`` DELETE
     carries no key at all (source table has no replica identity) and
     is unapplyable: raise with the remediation unless the caller opts
-    into dropping it."""
+    into dropping it.
+
+    Mid-stream SCHEMA DRIFT (a column added on the source while the
+    slot is live — test_decoding simply starts emitting it) raises
+    cleanly BEFORE anything applies rather than silently projecting
+    the new column away: the slot has not advanced, so after ALTER
+    TABLE ... ADD COLUMN on the target (or a bootstrap_replication
+    re-snapshot) the retry replays the same window and the per-table
+    epoch logs keep it exactly-once.  Silent loss is the one
+    unacceptable outcome."""
+    known = set(col_names)
     rows: list[tuple] = []
     seq = 0
     for c in mine:
+        extra = set(c["cols"]) - known if c.get("cols") else set()
+        if extra:
+            raise ValueError(
+                f"schema drift on {c['schema']}.{c['table']}: the change "
+                f"stream carries column(s) {sorted(extra)} the target "
+                "table lacks — a source ALTER TABLE happened mid-stream.  "
+                "Add the column(s) on the target and re-run (the slot "
+                "window has not advanced; epoch logs keep the retry "
+                "exactly-once), or re-snapshot via bootstrap_replication"
+            )
         if c.get("no_tuple_data"):
             if skip_unapplyable:
                 continue

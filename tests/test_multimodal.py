@@ -699,3 +699,86 @@ def test_gif_decode_and_cross_format_ahash():
 
     # cross-format perceptual equality
     assert ahash64(gif) == ahash64(encode_png_gray8(pixels))
+
+
+# ------------------------------------------------ JPEG backend swap (r8)
+
+
+def _has_pil() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_jpeg_backend_dispatch(monkeypatch):
+    """decode_jpeg_gray routes per PGLOADER_SPARK_JPEG_BACKEND:
+    'pure' always takes the T.81 kernel, 'pil' always the libjpeg
+    path, 'auto' follows the import probe — the swap is a mechanism,
+    not a docstring promise."""
+    from pgloader_spark.operators import multimodal as mm
+
+    frame = [[(x * 7 + y * 3) % 256 for x in range(16)] for y in range(16)]
+    data = mm.encode_jpeg_gray8(frame, quality=100)
+    calls = []
+
+    def fake_pil(payload):
+        calls.append("pil")
+        return mm._decode_jpeg_gray_pure(payload)
+
+    monkeypatch.setattr(mm, "_decode_jpeg_gray_pil", fake_pil)
+
+    monkeypatch.setenv(mm._JPEG_BACKEND_ENV, "pure")
+    mm.decode_jpeg_gray(data)
+    assert calls == []
+
+    monkeypatch.setenv(mm._JPEG_BACKEND_ENV, "pil")
+    mm.decode_jpeg_gray(data)
+    assert calls == ["pil"]
+
+    monkeypatch.setenv(mm._JPEG_BACKEND_ENV, "auto")
+    monkeypatch.setattr(mm, "_jpeg_pil_probe", False)
+    mm.decode_jpeg_gray(data)
+    assert calls == ["pil"]  # probe says absent -> pure ran
+    monkeypatch.setattr(mm, "_jpeg_pil_probe", True)
+    mm.decode_jpeg_gray(data)
+    assert calls == ["pil", "pil"]
+
+
+def test_jpeg_backend_resolution(monkeypatch):
+    from pgloader_spark.operators import multimodal as mm
+
+    monkeypatch.setenv(mm._JPEG_BACKEND_ENV, "pure")
+    assert mm.jpeg_backend() == "pure"
+    monkeypatch.setenv(mm._JPEG_BACKEND_ENV, "pil")
+    assert mm.jpeg_backend() == "pil"
+    monkeypatch.delenv(mm._JPEG_BACKEND_ENV, raising=False)
+    monkeypatch.setattr(mm, "_jpeg_pil_probe", False)
+    assert mm.jpeg_backend() == "pure"
+    monkeypatch.setattr(mm, "_jpeg_pil_probe", True)
+    assert mm.jpeg_backend() == "pil"
+
+
+@pytest.mark.skipif(not _has_pil(), reason="PIL not installed (optional)")
+def test_jpeg_roundtrip_pil_backend_matches_pure():
+    """When PIL IS present, the two backends agree within libjpeg's
+    T.83 integer-IDCT compliance band (+/-1 per pixel; flat DC-only
+    blocks — the gate-oracle shape — are exact in both)."""
+    import numpy as np
+
+    from pgloader_spark.operators import multimodal as mm
+
+    frame = [[(x * 7 + y * 3) % 256 for x in range(24)] for y in range(16)]
+    data = mm.encode_jpeg_gray8(frame, quality=100)
+    wp, hp, pure = mm._decode_jpeg_gray_pure(data)
+    wl, hl, pil = mm._decode_jpeg_gray_pil(data)
+    assert (wp, hp) == (wl, hl) == (24, 16)
+    assert np.abs(np.array(pure) - np.array(pil)).max() <= 1.0
+    # flat blocks reconstruct EXACTLY under both backends
+    flat = mm.encode_jpeg_gray8([[77] * 16] * 16, quality=100)
+    assert np.array_equal(
+        np.array(mm._decode_jpeg_gray_pure(flat)[2]),
+        np.array(mm._decode_jpeg_gray_pil(flat)[2]),
+    )

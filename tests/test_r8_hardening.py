@@ -127,3 +127,36 @@ def dedup_pairs(df):
     return edit_distance_pairs(
         df, id_col="doc_id", text_col="text", threshold=0.8
     ).collect()
+
+
+# -------------------------------- containment clone collapse (ask #5)
+
+
+def test_containment_collapse_is_exact(spark):
+    """collapse_clones=True is a pure physical rewrite: identical
+    shingle-set groups fold to a representative for candidate
+    generation, then pairs expand back — the directed pair set,
+    n_common, and containment values are IDENTICAL to the raw kernel
+    (cross-group pairs inherit the rep stats; within-group ordered
+    pairs are containment 1.0)."""
+    from pgloader_spark.operators.dedup import containment_pairs
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "the quick brown fox jumps over the lazy dog today and more "
+            "text here"),
+        (4, "completely different content with no overlap at all whatsoever"),
+        (5, "the quick brown fox jumps over the lazy dog today"),
+        (6, "completely different content with no overlap at all whatsoever"),
+        (7, "short"),  # no k=3 shingles -> absent from both variants
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    raw = sorted(tuple(r) for r in
+                 containment_pairs(df, collapse_clones=False).collect())
+    col = sorted(tuple(r) for r in
+                 containment_pairs(df, collapse_clones=True).collect())
+    assert raw == col
+    # the clone triangle (1,2,5) contributes all 6 ordered 1.0 pairs
+    ones = {(a, b) for a, b, _, c in col if c == 1.0 and a in (1, 2, 5)}
+    assert {(1, 2), (2, 1), (1, 5), (5, 1), (2, 5), (5, 2)} <= ones
