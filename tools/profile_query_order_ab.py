@@ -52,6 +52,8 @@ def main() -> int:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     ))
     ap.add_argument("--n", type=int, default=4)
+    ap.add_argument("--passes", type=int, default=3,
+                    help="interleaved/grouped measured passes")
     args = ap.parse_args()
 
     import bench
@@ -83,7 +85,7 @@ def main() -> int:
     for name in headline:  # warm pass, bench shape
         run(name)
     out["II_interleaved"] = []
-    for _ in range(3):
+    for _ in range(args.passes):
         for name in headline:
             t = run(name)
             if name == target:
@@ -94,7 +96,7 @@ def main() -> int:
         run(name)
     out["III_grouped"] = []
     for name in headline:
-        for _ in range(3):
+        for _ in range(args.passes):
             t = run(name)
             if name == target:
                 out["III_grouped"].append(t)
@@ -109,6 +111,7 @@ def main() -> int:
         "unit": "sec",
         "queries": {f"{target}:{k}": v for k, v in out.items()},
         "sf_dir": args.sf_dir,
+        "passes": args.passes,
         "medians": {k: sorted(v)[len(v) // 2] for k, v in out.items()},
         "loadavg_before": load0,
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
