@@ -52,7 +52,14 @@ def build_replica(spark) -> None:
         else:
             out = df.crossJoin(F.broadcast(reps))
             for c, typ in out.dtypes:
-                if c.endswith("key") or c in ("doc_id", "event_id", "o_orderkey"):
+                # vec_id added r8: without it the replica carries 10
+                # rows per embedding ID and ivfpq_train's first-N
+                # deterministic sample collapses to ~50 distinct
+                # vectors (< ks) — a replica artifact, not a property
+                # of real 10x growth
+                if c.endswith("key") or c in (
+                    "doc_id", "event_id", "o_orderkey", "vec_id",
+                ):
                     if typ in ("bigint", "int"):
                         out = out.withColumn(
                             c, F.col(c) + F.col("rep") * F.lit(1_000_000_000)
