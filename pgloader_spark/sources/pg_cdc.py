@@ -68,12 +68,33 @@ def parse_test_decoding(data: str) -> dict | None:
     - DELETE on a table without a replica identity prints
       ``(no-tuple-data)`` — no key exists in the stream, so the
       change comes back with empty ``cols`` and ``no_tuple_data:
-      True`` for the caller to reject loudly (it is unapplyable).
+      True`` for the caller to reject loudly (it is unapplyable);
+    - TRUNCATE prints one line for the whole statement
+      (``table s.t1, s.t2: TRUNCATE: ...``) — parsed as op ``T``
+      with ``truncate: True`` and ``all_tables`` so table matching
+      and the apply path SEE it (pre-r8 it parsed to None, i.e. a
+      source truncate silently never reached the target).
     """
     if not data.startswith("table "):
         return None
     head, _, rest = data[6:].partition(": ")
     op, _, payload = rest.partition(": ")
+    if op == "TRUNCATE":
+        # test_decoding emits one line for the whole statement:
+        # ``table s.t1, s.t2: TRUNCATE: (no flags)`` — parse EVERY
+        # named table so the event can never slip past table matching
+        # (a silently dropped TRUNCATE is silent target divergence)
+        tables = [t.strip() for t in head.split(",") if t.strip()]
+        s0, _, t0 = tables[0].rpartition(".")
+        return {
+            "schema": s0 or "public",
+            "table": t0,
+            "op": "T",
+            "cols": {},
+            "truncate": True,
+            "all_tables": tables,
+            "flags": payload.strip(),
+        }
     if op not in ("INSERT", "UPDATE", "DELETE"):
         return None
     schema, _, table = head.rpartition(".")
@@ -194,8 +215,15 @@ def _table_matches(change: dict, want: str) -> bool:
     schema AND table when ``want`` is qualified (``s.t``), on table
     name alone otherwise (the unqualified form conflates same-named
     tables across schemas; qualify when the source has more than
-    ``public``)."""
+    ``public``).  A TRUNCATE event lists every table of its statement
+    and matches if ANY of them does."""
     ws, _, wt = want.rpartition(".")
+    if change.get("truncate"):
+        for qual in change["all_tables"]:
+            s, _, t = qual.rpartition(".")
+            if t == wt and (not ws or (s or "public") == ws):
+                return True
+        return False
     return change["table"] == wt and (not ws or change["schema"] == ws)
 
 
@@ -225,6 +253,21 @@ def _changes_to_rows(
     rows: list[tuple] = []
     seq = 0
     for c in mine:
+        if c.get("truncate"):
+            # Unimplemented on the apply side BY CHOICE: the upsert
+            # apply collapses last-op-per-key, and a mid-window
+            # truncate splits that window into before/after halves —
+            # silently dropping it (the pre-r8 behavior: the parser
+            # returned None) diverges the target until the next
+            # verify.  Loud > lossy, same policy as schema drift.
+            raise ValueError(
+                f"TRUNCATE of {', '.join(c['all_tables'])} in the "
+                "change stream: the CDC apply does not replay "
+                "truncates.  TRUNCATE the target table(s) yourself "
+                "and advance the slot past this window "
+                "(advance_cdc_slot), or re-snapshot via "
+                "bootstrap_replication"
+            )
         extra = set(c["cols"]) - known if c.get("cols") else set()
         if extra:
             raise ValueError(

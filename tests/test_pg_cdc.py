@@ -570,3 +570,89 @@ def test_mid_stream_add_column_rejects_then_recovers(logical_dsn, spark):
             assert rows == [("1", "one", "E1"), ("2", "two", "E2")]
     finally:
         drop_cdc_slot(dsn, "s_drift")
+
+
+def test_parse_truncate_single_and_multi_table():
+    """TRUNCATE lines parse (pre-r8: returned None == silently dropped)
+    and match table filters on ANY named table."""
+    from pgloader_spark.sources.pg_cdc import _table_matches
+
+    p = parse_test_decoding
+    one = p("table public.widgets: TRUNCATE: (no-flags)")
+    assert one["op"] == "T" and one["truncate"] is True
+    assert one["all_tables"] == ["public.widgets"]
+    multi = p("table public.a, other.b: TRUNCATE: restart_seqs cascade")
+    assert multi["all_tables"] == ["public.a", "other.b"]
+    assert multi["flags"] == "restart_seqs cascade"
+    assert _table_matches(multi, "a")
+    assert _table_matches(multi, "other.b")
+    assert not _table_matches(multi, "public.b")
+    assert not _table_matches(multi, "c")
+
+
+def test_changes_to_rows_truncate_raises():
+    from pgloader_spark.sources.pg_cdc import _changes_to_rows
+
+    tr = [{
+        "op": "T", "schema": "public", "table": "t", "cols": {},
+        "truncate": True, "all_tables": ["public.t"],
+    }]
+    with pytest.raises(ValueError, match="TRUNCATE of public.t"):
+        _changes_to_rows(tr, ["id", "v"])
+    # skip_unapplyable does NOT swallow truncates (dropping one is
+    # silent divergence, unlike a keyless DELETE the caller opted out of)
+    with pytest.raises(ValueError, match="TRUNCATE"):
+        _changes_to_rows(tr, ["id", "v"], skip_unapplyable=True)
+
+
+def test_mid_stream_truncate_rejects_then_recovers(logical_dsn, spark):
+    """Live: a source TRUNCATE mid-stream raises before anything
+    applies (slot un-advanced), and the documented remediation —
+    truncate the target, advance past the window — converges."""
+    from pgloader_spark.sources.pg_cdc import peek_cdc_changes
+
+    dsn = logical_dsn
+    with PGConn(dsn) as c:
+        c.query("CREATE TABLE trunc_src (id bigint PRIMARY KEY, v text)")
+        c.query("CREATE TABLE trunc_dst (id bigint PRIMARY KEY, v text)")
+    create_cdc_slot(dsn, "s_trunc")
+    try:
+        with PGConn(dsn) as c:
+            c.query("INSERT INTO trunc_src VALUES (1, 'one'), (2, 'two')")
+        assert replicate_pg_table(
+            spark, dsn, "s_trunc", dsn, "trunc_dst", key_cols=["id"],
+            src_table="trunc_src",
+        ) >= 1
+
+        with PGConn(dsn) as c:
+            c.query("TRUNCATE trunc_src")
+            c.query("INSERT INTO trunc_src VALUES (3, 'three')")
+        with pytest.raises(ValueError, match="TRUNCATE"):
+            replicate_pg_table(
+                spark, dsn, "s_trunc", dsn, "trunc_dst", key_cols=["id"],
+                src_table="trunc_src",
+            )
+        with PGConn(dsn) as c:  # nothing applied
+            _, rows = c.query("SELECT id FROM trunc_dst ORDER BY id")
+            assert rows == [("1",), ("2",)]
+
+        # remediation: truncate the target, advance past the window
+        _, max_lsn = peek_cdc_changes(dsn, "s_trunc")
+        with PGConn(dsn) as c:
+            c.query("TRUNCATE trunc_dst")
+        advance_cdc_slot(dsn, "s_trunc", max_lsn)
+        # post-truncate inserts were inside the advanced window, so
+        # re-seed the row the way a re-snapshot would, then verify the
+        # NEXT drain cycle applies cleanly
+        with PGConn(dsn) as c:
+            c.query("INSERT INTO trunc_dst VALUES (3, 'three')")
+            c.query("INSERT INTO trunc_src VALUES (4, 'four')")
+        assert replicate_pg_table(
+            spark, dsn, "s_trunc", dsn, "trunc_dst", key_cols=["id"],
+            src_table="trunc_src",
+        ) >= 1
+        with PGConn(dsn) as c:
+            _, rows = c.query("SELECT id, v FROM trunc_dst ORDER BY id")
+            assert rows == [("3", "three"), ("4", "four")]
+    finally:
+        drop_cdc_slot(dsn, "s_trunc")
