@@ -69,6 +69,12 @@ HEADLINE = [
     "dedup_containment",
     "audit_fk_orphans",
     "audit_table_checksums",
+    # round-8: one representative each for the JPEG pixel path and the
+    # derandomized weighted sampler, mirroring the re-curated driver
+    # gate (PERF.md "Gate-window re-curation"); cross-round total
+    # comparisons use the shared-query subset as always
+    "multimodal_jpeg_luma_stats",
+    "sample_weighted_topk",
 ]
 
 RUNS = 3
