@@ -378,8 +378,14 @@ class _Session:
     # ------------------------------------------------------------- framing
 
     def _recv_exact(self, n: int) -> bytes:
+        # NEVER read past the requested bytes: with a big recv, the
+        # client's SSLRequest and its TLS ClientHello can coalesce into
+        # one chunk, the ClientHello lands in _buf, and the TLS upgrade
+        # (which must hand the RAW socket to wrap_socket) discards it —
+        # both sides then block until the client times out (the
+        # load-dependent handshake flake this bounded recv removes)
         while len(self._buf) < n:
-            chunk = self.sock.recv(65536)
+            chunk = self.sock.recv(n - len(self._buf))
             if not chunk:
                 raise ConnectionError("client gone")
             self._buf += chunk

@@ -324,3 +324,28 @@ def test_wire_tls_ssl_handshake(tmp_path, mysql_dsn):
     # the TLS-less module fixture never advertises CLIENT_SSL
     with pytest.raises(MyError, match="does not support SSL"):
         MyConn(f"{mysql_dsn}?useSSL=true")
+
+
+def test_stub_recv_never_overreads():
+    """Regression pin for the TLS-upgrade race: the stub's packet
+    reader must NEVER consume socket bytes past the requested count —
+    a big recv can swallow the TLS ClientHello that coalesced behind
+    the SSLRequest, and the upgrade (which hands the RAW socket to
+    wrap_socket) would discard it, deadlocking the handshake."""
+    import socket
+
+    from pgloader_spark.sources.mysql_stub import _Session
+
+    a, b = socket.socketpair()
+    try:
+        b.sendall(b"0123456789")  # two logical reads' worth, one send
+        conn = _Session.__new__(_Session)
+        conn.sock = a
+        conn._buf = b""
+        assert conn._recv_exact(4) == b"0123"
+        assert conn._buf == b""  # nothing hoarded past the request
+        a.settimeout(1.0)
+        assert a.recv(6) == b"456789"  # the rest is STILL in the socket
+    finally:
+        a.close()
+        b.close()
