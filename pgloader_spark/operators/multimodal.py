@@ -220,7 +220,7 @@ def embed_media(
                 }
             )
 
-    return df.select(id_col, bin_col).mapInPandas(embed, EMBED_SCHEMA)
+    return ensure_parallelism(df.select(id_col, bin_col)).mapInPandas(embed, EMBED_SCHEMA)
 
 
 def frame_sample_plan(
@@ -605,7 +605,7 @@ def media_ahash(
                 rows, columns=[f.name for f in AHASH_SCHEMA.fields]
             )
 
-    return df.select(id_col, bin_col).mapInPandas(stage, AHASH_SCHEMA)
+    return ensure_parallelism(df.select(id_col, bin_col)).mapInPandas(stage, AHASH_SCHEMA)
 
 
 def ahash_near_pairs(
@@ -748,7 +748,7 @@ def media_audio_fingerprint(
                 rows, columns=[f.name for f in AUDIO_HASH_SCHEMA.fields]
             )
 
-    return df.select(id_col, bin_col).mapInPandas(stage, AUDIO_HASH_SCHEMA)
+    return ensure_parallelism(df.select(id_col, bin_col)).mapInPandas(stage, AUDIO_HASH_SCHEMA)
 
 
 def encode_wav_pcm16(
@@ -885,7 +885,7 @@ def video_frames(
                 rows, columns=[f.name for f in VIDEO_FRAME_SCHEMA.fields]
             )
 
-    return df.select(id_col, bin_col).mapInPandas(stage, VIDEO_FRAME_SCHEMA)
+    return ensure_parallelism(df.select(id_col, bin_col)).mapInPandas(stage, VIDEO_FRAME_SCHEMA)
 
 
 # --- real GIF pixel decode (LZW) ------------------------------------------
@@ -1302,6 +1302,25 @@ def _extend(v: int, s: int) -> int:
 # backend (pil raises at decode time if PIL is absent).  The reference
 # analogy: pgloader links libjpeg-class system libs from its
 # Dockerfile build deps rather than hand-rolling codecs.
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Floor a CPU-dense Python stage's input at defaultParallelism
+    partitions.
+
+    Byte-based partitioning is blind to per-row CPU cost: a 5000-image
+    corpus is one parquet row-group, so a decode stage inheriting the
+    scan's layout runs on ONE core (measured r8: the JPEG luma pass
+    read 17x wall for 10x data purely from this starvation — the same
+    blind-spot class as the r7 edit-distance AQE lesson, on the input
+    side).  At real scale the scan already splits (~128 MB per task)
+    and this is a no-op; when it does trigger, the shuffle it adds is
+    small by the same premise that makes it necessary."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 _JPEG_BACKEND_ENV = "PGLOADER_SPARK_JPEG_BACKEND"
 _jpeg_pil_probe: bool | None = None  # None = not yet probed
 
@@ -1578,7 +1597,7 @@ def media_luma_stats(
             )
 
     id_type = df.schema[id_col].dataType.simpleString()
-    return df.mapInPandas(
+    return ensure_parallelism(df).mapInPandas(
         stats,
         f"{id_col} {id_type}, width int, height int, mean_luma double, "
         "min_luma double, max_luma double",

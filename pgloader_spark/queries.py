@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from pgloader_spark.functions import transforms as tr
+from pgloader_spark.operators import multimodal as _mm
 from pgloader_spark.operators import dedup, similarity
 from pgloader_spark.operators import text as txt
 from pgloader_spark.operators.projection import ColumnSpec, FieldSpec, Projection
@@ -1466,7 +1467,9 @@ def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     docs = read_table(spark, sf_dir, "documents", widen=True).select("doc_id")
-    imgs = docs.mapInPandas(synth, "doc_id long, payload binary")
+    imgs = _mm.ensure_parallelism(docs).mapInPandas(
+        synth, "doc_id long, payload binary"
+    )
     return (
         media_ahash(imgs)
         .filter(F.col("ahash").isNotNull())
@@ -1524,7 +1527,9 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     docs = read_table(spark, sf_dir, "documents", widen=True).select("doc_id")
-    avis = docs.mapInPandas(synth, "doc_id long, payload binary")
+    avis = _mm.ensure_parallelism(docs).mapInPandas(
+        synth, "doc_id long, payload binary"
+    )
     frames = video_frames(avis)
 
     def dims(batches):
@@ -1602,7 +1607,9 @@ def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     docs = read_table(spark, sf_dir, "documents", widen=True).select("doc_id")
-    wavs = docs.mapInPandas(synth, "doc_id long, payload binary")
+    wavs = _mm.ensure_parallelism(docs).mapInPandas(
+        synth, "doc_id long, payload binary"
+    )
     return (
         media_audio_fingerprint(wavs)
         .filter(F.col("fp").isNotNull())
@@ -1701,7 +1708,9 @@ def multimodal_jpeg_luma_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents", widen=True).select(
         "doc_id", "n_chars"
     )
-    jpegs = docs.mapInPandas(synth, "doc_id long, payload binary")
+    jpegs = _mm.ensure_parallelism(docs).mapInPandas(
+        synth, "doc_id long, payload binary"
+    )
     return media_luma_stats(jpegs).select(
         "doc_id",
         "width",
