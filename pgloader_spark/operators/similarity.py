@@ -24,6 +24,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from pgloader_spark.operators.multimodal import (
+    ensure_parallelism as _floor_parallelism,
+)
 from pyspark.sql.window import Window
 
 from pgloader_spark.operators.dedup import md5_hash64
@@ -831,7 +835,7 @@ def pq_encode(
                 codes[:, s] = np.argmin(np.round(d2, 6), axis=1)
             yield pd.DataFrame({"id": pdf[id_col], "codes": list(codes)})
 
-    out = df.select(id_col, vec_col).mapInPandas(
+    out = _floor_parallelism(df.select(id_col, vec_col)).mapInPandas(
         encode, f"id {dict(df.dtypes)[id_col]}, codes array<int>"
     )
     return out.select(F.col("id").alias(id_col), "codes")
@@ -999,7 +1003,7 @@ def ivfpq_encode(
                 }
             )
 
-    out = df.select(id_col, vec_col).mapInPandas(
+    out = _floor_parallelism(df.select(id_col, vec_col)).mapInPandas(
         encode, f"id {dict(df.dtypes)[id_col]}, cell int, codes array<int>"
     )
     return out.select(F.col("id").alias(id_col), "cell", "codes")
