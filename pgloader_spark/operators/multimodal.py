@@ -1313,7 +1313,14 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     blind-spot class as the r7 edit-distance AQE lesson, on the input
     side).  At real scale the scan already splits (~128 MB per task)
     and this is a no-op; when it does trigger, the shuffle it adds is
-    small by the same premise that makes it necessary."""
+    small by the same premise that makes it necessary.
+
+    Streaming frames pass through untouched: ``df.rdd`` is illegal on
+    them, their micro-batch sources control partitioning, and the
+    streaming consumers of these stages (frozen-codebook PQ inference)
+    rely on the stage staying stateless-narrow."""
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     n = sc.defaultParallelism
     if df.rdd.getNumPartitions() < n:
