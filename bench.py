@@ -75,6 +75,12 @@ HEADLINE = [
     # comparisons use the shared-query subset as always
     "multimodal_jpeg_luma_stats",
     "sample_weighted_topk",
+    # round-9: the frozen-model gate variants (r8 ask #1) — same
+    # distributed kernels as the trained twins above, index/merges
+    # fixed as committed literals; cross-round totals keep using the
+    # shared-query subset
+    "similarity_ivfpq_frozen_topk",
+    "text_bpe_frozen_segment",
 ]
 
 RUNS = 3
@@ -313,12 +319,18 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 4)
+    from pgloader_spark.operators.multimodal import jpeg_backend
+
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # r8 advice: artifacts record which JPEG decode backend ran
+        # (the gate query pins 'pure'; this reports the host's auto
+        # resolution for the non-pinned multimodal stages)
+        "jpeg_backend": jpeg_backend(),
     }
     if etl is not None:
         out["etl"] = etl

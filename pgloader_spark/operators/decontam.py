@@ -152,10 +152,10 @@ def semantic_decontaminate(
             hit = np.nanmax(cos, axis=1) >= tau if cos.size else np.zeros(len(ids), bool)
             yield pd.DataFrame({"id": ids, "contaminated": hit})
 
-    from pgloader_spark.operators.multimodal import ensure_parallelism
+    from pgloader_spark.session import ensure_parallelism
 
     # CPU-dense Python stage over a raw scan: floor its parallelism
-    # (see multimodal.ensure_parallelism — the r8 one-partition lesson)
+    # (see session.ensure_parallelism — the r8 one-partition lesson)
     flags = ensure_parallelism(
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     ).mapInPandas(flag, schema)

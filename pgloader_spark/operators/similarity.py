@@ -24,11 +24,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-
-from pgloader_spark.operators.multimodal import (
-    ensure_parallelism as _floor_parallelism,
-)
 from pyspark.sql.window import Window
+
+from pgloader_spark.session import ensure_parallelism as _floor_parallelism
 
 from pgloader_spark.operators.dedup import md5_hash64
 

@@ -1123,8 +1123,12 @@ def execute_database(ctx: ExecutionContext, cmd: LoadCommand) -> list[LoadReport
             if not keys:
                 log.warning("verify load: %s has no PK/unique key, skipped", rep.table)
                 continue
-            items.append((rep.result, rep.target_path, keys, tbl.name))
-            verify_reps[tbl.name] = rep
+            # label/key by target_path (the qualified schema.table for
+            # PG targets, the lake path for parquet) — keying by the
+            # bare tbl.name silently collapsed same-named tables from
+            # different schemas into one verify slot (r8 advice)
+            items.append((rep.result, rep.target_path, keys, rep.target_path))
+            verify_reps[rep.target_path] = rep
         if items:
             if pg_target:
                 vrows = verify_migration(ctx.spark, target, items).collect()

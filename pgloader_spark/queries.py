@@ -1711,7 +1711,9 @@ def multimodal_jpeg_luma_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     jpegs = _mm.ensure_parallelism(docs).mapInPandas(
         synth, "doc_id long, payload binary"
     )
-    return media_luma_stats(jpegs).select(
+    # jpeg_backend pinned 'pure': this row is oracle-graded, so the
+    # result must not depend on whether the worker has PIL (r8 advice)
+    return media_luma_stats(jpegs, jpeg_backend="pure").select(
         "doc_id",
         "width",
         "height",
@@ -2084,14 +2086,19 @@ _PRIORITY = [
     # levenshtein), asymmetric containment, embedding-semantic
     "dedup_exact", "dedup_minhash_bands", "dedup_token_jaccard",
     "dedup_containment", "dedup_edit_distance", "dedup_semantic",
-    # similarity: brute-force baseline + the IVF-PQ scale path
-    # (rows-only driver check — PQ codebooks aren't SQL-expressible)
-    "similarity_cosine_topk", "similarity_ivfpq_topk",
+    # similarity: brute-force baseline + the IVF-PQ scale path.  r9:
+    # the FROZEN-index variant replaces the trained one in the window
+    # (r8 ask #1) — same distributed kernels, but with the committed
+    # integer-quantized index the driver gets a true hash-green row
+    # instead of rows-only; the trained variant stays registered and
+    # parity-graded right below the window.
+    "similarity_cosine_topk", "similarity_ivfpq_frozen_topk",
     # sampling: DSIR + derandomized weighted (Efraimidis-Spirakis)
     "sample_dsir_weights", "sample_weighted_topk",
-    # text: quality scoring, BM25 retrieval, BPE tokenization
-    # (rows-only: iterative merges aren't SQL-expressible)
-    "text_quality_stats", "text_bm25_topk", "text_bpe_tokenize",
+    # text: quality scoring, BM25 retrieval, BPE segmentation with the
+    # committed frozen merge list (r9, r8 ask #1 — hash-green; the
+    # train-then-segment variant stays registered below the window)
+    "text_quality_stats", "text_bm25_topk", "text_bpe_frozen_segment",
     # sketches
     "sketch_hll_distinct",
     # multimodal: metadata plumbing + the JPEG pixel codec path

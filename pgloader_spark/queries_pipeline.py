@@ -1980,6 +1980,72 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.bpe_segment_counts(docs, merges).orderBy("doc_id")
 
 
+def _duck_bpe_frozen_sql() -> str:
+    """DuckDB oracle for segmentation with the FROZEN merge list.
+
+    ``bpe_segment_counts`` applies each merge rank as one greedy
+    left-to-right pass over the word's symbol array.  With symbols
+    rendered as a \\x1f-delimited string — single-\\x1f guards at the
+    ends, double-\\x1f between symbols — that pass is EXACTLY one
+    non-overlapping ``replace('<s>L<s><s>R<s>' -> '<s>LR<s>')``: the
+    match consumes one separator from each double boundary, leaving
+    the other to guard the next match (so 'a a a a' merges twice,
+    like the fold), and full delimiting means a rule can never match
+    a symbol's substring.  Tokens are [a-z0-9]+ so \\x1f never
+    collides.  Segment count = split on the double separator.
+    """
+    from pgloader_spark.frozen_models import BPE_MERGES
+
+    s1, s2 = chr(31), chr(31) * 2
+    expr = "s"
+    for _rank, left, right, merged, _pc in BPE_MERGES:
+        expr = (
+            f"replace({expr}, '{s1}{left}{s2}{right}{s1}', "
+            f"'{s1}{merged}{s1}')"
+        )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS word FROM documents),
+seg0 AS (
+  SELECT word,
+         '{s1}' || array_to_string(
+             list_transform(range(1, length(word) + 1),
+                 i -> CASE WHEN i = length(word)
+                      THEN substr(word, i, 1) || '</w>'
+                      ELSE substr(word, i, 1) END),
+             '{s2}') || '{s1}' AS s
+  FROM (SELECT DISTINCT word FROM tok)),
+ws AS (
+  SELECT word, CAST(len(str_split({expr}, '{s2}')) AS BIGINT) AS n_sub
+  FROM seg0),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(n_sub) AS BIGINT) AS n_subwords
+  FROM tok JOIN ws USING (word) GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_subwords,
+       round(n_subwords / CAST(n_tokens AS DOUBLE), 6) AS subwords_per_token
+FROM agg ORDER BY doc_id
+"""
+
+
+@query("text_bpe_frozen_segment", oracle=_duck_bpe_frozen_sql())
+def text_bpe_frozen_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEGMENT the corpus with the committed frozen merge list
+    (frozen_models.BPE_MERGES, trained once by the production trainer
+    — the deployment shape: a tokenizer is trained once and applied
+    to every corpus thereafter).  Same distributed kernel as
+    text_bpe_tokenize (operators/text.py:bpe_segment_counts: the
+    per-rank fold runs on the DISTINCT-WORD table, one word-keyed
+    join carries counts back), but with the merges fixed the whole
+    computation is deterministic and the DuckDB oracle replicates it
+    with nested replace() — this is the hash-green gate row for the
+    BPE family (r8 verdict ask #1)."""
+    from pgloader_spark.frozen_models import BPE_MERGES
+
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    return txt.bpe_segment_counts(docs, BPE_MERGES).orderBy("doc_id")
+
+
 @query(
     "text_passage_bm25",
     oracle=f"""
@@ -2997,6 +3063,133 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
     return ivfpq_topk(emb, queries_df, coarse, cbs, k=10, n_probe=2)
+
+
+def _duck_ivfpq_frozen_sql() -> str:
+    """DuckDB oracle for the FROZEN integer-quantized IVF-PQ scan.
+
+    With the trained artifacts committed as integer literals
+    (frozen_models.IVFPQ_*) and vectors quantized round(x*1000),
+    every distance is an exact int64 (max ~2^35, far under 2^53), so
+    numpy's expanded-form d2 and SQL's (a-b)^2 sum are the SAME
+    number — argmin/tie-break/hash cannot drift across engines.
+    Replicates ivfpq_encode (coarse argmin -> residual PQ codes, ties
+    to the low index) and ivfpq_topk (2-probe, per-(query,cell) LUT,
+    ADC sum, rank by (adist, n_id)).
+    """
+    from pgloader_spark.frozen_models import (
+        IVFPQ_CODEBOOKS,
+        IVFPQ_COARSE,
+        IVFPQ_QUANT_SCALE,
+    )
+
+    m = len(IVFPQ_CODEBOOKS)
+    dsub = len(IVFPQ_CODEBOOKS[0][0])
+    dim = len(IVFPQ_COARSE[0])
+    cells_vals = ", ".join(
+        f"({ci}, CAST({c!r} AS BIGINT[]))" for ci, c in enumerate(IVFPQ_COARSE)
+    )
+    cb_vals = ", ".join(
+        f"({s}, {j}, CAST({code!r} AS BIGINT[]))"
+        for s, cb in enumerate(IVFPQ_CODEBOOKS)
+        for j, code in enumerate(cb)
+    )
+    # exact-int L2^2 between vector slice (v - c as residual) and a code
+    sub_d2 = (
+        f"CAST(list_sum(list_transform(range(1, {dsub + 1}), d -> "
+        f"(cb.cv[d] - (VV[cb.s * {dsub} + d] - CC[cb.s * {dsub} + d])) * "
+        f"(cb.cv[d] - (VV[cb.s * {dsub} + d] - CC[cb.s * {dsub} + d]))"
+        f")) AS BIGINT)"
+    )
+    cell_d2 = (
+        f"CAST(list_sum(list_transform(range(1, {dim + 1}), i -> "
+        f"(VV[i] - cells.c[i]) * (VV[i] - cells.c[i]))) AS BIGINT)"
+    )
+    return f"""
+WITH qe AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * {IVFPQ_QUANT_SCALE})
+                       AS BIGINT)) AS v
+  FROM embeddings),
+cells(cell, c) AS (VALUES {cells_vals}),
+cb(s, j, cv) AS (VALUES {cb_vals}),
+asg AS (
+  SELECT vec_id, v, cell, c,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+  FROM (SELECT qe.vec_id, qe.v, cells.cell, cells.c,
+               {cell_d2.replace("VV", "qe.v")} AS d2
+        FROM qe CROSS JOIN cells)),
+enc AS (SELECT vec_id, v, cell, c FROM asg WHERE rn = 1),
+codes AS (
+  SELECT vec_id, cell, s, j FROM (
+    SELECT e.vec_id, e.cell, cb.s, cb.j,
+           row_number() OVER (PARTITION BY e.vec_id, cb.s
+                              ORDER BY {sub_d2.replace("VV", "e.v").replace("CC", "e.c")},
+                                       cb.j) AS rn
+    FROM enc e CROSS JOIN cb)
+  WHERE rn = 1),
+qs AS (SELECT vec_id AS q_id, v AS qv FROM qe WHERE vec_id % 50 = 0),
+probe AS (
+  SELECT q_id, qv, cell, c FROM (
+    SELECT q_id, qv, cell, c,
+           row_number() OVER (PARTITION BY q_id ORDER BY d2, cell) AS rn
+    FROM (SELECT qs.q_id, qs.qv, cells.cell, cells.c,
+                 {cell_d2.replace("VV", "qs.qv")} AS d2
+          FROM qs CROSS JOIN cells))
+  WHERE rn <= 2),
+lut AS (
+  SELECT p.q_id, p.cell, cb.s, cb.j,
+         {sub_d2.replace("VV", "p.qv").replace("CC", "p.c")} AS ld
+  FROM probe p CROSS JOIN cb),
+scored AS (
+  SELECT l.q_id, cd.vec_id AS n_id, CAST(SUM(l.ld) AS BIGINT) AS adist
+  FROM codes cd
+  JOIN lut l ON l.cell = cd.cell AND l.s = cd.s AND l.j = cd.j
+  WHERE cd.vec_id <> l.q_id
+  GROUP BY l.q_id, cd.vec_id
+  HAVING COUNT(*) = {m})
+SELECT q_id, n_id, adist, rank FROM (
+  SELECT q_id, n_id, adist,
+         CAST(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY adist, n_id) AS INTEGER) AS rank
+  FROM scored)
+WHERE rank <= 10
+"""
+
+
+@query("similarity_ivfpq_frozen_topk", oracle=_duck_ivfpq_frozen_sql())
+def similarity_ivfpq_frozen_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-PQ scan with the trained index FROZEN as committed
+    integer literals (frozen_models.IVFPQ_*) — the deployment shape:
+    an ANN index is trained once, then queries run against the fixed
+    artifact.  Same distributed kernels as similarity_ivfpq_topk
+    (operators/similarity.py:ivfpq_encode/ivfpq_topk: cell-pruned
+    broadcast LUT join, rows outside the 2 probed cells never
+    scored); vectors are quantized round(x*1000) so ALL distance
+    arithmetic is exact int64 and the DuckDB oracle hash-matches
+    bit-for-bit — the hash-green gate row for the IVF-PQ family
+    (r8 verdict ask #1)."""
+    from pgloader_spark.frozen_models import (
+        IVFPQ_CODEBOOKS,
+        IVFPQ_COARSE,
+        IVFPQ_QUANT_SCALE,
+    )
+    from pgloader_spark.operators.similarity import ivfpq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings", widen=True)
+    quant = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round(x * IVFPQ_QUANT_SCALE, 0),
+    )
+    emb_q = emb.select("vec_id", quant.alias("embedding"))
+    queries_df = emb_q.filter(F.col("vec_id") % 50 == 0)
+    coarse = [[float(v) for v in c] for c in IVFPQ_COARSE]
+    cbs = [[[float(v) for v in code] for code in cb] for cb in IVFPQ_CODEBOOKS]
+    out = ivfpq_topk(emb_q, queries_df, coarse, cbs, k=10, n_probe=2)
+    return out.select(
+        "q_id", "n_id", F.col("adist").cast("long").alias("adist"), "rank"
+    )
 
 
 @query("similarity_pq_quality")  # the PQ arm is Lloyd-trained

@@ -142,6 +142,32 @@ def read_table(
     return df
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Floor a CPU-dense Python stage's input at defaultParallelism
+    partitions.
+
+    Byte-based partitioning is blind to per-row CPU cost: a 5000-image
+    corpus is one parquet row-group, so a decode stage inheriting the
+    scan's layout runs on ONE core (measured r8: the JPEG luma pass
+    read 17x wall for 10x data purely from this starvation — the same
+    blind-spot class as the r7 edit-distance AQE lesson, on the input
+    side).  At real scale the scan already splits (~128 MB per task)
+    and this is a no-op; when it does trigger, the shuffle it adds is
+    small by the same premise that makes it necessary.
+
+    Streaming frames pass through untouched: ``df.rdd`` is illegal on
+    them, their micro-batch sources control partitioning, and the
+    streaming consumers of these stages (frozen-codebook PQ inference)
+    rely on the stage staying stateless-narrow."""
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Read every testdata table under ``sf_dir`` and register temp views."""
     out: dict[str, DataFrame] = {}

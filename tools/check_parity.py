@@ -237,11 +237,16 @@ def main() -> int:
     # Full (unfiltered) runs evidence COVERAGE.md's "all queries hash-
     # match" claim with a committed artifact the judge can diff.
     if not only:
+        from pgloader_spark.operators.multimodal import jpeg_backend
+
         out = {
             "sf_dir": sf_dir,
             "n_queries": len(results),
             "n_pass": n_pass,
             "n_fail": n_fail,
+            # r8 advice: record the decode backend the run resolved
+            # (gate-graded luma stats pin 'pure' regardless)
+            "jpeg_backend": jpeg_backend(),
             "queries": results,
         }
         path = os.path.join(os.path.dirname(__file__), "..", "PARITY.json")
