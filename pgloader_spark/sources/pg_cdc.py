@@ -50,6 +50,49 @@ def lsn_to_int(lsn: str) -> int:
     return (int(hi, 16) << 32) | int(lo, 16)
 
 
+def _unquote(ident: str) -> str:
+    """Strip PostgreSQL double-quote delimiters and unescape ``""``."""
+    ident = ident.strip()
+    if len(ident) >= 2 and ident[0] == '"' and ident[-1] == '"':
+        return ident[1:-1].replace('""', '"')
+    return ident
+
+
+def _split_table_list(head: str) -> list[str]:
+    """Split ``s.t1, s."we,ird"`` on commas OUTSIDE double quotes —
+    a naive split mis-parses quoted identifiers containing commas
+    into bogus table entries (r8 advice)."""
+    items: list[str] = []
+    buf: list[str] = []
+    inq = False
+    for ch in head:
+        if ch == '"':
+            inq = not inq
+            buf.append(ch)
+        elif ch == "," and not inq:
+            if "".join(buf).strip():
+                items.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    if "".join(buf).strip():
+        items.append("".join(buf).strip())
+    return items
+
+
+def _split_qualified(qual: str) -> tuple[str, str]:
+    """``schema.table`` -> (schema, table), honoring double quotes:
+    the separator is the first '.' outside quotes, and the parts come
+    back unquoted (``pub."dot.ted"`` -> ('pub', 'dot.ted'))."""
+    inq = False
+    for i, ch in enumerate(qual):
+        if ch == '"':
+            inq = not inq
+        elif ch == "." and not inq:
+            return _unquote(qual[:i]), _unquote(qual[i + 1 :])
+    return "", _unquote(qual)
+
+
 def parse_test_decoding(data: str) -> dict | None:
     """Parse one test_decoding line into
     {schema, table, op, cols: {name: str|None}}; BEGIN/COMMIT/other
@@ -71,9 +114,15 @@ def parse_test_decoding(data: str) -> dict | None:
       True`` for the caller to reject loudly (it is unapplyable);
     - TRUNCATE prints one line for the whole statement
       (``table s.t1, s.t2: TRUNCATE: ...``) — parsed as op ``T``
-      with ``truncate: True`` and ``all_tables`` so table matching
-      and the apply path SEE it (pre-r8 it parsed to None, i.e. a
-      source truncate silently never reached the target).
+      with ``truncate: True``, display ``all_tables`` and lossless
+      ``tables`` (schema, table) pairs so table matching and the
+      apply path SEE it (pre-r8 it parsed to None, i.e. a source
+      truncate silently never reached the target; since r9 the
+      replicate loop REPLAYS it via window splitting).
+
+    Identifier lists honor PostgreSQL double-quoting: commas and
+    dots inside quoted names don't split, and names come back
+    unquoted with ``""`` unescaped (r8 advice).
     """
     if not data.startswith("table "):
         return None
@@ -84,20 +133,25 @@ def parse_test_decoding(data: str) -> dict | None:
         # ``table s.t1, s.t2: TRUNCATE: (no flags)`` — parse EVERY
         # named table so the event can never slip past table matching
         # (a silently dropped TRUNCATE is silent target divergence)
-        tables = [t.strip() for t in head.split(",") if t.strip()]
-        s0, _, t0 = tables[0].rpartition(".")
+        parsed_tabs = [
+            _split_qualified(t) for t in _split_table_list(head)
+        ]
+        s0, t0 = parsed_tabs[0]
         return {
             "schema": s0 or "public",
             "table": t0,
             "op": "T",
             "cols": {},
             "truncate": True,
-            "all_tables": tables,
+            # display strings (unquoted); ``tables`` carries the
+            # lossless (schema, table) pairs matching operates on
+            "all_tables": [f"{s}.{t}" if s else t for s, t in parsed_tabs],
+            "tables": [(s or "public", t) for s, t in parsed_tabs],
             "flags": payload.strip(),
         }
     if op not in ("INSERT", "UPDATE", "DELETE"):
         return None
-    schema, _, table = head.rpartition(".")
+    schema, table = _split_qualified(head)
     out = {
         "schema": schema or "public",
         "table": table,
@@ -216,15 +270,20 @@ def _table_matches(change: dict, want: str) -> bool:
     name alone otherwise (the unqualified form conflates same-named
     tables across schemas; qualify when the source has more than
     ``public``).  A TRUNCATE event lists every table of its statement
-    and matches if ANY of them does."""
+    and matches if ANY of them does.  Table names CONTAINING dots
+    (quoted on the source) also match — either bare (``dot.ted``) or
+    schema-qualified (``other.dot.ted``), tried as exact strings
+    after the conventional last-dot split."""
     ws, _, wt = want.rpartition(".")
+
+    def hit(s: str, t: str) -> bool:
+        if t == wt and (not ws or s == ws):
+            return True
+        return t == want or f"{s}.{t}" == want
+
     if change.get("truncate"):
-        for qual in change["all_tables"]:
-            s, _, t = qual.rpartition(".")
-            if t == wt and (not ws or (s or "public") == ws):
-                return True
-        return False
-    return change["table"] == wt and (not ws or change["schema"] == ws)
+        return any(hit(s, t) for s, t in change["tables"])
+    return hit(change["schema"], change["table"])
 
 
 def _changes_to_rows(
@@ -254,19 +313,18 @@ def _changes_to_rows(
     seq = 0
     for c in mine:
         if c.get("truncate"):
-            # Unimplemented on the apply side BY CHOICE: the upsert
-            # apply collapses last-op-per-key, and a mid-window
-            # truncate splits that window into before/after halves —
-            # silently dropping it (the pre-r8 behavior: the parser
-            # returned None) diverges the target until the next
-            # verify.  Loud > lossy, same policy as schema drift.
+            # replicate_pg_table(s) split the window on truncates
+            # BEFORE building rows (r9: truncates replay via
+            # apply_pg_cdc(truncate_first=True) in their own
+            # epoch-logged sub-transactions); reaching this raise
+            # means a caller bypassed _split_on_truncate — stay loud
+            # rather than silently dropping the event.
             raise ValueError(
                 f"TRUNCATE of {', '.join(c['all_tables'])} in the "
-                "change stream: the CDC apply does not replay "
-                "truncates.  TRUNCATE the target table(s) yourself "
-                "and advance the slot past this window "
-                "(advance_cdc_slot), or re-snapshot via "
-                "bootstrap_replication"
+                "change stream reached _changes_to_rows: split the "
+                "window first (_split_on_truncate, as "
+                "replicate_pg_table does) — truncates cannot be "
+                "collapsed into the upsert row set"
             )
         extra = set(c["cols"]) - known if c.get("cols") else set()
         if extra:
@@ -302,6 +360,54 @@ def _changes_to_rows(
     return rows
 
 
+def _split_on_truncate(
+    mine: list[dict], window_epoch: int
+) -> list[tuple[bool, bool, list[dict], int]]:
+    """Split one table's window at TRUNCATE events into apply
+    segments: [(truncate_first, restart_identity, ops, epoch_id)].
+
+    Each segment becomes its own epoch-logged ``apply_pg_cdc``
+    transaction (the TRUNCATE runs inside it, before the ops), so the
+    sequence replays exactly-once: a crash between segments re-peeks
+    the same window, completed segments' epochs no-op, the rest apply.
+    Epoch ids are replay-stable — the boundary truncate's own LSN for
+    non-final segments, the window's commit LSN (``window_epoch``,
+    the same id the truncate-free path logs) for the final one.
+
+    CASCADE truncates raise: the target's FK graph may differ from
+    the source's, so cascading there could truncate tables this
+    pipeline does not replicate — loud > lossy, manual remediation
+    (as pre-r9 for all truncates).
+    """
+    segs: list[tuple[bool, bool, list[dict], int]] = []
+    trunc_first, restart = False, False
+    ops: list[dict] = []
+    for c in mine:
+        if not c.get("truncate"):
+            ops.append(c)
+            continue
+        flags = c.get("flags", "")
+        if "cascade" in flags:
+            raise ValueError(
+                f"CASCADE TRUNCATE of {', '.join(c['all_tables'])} in "
+                "the change stream: replaying it on the target could "
+                "cascade into tables this pipeline does not replicate "
+                "(the target's FK graph may differ).  TRUNCATE the "
+                "target table(s) yourself and advance the slot past "
+                "this window (advance_cdc_slot), or re-snapshot via "
+                "bootstrap_replication"
+            )
+        # close the running segment at this truncate's LSN
+        if ops or trunc_first:
+            segs.append((trunc_first, restart, ops, lsn_to_int(c["lsn"])))
+        trunc_first, restart = True, "restart_seqs" in flags
+        ops = []
+    segs.append((trunc_first, restart, ops, window_epoch))
+    # an empty leading segment (window starts with a truncate) is a
+    # no-op: drop it rather than spend a transaction
+    return [s for s in segs if s[0] or s[2]]
+
+
 def _check_unmatched(changes: list[dict], wants: list[str]) -> None:
     """Refuse to advance past events no requested table claims."""
     stray = sorted(
@@ -318,6 +424,45 @@ def _check_unmatched(changes: list[dict], wants: list[str]) -> None:
             "Replicate them too (replicate_pg_tables), or pass "
             "strict=False to discard deliberately"
         )
+
+
+def _apply_table_window(
+    spark: SparkSession,
+    dst_dsn: str,
+    table: str,
+    key_cols: list[str],
+    mine: list[dict],
+    window_epoch: int,
+    col_names: list[str],
+    n_writers: int | None,
+    skip_unapplyable: bool,
+) -> int:
+    """Apply one table's change window, splitting on TRUNCATE events
+    (r9, r8 verdict ask #4): each segment — the TRUNCATE (issued on
+    the target inside the transaction, before the ops) plus the ops
+    up to the next boundary — is one epoch-logged ``apply_pg_cdc``
+    call, so replay after a crash skips completed segments and the
+    whole window stays exactly-once.  Returns data rows applied
+    (upserts + deletes; a truncate itself is not counted)."""
+    from pgloader_spark.sources.pg_live import apply_pg_cdc
+
+    schema = (
+        ", ".join(f"`{n}` string" for n in col_names) + ", op string, seq long"
+    )
+    total = 0
+    for trunc, restart, ops, seg_epoch in _split_on_truncate(
+        mine, window_epoch
+    ):
+        rows = _changes_to_rows(ops, col_names, skip_unapplyable)
+        df = spark.createDataFrame(rows, schema)
+        total += sum(
+            apply_pg_cdc(
+                df, dst_dsn, table, key_cols=key_cols, seq_col="seq",
+                n_writers=n_writers, epoch_id=seg_epoch,
+                truncate_first=trunc, truncate_restart_identity=restart,
+            )[1:]
+        )
+    return total
 
 
 def replicate_pg_table(
@@ -347,7 +492,7 @@ def replicate_pg_table(
     advance when the window holds events for tables this call is not
     replicating (route multi-table slots to ``replicate_pg_tables``).
     """
-    from pgloader_spark.sources.pg_live import apply_pg_cdc, introspect_pg
+    from pgloader_spark.sources.pg_live import introspect_pg
 
     want = src_table or table
     changes, max_lsn = peek_cdc_changes(src_dsn, slot)
@@ -359,22 +504,9 @@ def replicate_pg_table(
             advance_cdc_slot(src_dsn, slot, max_lsn)
         return 0
     col_names = [f.name for f in introspect_pg(dst_dsn)[table.split(".")[-1]]]
-    rows = _changes_to_rows(mine, col_names, skip_unapplyable)
-    schema = (
-        ", ".join(f"`{n}` string" for n in col_names) + ", op string, seq long"
-    )
-    df = spark.createDataFrame(rows, schema)
-    epoch = lsn_to_int(max_lsn)
-    applied = sum(
-        apply_pg_cdc(
-            df,
-            dst_dsn,
-            table,
-            key_cols=key_cols,
-            seq_col="seq",
-            n_writers=n_writers,
-            epoch_id=epoch,
-        )[1:]
+    applied = _apply_table_window(
+        spark, dst_dsn, table, key_cols, mine, lsn_to_int(max_lsn),
+        col_names, n_writers, skip_unapplyable,
     )
     advance_cdc_slot(src_dsn, slot, max_lsn)
     return applied
@@ -400,7 +532,7 @@ def replicate_pg_tables(
     Events for tables outside ``tables`` are DISCARDED when the
     cursor advances; ``strict=True`` raises instead (one slot should
     drive exactly the table set it replicates)."""
-    from pgloader_spark.sources.pg_live import apply_pg_cdc, introspect_pg
+    from pgloader_spark.sources.pg_live import introspect_pg
 
     changes, max_lsn = peek_cdc_changes(src_dsn, slot)
     applied: dict[str, int] = {}
@@ -421,17 +553,9 @@ def replicate_pg_tables(
         col_names = [
             f.name for f in introspect_pg(dst_dsn)[table.split(".")[-1]]
         ]
-        rows = _changes_to_rows(mine, col_names, skip_unapplyable)
-        schema = (
-            ", ".join(f"`{n}` string" for n in col_names)
-            + ", op string, seq long"
-        )
-        df = spark.createDataFrame(rows, schema)
-        applied[table] = sum(
-            apply_pg_cdc(
-                df, dst_dsn, table, key_cols=key_cols, seq_col="seq",
-                n_writers=n_writers, epoch_id=epoch,
-            )[1:]
+        applied[table] = _apply_table_window(
+            spark, dst_dsn, table, key_cols, mine, epoch,
+            col_names, n_writers, skip_unapplyable,
         )
     advance_cdc_slot(src_dsn, slot, max_lsn)
     return applied

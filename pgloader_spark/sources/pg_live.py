@@ -807,6 +807,8 @@ def apply_pg_cdc(
     seq_col: str | None = None,
     n_writers: int | None = None,
     epoch_id: int | None = None,
+    truncate_first: bool = False,
+    truncate_restart_identity: bool = False,
 ) -> tuple[int, int, int]:
     """Apply a CDC batch (op column: I/U/D) in ONE server-side
     transaction: collapsed last-op-per-key semantics — deletes remove,
@@ -833,6 +835,12 @@ def apply_pg_cdc(
     runs under a session advisory lock keyed on the stage name —
     concurrent applies to the same target queue instead of
     DROP/recreating each other's stage mid-flight.
+
+    ``truncate_first`` empties the target INSIDE the apply
+    transaction before the ops land — how pg_cdc's window splitting
+    replays a source TRUNCATE (``truncate_restart_identity`` maps the
+    stream's restart_seqs flag); transactional, so crash-safety and
+    the epoch guarantee are unchanged.
     """
     staging = sibling_table(table, "__cdc_stage")
     log = quote_qualified(sibling_table(table, "__epochs"))
@@ -903,6 +911,19 @@ def apply_pg_cdc(
         key_eq = " AND ".join(f't."{k}" = d."{k}"' for k in key_cols)
         with PGConn(dsn) as conn:
             conn.query("BEGIN")
+            if truncate_first:
+                # replayed source TRUNCATE (pg_cdc window splitting):
+                # transactional in PostgreSQL, so a crash before COMMIT
+                # leaves the target untouched and the epoch log keeps
+                # the replay exactly-once like any other segment
+                conn.query(
+                    f"TRUNCATE {q_target}"
+                    + (
+                        " RESTART IDENTITY"
+                        if truncate_restart_identity
+                        else ""
+                    )
+                )
             _, drows = conn.query(
                 f"WITH last AS {last}, del AS ("
                 f"DELETE FROM {q_target} t USING "

@@ -605,11 +605,14 @@ def test_changes_to_rows_truncate_raises():
         _changes_to_rows(tr, ["id", "v"], skip_unapplyable=True)
 
 
-def test_mid_stream_truncate_rejects_then_recovers(logical_dsn, spark):
-    """Live: a source TRUNCATE mid-stream raises before anything
-    applies (slot un-advanced), and the documented remediation —
-    truncate the target, advance past the window — converges."""
-    from pgloader_spark.sources.pg_cdc import peek_cdc_changes
+def test_mid_stream_truncate_replays_and_converges(logical_dsn, spark):
+    """Live (r9, r8 verdict ask #4): a source TRUNCATE mid-stream is
+    REPLAYED by window splitting — pre-truncate ops apply, the target
+    truncates inside the epoch transaction, post-truncate ops apply —
+    and the target converges to the source under verify_replication.
+    A second drain of the already-advanced stream stays exactly-once.
+    """
+    from pgloader_spark.plans.verify_load import verify_replication
 
     dsn = logical_dsn
     with PGConn(dsn) as c:
@@ -617,42 +620,85 @@ def test_mid_stream_truncate_rejects_then_recovers(logical_dsn, spark):
         c.query("CREATE TABLE trunc_dst (id bigint PRIMARY KEY, v text)")
     create_cdc_slot(dsn, "s_trunc")
     try:
+        # one window holding ops BEFORE the truncate, the truncate,
+        # and ops AFTER it — the exact shape the old code raised on
         with PGConn(dsn) as c:
             c.query("INSERT INTO trunc_src VALUES (1, 'one'), (2, 'two')")
-        assert replicate_pg_table(
-            spark, dsn, "s_trunc", dsn, "trunc_dst", key_cols=["id"],
-            src_table="trunc_src",
-        ) >= 1
-
-        with PGConn(dsn) as c:
+            c.query("UPDATE trunc_src SET v = 'ONE' WHERE id = 1")
             c.query("TRUNCATE trunc_src")
             c.query("INSERT INTO trunc_src VALUES (3, 'three')")
-        with pytest.raises(ValueError, match="TRUNCATE"):
-            replicate_pg_table(
-                spark, dsn, "s_trunc", dsn, "trunc_dst", key_cols=["id"],
-                src_table="trunc_src",
-            )
-        with PGConn(dsn) as c:  # nothing applied
-            _, rows = c.query("SELECT id FROM trunc_dst ORDER BY id")
-            assert rows == [("1",), ("2",)]
-
-        # remediation: truncate the target, advance past the window
-        _, max_lsn = peek_cdc_changes(dsn, "s_trunc")
+            c.query("TRUNCATE trunc_src")  # consecutive windows split too
+            c.query("INSERT INTO trunc_src VALUES (4, 'four'), (5, 'five')")
+            c.query("DELETE FROM trunc_src WHERE id = 5")
+        applied = replicate_pg_table(
+            spark, dsn, "s_trunc", dsn, "trunc_dst", key_cols=["id"],
+            src_table="trunc_src",
+        )
+        # keys 1,2 upsert (seg 0) + 3 (seg 1) + 4 (seg 2); key 5's
+        # insert+delete collapse to a no-row delete; truncates uncounted
+        assert applied == 4
+        row = verify_replication(
+            spark, dsn, dsn, "trunc_src", "trunc_dst", ["id"]
+        ).collect()[0]
+        assert row.match, row
         with PGConn(dsn) as c:
-            c.query("TRUNCATE trunc_dst")
-        advance_cdc_slot(dsn, "s_trunc", max_lsn)
-        # post-truncate inserts were inside the advanced window, so
-        # re-seed the row the way a re-snapshot would, then verify the
-        # NEXT drain cycle applies cleanly
-        with PGConn(dsn) as c:
-            c.query("INSERT INTO trunc_dst VALUES (3, 'three')")
-            c.query("INSERT INTO trunc_src VALUES (4, 'four')")
+            _, rows = c.query("SELECT id, v FROM trunc_dst ORDER BY id")
+            assert rows == [("4", "four")]
+        # drained stream: second drain applies nothing, still converged
         assert replicate_pg_table(
             spark, dsn, "s_trunc", dsn, "trunc_dst", key_cols=["id"],
             src_table="trunc_src",
-        ) >= 1
-        with PGConn(dsn) as c:
-            _, rows = c.query("SELECT id, v FROM trunc_dst ORDER BY id")
-            assert rows == [("3", "three"), ("4", "four")]
+        ) == 0
     finally:
         drop_cdc_slot(dsn, "s_trunc")
+
+
+def test_split_on_truncate_segments_and_cascade():
+    """Unit: window splitting yields replay-stable epoch-labelled
+    segments; CASCADE truncates stay loud."""
+    from pgloader_spark.sources.pg_cdc import _split_on_truncate
+
+    def ins(lsn, vid):
+        return {"op": "I", "schema": "public", "table": "t",
+                "cols": {"id": vid}, "lsn": lsn}
+
+    def tr(lsn, flags=""):
+        return {"op": "T", "schema": "public", "table": "t", "cols": {},
+                "truncate": True, "all_tables": ["public.t"],
+                "tables": [("public", "t")], "flags": flags, "lsn": lsn}
+
+    # ops, T, ops, T(T immediately follows), tail ops
+    mine = [ins("0/10", "1"), tr("0/20"), ins("0/30", "2"),
+            tr("0/40"), tr("0/50"), ins("0/60", "3")]
+    segs = _split_on_truncate(mine, window_epoch=999)
+    # (trunc?, restart?, n_ops, epoch)
+    shape = [(t, r, len(ops), e) for t, r, ops, e in segs]
+    assert shape == [
+        (False, False, 1, 0x20),  # pre-truncate ops, epoch = T1 lsn
+        (True, False, 1, 0x40),   # T1 + ops, epoch = T2 lsn
+        (True, False, 0, 0x50),   # T2 alone (consecutive), epoch = T3
+        (True, False, 1, 999),    # T3 + tail, window epoch
+    ]
+    # restart_seqs flag maps through; cascade raises loudly
+    segs = _split_on_truncate([tr("0/20", "restart_seqs"), ins("0/30", "1")],
+                              window_epoch=7)
+    assert [(t, r) for t, r, _, _ in segs] == [(True, True)]
+    with pytest.raises(ValueError, match="CASCADE"):
+        _split_on_truncate([tr("0/20", "restart_seqs cascade")], 7)
+
+
+def test_parse_quoted_identifiers():
+    """Quoted identifiers with commas/dots parse losslessly (r8
+    advice: naive split mis-parsed them into bogus table entries)."""
+    from pgloader_spark.sources.pg_cdc import _table_matches
+
+    p = parse_test_decoding
+    tr = p('table public."we,ird", other."dot.ted": TRUNCATE: (no flags)')
+    assert tr["tables"] == [("public", "we,ird"), ("other", "dot.ted")]
+    assert _table_matches(tr, "public.we,ird")
+    assert _table_matches(tr, "dot.ted")        # exact dotted table name
+    assert _table_matches(tr, "other.dot.ted")  # schema-qualified form
+    assert not _table_matches(tr, "public.dot.ted")
+    assert not _table_matches(tr, "ted")
+    ins = p('table "My Schema"."Quo""ted": INSERT: id[integer]:1')
+    assert ins["schema"] == "My Schema" and ins["table"] == 'Quo"ted'
