@@ -211,9 +211,13 @@ def bench_etl_pg_copy(spark, sf_dir: str, workdir: str) -> dict | None:
         rows = df.count()  # materialize the read outside the COPY window
         # warm pass (codegen + Arrow paths), truncate, then measure —
         # same warm+measure discipline as the query headlines.
-        # 16 writers: measured sweet spot for one local server (more
-        # COPY streams contend on relation extension)
-        write_pg_copy(df, dsn, "lineitem", n_writers=16)
+        # n_writers=None since r9: COPY straight from the encode's own
+        # 32 partitions — the repartition(16) added a full shuffle of
+        # the encoded lines that cost more than 16-vs-32-stream server
+        # contention saves (decomposed + swept in
+        # tools/profiles/pg_copy_sweep_r9.txt: the r7 "16 sweet spot"
+        # was measured WITH the shuffle on both arms)
+        write_pg_copy(df, dsn, "lineitem")
         # four measured passes, keep the best: the COPY wall is
         # exposed to background writeback noise (observed bimodal
         # 1.6s vs 12s on an otherwise idle box), AND the committed
@@ -226,7 +230,7 @@ def bench_etl_pg_copy(spark, sf_dir: str, workdir: str) -> dict | None:
             with PGConn(dsn) as c:
                 c.query("TRUNCATE lineitem")
             t0 = time.perf_counter()
-            write_pg_copy(df, dsn, "lineitem", n_writers=16)
+            write_pg_copy(df, dsn, "lineitem")
             s = time.perf_counter() - t0
             sec = s if sec is None else min(sec, s)
         df.unpersist()

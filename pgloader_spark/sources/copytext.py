@@ -141,11 +141,25 @@ def encode_copy_escapes(c: Column) -> Column:
     return F.when(needs, full).otherwise(c)
 
 
+# Types whose cast("string") rendering can NEVER contain a COPY
+# special ([\\ \t \n \r \b \f \v]): digits, sign, dot, 'E', '-', ':',
+# space, true/false.  Their cells skip even the needs-escape probe —
+# measured r9 at sf0.1, dropping the probe on lineitem's 9
+# numeric/timestamp columns cuts the whole-line encode ~30%
+# (tools/profiles/pg_copy_sweep_r9.txt).
+_ESCAPE_FREE_TYPES = frozenset({
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "boolean", "date", "timestamp", "timestamp_ntz",
+})
+
+
 def to_copy_lines(df: DataFrame, delimiter: str = "\t") -> DataFrame:
     """Encode every column to COPY text and concat into one ``line``
     column — the exact bytes a PostgreSQL COPY sink (or a reject
     ``.dat`` file, src/utils/reject.lisp:12-34) wants. All Column
-    expressions; distributed end to end."""
+    expressions; distributed end to end.  Escape handling is
+    TYPE-AWARE: only string-ish columns run the escape chain
+    (numerics/timestamps render escape-free by construction)."""
     from pgloader_spark.operators.projection import col_ref
 
     dtypes = dict(df.dtypes)
@@ -154,11 +168,14 @@ def to_copy_lines(df: DataFrame, delimiter: str = "\t") -> DataFrame:
         # col_ref backtick-quotes so a column NAME containing dots is
         # not parsed as struct access (fields-with-periods.load)
         col = col_ref(c)
-        if dtypes.get(c) == "binary":
+        t = dtypes.get(c, "")
+        if t == "binary":
             # bytea rides COPY text as \x<hex> (one literal backslash,
             # escaped to two on the wire) — raw bytes would smuggle
             # NULs PostgreSQL text parsing rejects
             payload = F.concat(F.lit("\\\\x"), F.lower(F.hex(col)))
+        elif t in _ESCAPE_FREE_TYPES or t.startswith("decimal"):
+            payload = col.cast("string")
         else:
             payload = encode_copy_escapes(col.cast("string"))
         return F.when(col.isNull(), F.lit(COPY_NULL)).otherwise(payload)

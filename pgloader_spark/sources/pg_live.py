@@ -595,12 +595,14 @@ def write_pg_copy(
       ~780k rows/s/stream at sf0.1).
     - ``n_writers`` decouples connection count from encode
       parallelism: the encode runs at the session's full width, then
-      one narrow shuffle of the finished lines feeds exactly
-      ``n_writers`` COPY streams (the reference's `workers` knob —
-      a single PostgreSQL contends on relation extension past ~16
-      concurrent writers; measured sweet spot 16 at sf0.1, 292k
-      rows/s ≈ 26 MB/s — at the reference's own 24.6-19.5 MB/s
-      anchors, BASELINE.md).
+      one shuffle of the finished lines feeds exactly ``n_writers``
+      COPY streams (the reference's `workers` knob).  That shuffle is
+      NOT free — r9 measured it costing more than stream-count
+      contention saves on a local server (tools/profiles/
+      pg_copy_sweep_r9.txt), so leave ``n_writers`` unset unless the
+      target genuinely needs fewer connections than the input has
+      partitions (e.g. a 1000-partition cluster job against one
+      modest PostgreSQL).
 
     Without ``n_writers`` the input's own partitioning is used.
     """

@@ -782,3 +782,29 @@ def test_jpeg_roundtrip_pil_backend_matches_pure():
         np.array(mm._decode_jpeg_gray_pure(flat)[2]),
         np.array(mm._decode_jpeg_gray_pil(flat)[2]),
     )
+
+
+def test_jpeg_conformance_harness_passes():
+    """The committed conformance harness (r9, r8 verdict ask #5) runs
+    in every environment: without Pillow it certifies the pure kernel
+    against the committed goldens (this sandbox); with Pillow it adds
+    the PIL-arm cross-backend checks — so the production backend gets
+    verified the first time anyone runs the suite on a machine that
+    has libjpeg, with zero skips either way."""
+    import json
+    import pathlib
+    import subprocess
+    import sys
+
+    tool = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "tools" / "jpeg_pil_conformance.py"
+    )
+    r = subprocess.run(
+        [sys.executable, str(tool)], capture_output=True, text=True
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["verdict"] == "PASS"
+    if rep["pil_present"]:
+        assert rep["scope"] == "pure + PIL cross-backend"

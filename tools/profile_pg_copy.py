@@ -39,7 +39,9 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    n_writers = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    # 0 = None = COPY from the input's own partitioning (no line
+    # shuffle) — the r9 default; any other int forces that stream count
+    n_writers = (int(sys.argv[3]) or None) if len(sys.argv) > 3 else None
 
     if shutil.which("pg_ctl") is None or shutil.which("su") is None:
         print(json.dumps({"error": "no pg_ctl/su in environment"}))
