@@ -56,6 +56,7 @@ ARROW_OK = {
     "similarity_pq_topk",      # PQ encode: per-batch subspace gemm + argmin
     "similarity_pq_quality",   # same encode stage inside the measurement tool
     "similarity_ivfpq_topk",   # IVF-PQ encode: coarse assign + residual PQ
+    "similarity_ivfpq_frozen_topk",  # same encode stage, frozen index (r9)
     "similarity_ivfpq_quality",  # same encode stage inside the measurement tool
     # greedy budget admission is inherently serial per shard (one
     # spent-counter state machine); the batch path folds each shard's

@@ -42,6 +42,9 @@ DEFAULT = [
     "multimodal_jpeg_luma_stats",
     "text_bpe_tokenize",
     "sketch_hll_distinct",
+    # r9 frozen-model gate variants (same kernels, fixed artifacts)
+    "similarity_ivfpq_frozen_topk",
+    "text_bpe_frozen_segment",
 ]
 SCALES = [("sf0.01", "/root/testdata/sf0.01"), ("sf0.1", "/root/testdata/sf0.1")]
 
