@@ -687,3 +687,40 @@ def test_token_budget_take_null_nan_scores_excluded(spark):
     df = spark.createDataFrame(rows, "doc_id long, n_tokens long, score double")
     got = token_budget_take(df, budget=25).orderBy("cum_tokens").collect()
     assert [(r.doc_id, r.cum_tokens) for r in got] == [(1, 10), (4, 20)]
+
+
+def test_frozen_models_deterministic_and_partition_invariant(spark, sf_dir):
+    """r9 gate variants: the frozen-model queries must be bit-stable
+    under partitioning (the driver's hash compares them to a static
+    oracle, so ANY layout sensitivity is a red row waiting to happen).
+    Integer-exact arithmetic + full tie-breaks make them invariant by
+    construction; this pins it."""
+    from pgloader_spark.frozen_models import (
+        BPE_MERGES,
+        IVFPQ_CODEBOOKS,
+        IVFPQ_COARSE,
+    )
+    from pgloader_spark.queries import QUERIES
+
+    # the committed artifacts are well-formed
+    assert len(IVFPQ_COARSE) == 8 and all(len(c) == 64 for c in IVFPQ_COARSE)
+    assert len(IVFPQ_CODEBOOKS) == 16
+    assert all(len(cb) == 64 and len(cb[0]) == 4 for cb in IVFPQ_CODEBOOKS)
+    assert all(
+        isinstance(v, int) for cb in IVFPQ_CODEBOOKS for c in cb for v in c
+    )
+    assert len(BPE_MERGES) == 24
+    for rank, left, right, merged, cnt in BPE_MERGES:
+        assert merged == left + right and cnt >= 2
+
+    for name in ("similarity_ivfpq_frozen_topk", "text_bpe_frozen_segment"):
+        base = sorted(map(tuple, QUERIES[name](spark, sf_dir).collect()))
+        n = spark.sparkContext.defaultParallelism
+        try:
+            # skew the session's layout: a different shuffle width must
+            # not change a single value
+            spark.conf.set("spark.sql.shuffle.partitions", "7")
+            again = sorted(map(tuple, QUERIES[name](spark, sf_dir).collect()))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", str(n * 2))
+        assert base == again, f"{name} is partition-sensitive"
