@@ -529,15 +529,18 @@ def bm25_topk(
     Index side (one pass over the corpus): per-(doc, term) frequency
     and per-doc length from one explode + two keyed aggs; N and avgdl
     ride a 1-row broadcast.  Probe side: the query batch is small by
-    contract, so its distinct terms BROADCAST onto the term-frequency
-    table — the posting-list semi-join IS the candidate pruning (a
-    100 TB corpus scores only documents containing >= 1 query term,
-    never the full corpus), document frequency is computed over those
-    postings alone (no full-vocabulary agg), and the resulting tiny
-    per-term idf broadcasts back.  The only corpus-keyed shuffle
-    beyond the tf agg is the doc-length attach, which AQE turns into
-    a broadcast of the pruned posting side at any realistic query
-    batch size.
+    contract, so its distinct terms BROADCAST onto the exploded token
+    stream BEFORE the tf aggregation (r9: the prune commutes with the
+    per-(doc, term) count, and pruning after it shuffled the ENTIRE
+    corpus's token pairs — partial aggregation barely reduces a
+    diverse corpus's (doc, term) stream, and that one corpus-sized
+    exchange was both the wall and the host-GC-sensitivity of this
+    query).  A 100 TB corpus now shuffles only postings of query
+    terms; document frequency is computed over those postings alone
+    (no full-vocabulary agg), and the resulting tiny per-term idf
+    broadcasts back.  The doc-length agg still scans the corpus but
+    its map-side combine reduces to one row per (partition, doc) —
+    a small exchange by construction.
 
     idf = ln(1 + (N - df + 0.5) / (df + 0.5)); repeated query terms
     count once (qtf ignored, the common IR simplification).  Ranking
@@ -545,7 +548,6 @@ def bm25_topk(
     double noise cannot flip ranks.
     """
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     # dl's aggregation subtree repeats (stats + score join) but the
     # shared shuffle computes once via ReusedExchange; an explicit
     # persist measured no better at sf0.1 (see bigram_logprob note)
@@ -558,7 +560,11 @@ def bm25_topk(
         F.col(qid_col).cast("long").alias(qid_col),
         F.explode(F.array_distinct(tokens(qtext_col))).alias("term"),
     )
-    post = tf.join(F.broadcast(qterms.select("term").distinct()), "term")
+    post = (
+        tok.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
     qdf = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         F.lit(1.0)
