@@ -112,6 +112,34 @@ def test_to_copy_lines_encode(spark):
     assert lines == ["1\ta\\tb\t\\N", "2\tn\\nl\tz"]
 
 
+def test_to_copy_lines_type_aware_mixed(spark):
+    """r9: escape-free types (numerics/timestamp/date/bool) skip the
+    escape chain entirely — their rendering must still be the exact
+    COPY text, and string columns beside them must still escape."""
+    import datetime
+
+    df = spark.createDataFrame(
+        [
+            (
+                9223372036854775807,
+                -1.5,
+                True,
+                datetime.datetime(2024, 2, 29, 23, 59, 59),
+                datetime.date(1999, 1, 2),
+                "tab\there\\and\nnl",
+                None,
+            )
+        ],
+        "b long, d double, f boolean, ts timestamp, dt date, s string, "
+        "nul string",
+    )
+    [line] = [r["line"] for r in to_copy_lines(df).collect()]
+    assert line == (
+        "9223372036854775807\t-1.5\ttrue\t2024-02-29 23:59:59\t1999-01-02"
+        "\ttab\\there\\\\and\\nnl\t\\N"
+    )
+
+
 # --------------------------------------------------------------------------
 # DBF (dBase III)
 # --------------------------------------------------------------------------
