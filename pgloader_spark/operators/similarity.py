@@ -1028,12 +1028,33 @@ def ivfpq_topk(
     that makes ANN sub-linear, vs pq_topk's full ADC scan).  Ranks on
     the 6 dp-rounded distance with id tiebreak.
     """
+    enc = ivfpq_encode(corpus, coarse, codebooks, id_col, vec_col)
+    return ivfpq_topk_encoded(
+        enc, queries, coarse, codebooks, k, n_probe, id_col, vec_col
+    )
+
+
+def ivfpq_topk_encoded(
+    enc: DataFrame,
+    queries: DataFrame,
+    coarse: list,
+    codebooks: list,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``ivfpq_topk`` against a PRE-ENCODED corpus (``ivfpq_encode``
+    output: id, cell, codes) — the deployment split: the index is
+    encoded once (and at 100 TB written out partitioned by ``cell``),
+    then every query batch pays only LUT construction + the
+    cell-pruned broadcast join.  ``streaming_ivfpq_scorer`` feeds
+    arriving micro-batches through this same path."""
     import numpy as np
 
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     CO = np.array(coarse, dtype=np.float64)
-    enc = ivfpq_encode(corpus, coarse, codebooks, id_col, vec_col)
     q_rows = queries.select(
         F.col(id_col), F.col(vec_col).cast("array<double>")
     ).collect()
@@ -1057,7 +1078,7 @@ def ivfpq_topk(
                 )
             lut_rows.append((qid, int(cell), luts))
 
-    spark = corpus.sparkSession
+    spark = enc.sparkSession
     lut_df = spark.createDataFrame(
         lut_rows,
         f"q_id {dict(queries.dtypes)[id_col]}, cell int, luts array<array<double>>",
@@ -1081,3 +1102,47 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "adist", "rank")
     )
+
+
+def streaming_ivfpq_scorer(
+    corpus: DataFrame,
+    coarse: list,
+    codebooks: list,
+    sink,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Continuous ANN retrieval over a FROZEN IVF-PQ index: returns a
+    ``foreachBatch`` function that scores each arriving micro-batch of
+    query vectors against the static corpus and hands the ranked
+    (q_id, n_id, adist, rank) frame to ``sink(result_df, epoch_id)``.
+
+    The deployment split this encodes: the corpus is PQ-encoded ONCE
+    (cached here; at 100 TB, written out partitioned by ``cell`` so a
+    probe prunes to n_probe cells' files) and every batch pays only
+    its own LUT construction (driver-bounded numpy over batch-size x
+    n_probe rows) plus the cell-pruned broadcast join of
+    ``ivfpq_topk_encoded``.  foreachBatch is the honest Structured
+    Streaming shape for this operator — LUTs depend on each batch's
+    query VALUES, which no stream-static join expression can compute;
+    the per-batch plan is identical to the batch path, so everything
+    the batch tests prove (parity, pruning, tie-breaks) holds per
+    micro-batch.  Exactly-once delivery is the sink's contract via
+    ``epoch_id`` (e.g. ``streaming/pg_sink.py``'s epoch log).
+
+    Usage::
+
+        process = streaming_ivfpq_scorer(corpus, coarse, cbs, sink)
+        stream.writeStream.foreachBatch(process).start()
+    """
+    enc = ivfpq_encode(corpus, coarse, codebooks, id_col, vec_col).cache()
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        out = ivfpq_topk_encoded(
+            enc, batch_df, coarse, codebooks, k, n_probe, id_col, vec_col
+        )
+        sink(out, epoch_id)
+
+    return process
