@@ -572,6 +572,32 @@ def _copy_batch_isolating(
     return loaded, rejects
 
 
+# Default ceiling on concurrent COPY connections when the caller did
+# not pick a stream count: under PostgreSQL's stock max_connections
+# (100), a wide cluster input must not map one connection per task.
+_MAX_DEFAULT_STREAMS = 64
+
+
+def _cap_copy_streams(lines: "DataFrame", n_writers: int | None) -> "DataFrame":
+    """Resolve the COPY stream layout: explicit ``n_writers`` wins;
+    otherwise keep the input's own partitioning unless it exceeds
+    ``_MAX_DEFAULT_STREAMS`` (repartition + log in that case — a
+    failed load beats a saved shuffle)."""
+    if n_writers:
+        return lines.repartition(n_writers)
+    n_parts = lines.rdd.getNumPartitions()
+    if n_parts > _MAX_DEFAULT_STREAMS:
+        import logging
+
+        logging.getLogger("pgloader_spark.pg_live").warning(
+            "COPY sink: input has %d partitions; capping to %d "
+            "concurrent COPY streams (set n_writers / WITH workers to "
+            "override)", n_parts, _MAX_DEFAULT_STREAMS,
+        )
+        return lines.repartition(_MAX_DEFAULT_STREAMS)
+    return lines
+
+
 def write_pg_copy(
     df: DataFrame,
     dsn: str,
@@ -604,7 +630,14 @@ def write_pg_copy(
       partitions (e.g. a 1000-partition cluster job against one
       modest PostgreSQL).
 
-    Without ``n_writers`` the input's own partitioning is used.
+    Without ``n_writers`` the input's own partitioning is used —
+    capped at ``_MAX_DEFAULT_STREAMS`` (64): one COPY stream per task
+    is fine at local/modest widths, but a 1000-partition cluster job
+    would otherwise open 1000 connections into a server whose default
+    ``max_connections`` is 100 and fail with "too many clients".  The
+    cap repartitions (accepting the shuffle the local bench avoids)
+    and logs; set ``n_writers`` explicitly to override in either
+    direction.
     """
     import pandas as pd  # noqa: F401 — executor-side
 
@@ -617,9 +650,7 @@ def write_pg_copy(
         f"COPY {quote_qualified(table)} "
         f'({", ".join(chr(34) + c + chr(34) for c in columns)}) FROM STDIN'
     )
-    lines = to_copy_lines(df)
-    if n_writers:
-        lines = lines.repartition(n_writers)
+    lines = _cap_copy_streams(to_copy_lines(df), n_writers)
 
     isolate = reject_dir is not None or on_error_stop
 

@@ -100,3 +100,26 @@ def test_encode_value():
 def test_encode_rows():
     buf = encode_rows_to_copy([(1, None, "x\ty")])
     assert buf.read() == "1\t\\N\tx\\ty\n"
+
+
+def test_copy_stream_cap(spark):
+    """r9: with n_writers unset the COPY sink keeps the input's own
+    partitioning up to the 64-stream ceiling, then caps — a wide
+    cluster input must not map one PG connection per task (stock
+    max_connections is 100)."""
+    from pgloader_spark.sources.pg_live import (
+        _MAX_DEFAULT_STREAMS,
+        _cap_copy_streams,
+    )
+
+    lines = spark.range(1000).selectExpr("CAST(id AS STRING) AS line")
+    assert (
+        _cap_copy_streams(lines.repartition(8), None).rdd.getNumPartitions()
+        == 8
+    )
+    wide = lines.repartition(100)
+    assert (
+        _cap_copy_streams(wide, None).rdd.getNumPartitions()
+        == _MAX_DEFAULT_STREAMS
+    )
+    assert _cap_copy_streams(wide, 16).rdd.getNumPartitions() == 16
