@@ -1365,17 +1365,24 @@ def _decode_jpeg_gray_pil(data: bytes) -> tuple[int, int, list[list[float]]]:
     return img.width, img.height, [list(row) for row in arr]
 
 
-def decode_jpeg_gray(data: bytes) -> tuple[int, int, list[list[float]]]:
+def decode_jpeg_gray(
+    data: bytes, backend: str | None = None
+) -> tuple[int, int, list[list[float]]]:
     """Decode a JPEG to its LUMA plane as a float matrix.
 
-    Dispatches per :func:`jpeg_backend`: PIL/libjpeg when importable
-    (the 100 TB path — also widens coverage to progressive/arithmetic
-    streams libjpeg handles), else the spec-faithful pure-Python
-    T.81 kernel below.  Both backends raise UnsupportedMediaError on
-    undecodable payloads, so ``media_luma_stats``'s null-stats row
-    isolation and ``content_features``'s byte-feature fallback hold
-    identically under either."""
-    if jpeg_backend() == "pil":
+    Dispatches per ``backend`` when given ('pure'/'pil'), else per
+    :func:`jpeg_backend`: PIL/libjpeg when importable (the 100 TB
+    path — also widens coverage to progressive/arithmetic streams
+    libjpeg handles), else the spec-faithful pure-Python T.81 kernel
+    below.  Both backends raise UnsupportedMediaError on undecodable
+    payloads, so ``media_luma_stats``'s null-stats row isolation and
+    ``content_features``'s byte-feature fallback hold identically
+    under either.  The explicit parameter exists so pinned callers
+    (the oracle-graded luma query) never mutate process-global state:
+    Spark reuses Python workers, and an env-var pin set inside one
+    task would leak into later auto-mode decodes in the same worker
+    (r9 advice)."""
+    if (backend or jpeg_backend()) == "pil":
         return _decode_jpeg_gray_pil(data)
     return _decode_jpeg_gray_pure(data)
 
@@ -1537,16 +1544,20 @@ def _decode_jpeg_gray_pure(data: bytes) -> tuple[int, int, list[list[float]]]:
     return w, h, [list(row) for row in out]
 
 
-def decode_image_gray(data: bytes) -> tuple[int, int, list[list[float]]]:
+def decode_image_gray(
+    data: bytes, jpeg_backend: str | None = None
+) -> tuple[int, int, list[list[float]]]:
     """Pixel decode dispatch: PNG, GIF, and baseline JPEG are real;
-    others raise."""
+    others raise.  ``jpeg_backend`` pins the JPEG kernel explicitly
+    (see :func:`decode_jpeg_gray`); PNG/GIF decodes are pure-Python
+    and backend-free."""
     mime = sniff_mime(data)
     if mime == "image/png":
         return decode_png_gray(data)
     if mime == "image/gif":
         return decode_gif_gray(data)
     if mime == "image/jpeg":
-        return decode_jpeg_gray(data)
+        return decode_jpeg_gray(data, backend=jpeg_backend)
     raise UnsupportedMediaError(f"no pixel decoder for {mime}")
 
 
@@ -1570,23 +1581,25 @@ def media_luma_stats(
     callers pass 'pure' so results cannot depend on whether PIL
     happens to be installed (r8 advice: under 'auto', progressive
     streams decode to values where the pure kernel yields null-stats
-    rows, and non-flat pixels may differ within the IDCT ±1 band)."""
+    rows, and non-flat pixels may differ within the IDCT ±1 band).
+    The pin travels as an explicit decode argument, never an env-var
+    write: Spark reuses Python workers, so a task-side env mutation
+    would leak the pin into later auto-mode decodes (media_ahash,
+    unpinned luma calls) scheduled on the same worker (r9 advice)."""
+    pinned = jpeg_backend
 
     def stats(batches: Iterator) -> Iterator:
-        import os as _os
         import zlib
 
         import numpy as np
         import pandas as pd
 
-        if jpeg_backend is not None:
-            _os.environ[_JPEG_BACKEND_ENV] = jpeg_backend
         for pdf in batches:
             rows = []
             for rid, payload in zip(pdf[id_col], pdf[bin_col]):
                 data = bytes(payload) if payload is not None else b""
                 try:
-                    w, h, px = decode_image_gray(data)
+                    w, h, px = decode_image_gray(data, jpeg_backend=pinned)
                     m = np.asarray(px, dtype=np.float64)
                     rows.append(
                         (rid, w, h, float(m.mean()), float(m.min()),

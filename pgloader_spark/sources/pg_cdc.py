@@ -273,7 +273,11 @@ def _table_matches(change: dict, want: str) -> bool:
     and matches if ANY of them does.  Table names CONTAINING dots
     (quoted on the source) also match — either bare (``dot.ted``) or
     schema-qualified (``other.dot.ted``), tried as exact strings
-    after the conventional last-dot split."""
+    after the conventional last-dot split.  This predicate answers
+    "could ``want`` claim this change under EITHER interpretation"
+    — use :func:`_select_changes` to pick one table's stream: it
+    applies the conventional-first precedence and refuses ambiguous
+    windows (r9 advice) instead of interleaving two tables."""
     ws, _, wt = want.rpartition(".")
 
     def hit(s: str, t: str) -> bool:
@@ -284,6 +288,51 @@ def _table_matches(change: dict, want: str) -> bool:
     if change.get("truncate"):
         return any(hit(s, t) for s, t in change["tables"])
     return hit(change["schema"], change["table"])
+
+
+def _select_changes(changes: list[dict], want: str) -> list[dict]:
+    """The changes belonging to ``want``, with dotted-name precedence
+    (r9 advice): the conventional last-dot reading (schema ``a``,
+    table ``b`` for ``want='a.b'``) wins; the dotted-literal reading
+    (a table literally named ``a.b``, quoted on the source) applies
+    ONLY when the conventional reading matches nothing in the window.
+    A window containing BOTH raises — silently interleaving two
+    distinct source tables into one target stream is the one
+    unacceptable outcome; the caller must schema-qualify the dotted
+    table (``schema.a.b``) or rename."""
+    ws, _, wt = want.rpartition(".")
+
+    def conventional(s: str, t: str) -> bool:
+        return t == wt and (not ws or s == ws)
+
+    def literal(s: str, t: str) -> bool:
+        return t == want or f"{s}.{t}" == want
+
+    def pairs(c: dict) -> list[tuple[str, str]]:
+        if c.get("truncate"):
+            return list(c["tables"])
+        return [(c["schema"], c["table"])]
+
+    conv = [
+        c for c in changes if any(conventional(s, t) for s, t in pairs(c))
+    ]
+    lit = [
+        c
+        for c in changes
+        if any(
+            literal(s, t) and not conventional(s, t) for s, t in pairs(c)
+        )
+    ]
+    if conv and lit:
+        raise ValueError(
+            f"requested table {want!r} is ambiguous in this change "
+            f"window: it contains events for schema {ws!r} table "
+            f"{wt!r} AND for a table literally named to match "
+            f"{want!r}.  Schema-qualify the dotted table or rename "
+            "one of them; refusing to interleave two source tables "
+            "into one target stream"
+        )
+    return conv or lit
 
 
 def _changes_to_rows(
@@ -498,7 +547,7 @@ def replicate_pg_table(
     changes, max_lsn = peek_cdc_changes(src_dsn, slot)
     if strict:
         _check_unmatched(changes, [want])
-    mine = [c for c in changes if _table_matches(c, want)]
+    mine = _select_changes(changes, want)
     if not mine:
         if max_lsn is not None:
             advance_cdc_slot(src_dsn, slot, max_lsn)
@@ -546,7 +595,7 @@ def replicate_pg_tables(
     epoch = lsn_to_int(max_lsn)
     for table, key_cols in tables.items():
         want = src_names.get(table, table)
-        mine = [c for c in changes if _table_matches(c, want)]
+        mine = _select_changes(changes, want)
         if not mine:
             applied[table] = 0
             continue

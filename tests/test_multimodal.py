@@ -747,6 +747,41 @@ def test_jpeg_backend_dispatch(monkeypatch):
     assert calls == ["pil", "pil"]
 
 
+def test_jpeg_backend_explicit_pin_no_global_leak(monkeypatch):
+    """The explicit backend parameter overrides the env resolution
+    WITHOUT mutating process state (r9 advice): Spark reuses Python
+    workers, so an env write inside a pinned task would bleed into
+    later auto-mode decodes on the same worker.  A pinned decode
+    must leave the next unpinned decode's resolution untouched."""
+    import os
+
+    from pgloader_spark.operators import multimodal as mm
+
+    frame = [[(x * 7 + y * 3) % 256 for x in range(16)] for y in range(16)]
+    data = mm.encode_jpeg_gray8(frame, quality=100)
+    calls = []
+
+    def fake_pil(payload):
+        calls.append("pil")
+        return mm._decode_jpeg_gray_pure(payload)
+
+    monkeypatch.setattr(mm, "_decode_jpeg_gray_pil", fake_pil)
+    # worker resolves to 'pil' (auto + probe true); a 'pure'-pinned
+    # decode must take the pure kernel...
+    monkeypatch.delenv(mm._JPEG_BACKEND_ENV, raising=False)
+    monkeypatch.setattr(mm, "_jpeg_pil_probe", True)
+    mm.decode_jpeg_gray(data, backend="pure")
+    assert calls == []
+    # ...without touching the env or the next unpinned resolution
+    assert mm._JPEG_BACKEND_ENV not in os.environ
+    mm.decode_jpeg_gray(data)
+    assert calls == ["pil"]
+    # decode_image_gray threads the same pin for JPEG payloads
+    mm.decode_image_gray(data, jpeg_backend="pure")
+    assert calls == ["pil"]
+    assert mm._JPEG_BACKEND_ENV not in os.environ
+
+
 def test_jpeg_backend_resolution(monkeypatch):
     from pgloader_spark.operators import multimodal as mm
 

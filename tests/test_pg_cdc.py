@@ -106,6 +106,30 @@ def test_table_matching_and_strict_window():
     _check_unmatched([c], ["app.t"])  # no stray -> no raise
 
 
+def test_select_changes_dotted_precedence():
+    """r9 advice: want='a.b' must not interleave schema-a table-b with
+    a table literally named 'a.b'.  Conventional reading wins; the
+    dotted-literal fallback applies only when conventional matches
+    nothing in the window; BOTH present raises."""
+    from pgloader_spark.sources.pg_cdc import _select_changes
+
+    conv = {"schema": "a", "table": "b", "op": "I", "cols": {}}
+    lit = {"schema": "public", "table": "a.b", "op": "I", "cols": {}}
+    other = {"schema": "public", "table": "x", "op": "I", "cols": {}}
+
+    # conventional-only window: picks schema-a table-b
+    assert _select_changes([conv, other], "a.b") == [conv]
+    # literal-only window: the dotted fallback still works
+    assert _select_changes([lit, other], "a.b") == [lit]
+    # both present: refuse rather than merge two source tables
+    with pytest.raises(ValueError, match="ambiguous"):
+        _select_changes([conv, lit], "a.b")
+    # unqualified and unrelated names are untouched by the rule
+    assert _select_changes([conv, lit, other], "x") == [other]
+    # schema-qualified dotted-literal ('public.a.b') is unambiguous
+    assert _select_changes([conv, lit], "public.a.b") == [lit]
+
+
 def test_sibling_table_schema_qualified():
     from pgloader_spark.sources.pg_live import sibling_table
 
