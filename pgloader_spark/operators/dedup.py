@@ -1019,13 +1019,67 @@ def edit_distance_pairs(
     )
 
 
+# Auto-collapse switch point (r10, r9 verdict ask #5): collapse when
+# at least this fraction of sampled documents are shingle-set clones.
+# Below it the collapse's measured insurance premium (~+1.8 s at
+# sf0.1, containment_collapse_ab_r8.json) buys nothing; above it the
+# clone-driven candidate blow-up it prevents grows quadratically in
+# group size (101x candidates on the r7 clone-heavy replica).
+CLONE_COLLAPSE_MIN_FRACTION = 0.05
+_CLONE_PROBE_DOCS = 4096
+
+
+def clone_fraction_probe(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SHINGLE_K,
+    sample_docs: int = _CLONE_PROBE_DOCS,
+) -> float:
+    """Fraction of sampled documents whose shingle SET duplicates
+    another sampled document's — one bounded agg over a ``limit``
+    sample (reads only enough partitions to fill it; at 100 TB this
+    is a handful of input splits, not a scan).  Drives the 'auto'
+    collapse decision, which affects ONLY the plan: containment
+    results are exact with the collapse on or off, so a biased or
+    unlucky sample can cost time, never correctness."""
+    sigs = (
+        shingle_rows(
+            df.select(id_col, text_col).limit(sample_docs),
+            id_col,
+            text_col,
+            k=k,
+        )
+        .select(F.col(id_col).alias("id"), md5_hash64(F.col("sh")).alias("item"))
+        .distinct()
+        .groupBy("id")
+        .agg(
+            F.sha2(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list("item")),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+                256,
+            ).alias("sig")
+        )
+    )
+    row = sigs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("sig").alias("d"),
+    ).collect()[0]
+    return 1.0 - row.d / row.n if row.n else 0.0
+
+
 def _containment_core(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.6,
     k: int = SHINGLE_K,
-    collapse_clones: bool = True,
+    collapse_clones: bool | str = "auto",
 ):
     """EXACT asymmetric shingle containment: directed (id_in, id_out,
     n_common, containment) pairs where |A ∩ B| / |A| >= threshold —
@@ -1085,7 +1139,22 @@ def _containment_core(
     rare-prefix selectivity (the failure mode the r7 salted 10x
     replica manufactured).  On phrase-dense corpora beyond that,
     raise k or t.
+
+    ``collapse_clones='auto'`` (the default since r10, r9 verdict ask
+    #5) decides per corpus: a bounded clone-density probe
+    (:func:`clone_fraction_probe`, one agg over a limit-sample)
+    collapses only when the clone fraction clears
+    ``CLONE_COLLAPSE_MIN_FRACTION`` — recovering the measured ~+1.8 s
+    premium on clone-light corpora while keeping the clone-heavy win.
+    Pass True/False to pin the choice (deterministic plans for A/Bs
+    and replays).  Either way the OUTPUT is identical; only the plan
+    changes.
     """
+    if collapse_clones == "auto":
+        collapse_clones = (
+            clone_fraction_probe(df, id_col, text_col, k)
+            >= CLONE_COLLAPSE_MIN_FRACTION
+        )
     raw_items = _pin(
         shingle_rows(df, id_col, text_col, k=k)
         .select(F.col(id_col).alias("id"), md5_hash64(F.col("sh")).alias("item"))
@@ -1187,7 +1256,7 @@ def containment_candidates(
     text_col: str = "text",
     threshold: float = 0.6,
     k: int = SHINGLE_K,
-    collapse_clones: bool = True,
+    collapse_clones: bool | str = "auto",
 ) -> DataFrame:
     """Probe surface: the exact-algorithm candidate set BEFORE the
     array-intersect verify — (id_in, id_out, n_in) over collapsed
@@ -1207,7 +1276,7 @@ def containment_pairs(
     text_col: str = "text",
     threshold: float = 0.6,
     k: int = SHINGLE_K,
-    collapse_clones: bool = True,
+    collapse_clones: bool | str = "auto",
 ) -> DataFrame:
     """See _containment_core for the algorithm; this public wrapper
     runs the verify stage and (when collapsed) the membership

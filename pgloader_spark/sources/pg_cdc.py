@@ -278,16 +278,18 @@ def _table_matches(change: dict, want: str) -> bool:
     — use :func:`_select_changes` to pick one table's stream: it
     applies the conventional-first precedence and refuses ambiguous
     windows (r9 advice) instead of interleaving two tables."""
-    ws, _, wt = want.rpartition(".")
-
-    def hit(s: str, t: str) -> bool:
-        if t == wt and (not ws or s == ws):
-            return True
-        return t == want or f"{s}.{t}" == want
-
     if change.get("truncate"):
-        return any(hit(s, t) for s, t in change["tables"])
-    return hit(change["schema"], change["table"])
+        return any(_pair_claimed(s, t, want) for s, t in change["tables"])
+    return _pair_claimed(change["schema"], change["table"], want)
+
+
+def _pair_claimed(s: str, t: str, want: str) -> bool:
+    """Does ``want`` claim source table (schema ``s``, name ``t``)
+    under either the conventional last-dot or dotted-literal reading?"""
+    ws, _, wt = want.rpartition(".")
+    if t == wt and (not ws or s == ws):
+        return True
+    return t == want or f"{s}.{t}" == want
 
 
 def _select_changes(changes: list[dict], want: str) -> list[dict]:
@@ -410,7 +412,7 @@ def _changes_to_rows(
 
 
 def _split_on_truncate(
-    mine: list[dict], window_epoch: int
+    mine: list[dict], window_epoch: int, want: str | None = None
 ) -> list[tuple[bool, bool, list[dict], int]]:
     """Split one table's window at TRUNCATE events into apply
     segments: [(truncate_first, restart_identity, ops, epoch_id)].
@@ -423,10 +425,17 @@ def _split_on_truncate(
     non-final segments, the window's commit LSN (``window_epoch``,
     the same id the truncate-free path logs) for the final one.
 
-    CASCADE truncates raise: the target's FK graph may differ from
-    the source's, so cascading there could truncate tables this
-    pipeline does not replicate — loud > lossy, manual remediation
-    (as pre-r9 for all truncates).
+    CASCADE truncates (r10, r9 verdict ask #4): when ``want`` is
+    given and EVERY table the cascade reached is claimed by it (the
+    self-referencing-FK case — the decoded event lists the full
+    reached set), the cascade collapses to a plain truncate of this
+    one table and replays in-segment.  Any reach beyond ``want``
+    raises: the target's FK graph may differ from the source's, so
+    cascading there could truncate tables this pipeline does not
+    replicate — loud > lossy.  Multi-table in-set cascades are
+    replayed one level up by ``replicate_pg_tables``, which knows the
+    whole replicated set and hoists them out of per-table windows
+    before this splitter runs.
     """
     segs: list[tuple[bool, bool, list[dict], int]] = []
     trunc_first, restart = False, False
@@ -436,14 +445,20 @@ def _split_on_truncate(
             ops.append(c)
             continue
         flags = c.get("flags", "")
-        if "cascade" in flags:
+        if "cascade" in flags and not (
+            want is not None
+            and all(_pair_claimed(s, t, want) for s, t in c["tables"])
+        ):
             raise ValueError(
                 f"CASCADE TRUNCATE of {', '.join(c['all_tables'])} in "
-                "the change stream: replaying it on the target could "
-                "cascade into tables this pipeline does not replicate "
-                "(the target's FK graph may differ).  TRUNCATE the "
-                "target table(s) yourself and advance the slot past "
-                "this window (advance_cdc_slot), or re-snapshot via "
+                "the change stream reaches beyond the replicated "
+                "table set: replaying it on the target could cascade "
+                "into tables this pipeline does not replicate (the "
+                "target's FK graph may differ).  Replicate the whole "
+                "reached set (replicate_pg_tables replays in-set "
+                "cascades), or TRUNCATE the target table(s) yourself "
+                "and advance the slot past this window "
+                "(advance_cdc_slot), or re-snapshot via "
                 "bootstrap_replication"
             )
         # close the running segment at this truncate's LSN
@@ -485,6 +500,7 @@ def _apply_table_window(
     col_names: list[str],
     n_writers: int | None,
     skip_unapplyable: bool,
+    want: str | None = None,
 ) -> int:
     """Apply one table's change window, splitting on TRUNCATE events
     (r9, r8 verdict ask #4): each segment — the TRUNCATE (issued on
@@ -492,7 +508,9 @@ def _apply_table_window(
     up to the next boundary — is one epoch-logged ``apply_pg_cdc``
     call, so replay after a crash skips completed segments and the
     whole window stays exactly-once.  Returns data rows applied
-    (upserts + deletes; a truncate itself is not counted)."""
+    (upserts + deletes; a truncate itself is not counted).  ``want``
+    (the source-table filter) lets the splitter accept cascades fully
+    contained in this one table (r10)."""
     from pgloader_spark.sources.pg_live import apply_pg_cdc
 
     schema = (
@@ -500,7 +518,7 @@ def _apply_table_window(
     )
     total = 0
     for trunc, restart, ops, seg_epoch in _split_on_truncate(
-        mine, window_epoch
+        mine, window_epoch, want
     ):
         rows = _changes_to_rows(ops, col_names, skip_unapplyable)
         df = spark.createDataFrame(rows, schema)
@@ -555,10 +573,98 @@ def replicate_pg_table(
     col_names = [f.name for f in introspect_pg(dst_dsn)[table.split(".")[-1]]]
     applied = _apply_table_window(
         spark, dst_dsn, table, key_cols, mine, lsn_to_int(max_lsn),
-        col_names, n_writers, skip_unapplyable,
+        col_names, n_writers, skip_unapplyable, want,
     )
     advance_cdc_slot(src_dsn, slot, max_lsn)
     return applied
+
+
+def _split_window_on_cascade(
+    changes: list[dict],
+) -> list[tuple[list[dict], dict | None]]:
+    """Split the WHOLE window (all tables) at multi-table-capable
+    CASCADE truncate boundaries: [(chunk_changes, cascade_event)],
+    the final chunk paired with None.  Per-table apply mechanics
+    cannot replay a cascade that spans tables (each table's epoch-
+    logged transaction truncates only its own target, and PostgreSQL
+    refuses to truncate an FK-referenced table outside a single
+    statement), so cascades hoist to window level: apply every
+    table's pre-boundary ops, run ONE multi-table TRUNCATE, continue."""
+    chunks: list[tuple[list[dict], dict | None]] = []
+    cur: list[dict] = []
+    for c in changes:
+        if c.get("truncate") and "cascade" in c.get("flags", ""):
+            chunks.append((cur, c))
+            cur = []
+        else:
+            cur.append(c)
+    chunks.append((cur, None))
+    return chunks
+
+
+def _cascade_targets(
+    event: dict, tables: dict, src_names: dict
+) -> list[str]:
+    """Map every source table a CASCADE reached to its TARGET table;
+    raise when the reach leaves the replicated set (r9 verdict ask
+    #4: the decoded TRUNCATE event lists the full reached closure, so
+    in-set-ness is checkable exactly, per event, with no separate FK
+    introspection)."""
+    out: list[str] = []
+    unclaimed: list[str] = []
+    for s, t in event["tables"]:
+        for target in tables:
+            if _pair_claimed(s, t, src_names.get(target, target)):
+                if target not in out:
+                    out.append(target)
+                break
+        else:
+            unclaimed.append(f"{s}.{t}")
+    if unclaimed:
+        raise ValueError(
+            f"CASCADE TRUNCATE of {', '.join(event['all_tables'])} "
+            f"reaches tables outside the replicated set: {unclaimed}. "
+            "Replaying it would require truncating tables this "
+            "pipeline does not manage.  Replicate them too, or "
+            "TRUNCATE the target tables yourself and advance the slot "
+            "past this window (advance_cdc_slot), or re-snapshot via "
+            "bootstrap_replication"
+        )
+    return out
+
+
+def _apply_cascade_truncate(
+    dst_dsn: str, targets: list[str], restart: bool, epoch: int
+) -> None:
+    """Replay an in-set CASCADE truncate as ONE multi-table TRUNCATE
+    statement on the target, exactly-once via a dedicated epoch log
+    (``<first-target>__truncate_epochs`` — separate from the segment
+    logs because the boundary LSN doubles as the pre-boundary
+    segments' epoch id).  One statement, not per-table: PostgreSQL
+    allows truncating FK-linked tables only together, and if some
+    OUT-of-set target table references one of these, the target
+    raises loudly here — exactly the divergent-FK-graph case the
+    refusal protects."""
+    from pgloader_spark.sources.pg_live import quote_qualified, sibling_table
+
+    targets = sorted(targets)
+    log = quote_qualified(sibling_table(targets[0], "__truncate_epochs"))
+    tlist = ", ".join(quote_qualified(t) for t in targets)
+    with PGConn(dst_dsn) as conn:
+        conn.query(
+            f"CREATE TABLE IF NOT EXISTS {log} (epoch bigint PRIMARY KEY)"
+        )
+        _, seen = conn.query(
+            f"SELECT 1 FROM {log} WHERE epoch = {int(epoch)}"
+        )
+        if seen:
+            return
+        conn.query("BEGIN")
+        conn.query(
+            f"TRUNCATE {tlist}" + (" RESTART IDENTITY" if restart else "")
+        )
+        conn.query(f"INSERT INTO {log} (epoch) VALUES ({int(epoch)})")
+        conn.query("COMMIT")
 
 
 def replicate_pg_tables(
@@ -578,6 +684,16 @@ def replicate_pg_tables(
     window; per-table epoch logs skip the already-committed tables
     and re-apply the rest — still exactly-once per table.
 
+    CASCADE truncates replay when the reached set is FK-closed within
+    the replicated set (r10, r9 verdict ask #4): the window splits at
+    each in-set cascade boundary — every table's pre-boundary ops
+    apply in per-table epoch-logged segments (epoch = boundary LSN),
+    then ONE multi-table TRUNCATE runs in its own epoch-logged
+    transaction, then the tail applies (epoch = window commit LSN) —
+    so crash-replay at any point stays exactly-once.  A cascade
+    reaching any table outside the set still raises before anything
+    applies.
+
     Events for tables outside ``tables`` are DISCARDED when the
     cursor advances; ``strict=True`` raises instead (one slot should
     drive exactly the table set it replicates)."""
@@ -592,20 +708,43 @@ def replicate_pg_tables(
         _check_unmatched(
             changes, [src_names.get(t, t) for t in tables]
         )
-    epoch = lsn_to_int(max_lsn)
-    for table, key_cols in tables.items():
-        want = src_names.get(table, table)
-        mine = _select_changes(changes, want)
-        if not mine:
-            applied[table] = 0
-            continue
-        col_names = [
-            f.name for f in introspect_pg(dst_dsn)[table.split(".")[-1]]
-        ]
-        applied[table] = _apply_table_window(
-            spark, dst_dsn, table, key_cols, mine, epoch,
-            col_names, n_writers, skip_unapplyable,
+    applied = {t: 0 for t in tables}
+    col_cache: dict[str, list[str]] = {}
+    chunks = _split_window_on_cascade(changes)
+    # validate EVERY cascade boundary upfront: an out-of-set reach
+    # anywhere in the window raises with nothing applied (the slot has
+    # not advanced, so remediation replays the whole window)
+    casc_targets = {
+        id(casc): _cascade_targets(casc, tables, src_names)
+        for _, casc in chunks
+        if casc is not None
+    }
+    for chunk, casc in chunks:
+        if casc is not None:
+            targets = casc_targets[id(casc)]
+        chunk_epoch = (
+            lsn_to_int(casc["lsn"]) if casc is not None else lsn_to_int(max_lsn)
         )
+        for table, key_cols in tables.items():
+            want = src_names.get(table, table)
+            mine = _select_changes(chunk, want)
+            if not mine:
+                continue
+            if table not in col_cache:
+                col_cache[table] = [
+                    f.name
+                    for f in introspect_pg(dst_dsn)[table.split(".")[-1]]
+                ]
+            applied[table] += _apply_table_window(
+                spark, dst_dsn, table, key_cols, mine, chunk_epoch,
+                col_cache[table], n_writers, skip_unapplyable, want,
+            )
+        if casc is not None:
+            _apply_cascade_truncate(
+                dst_dsn, targets,
+                "restart_seqs" in casc.get("flags", ""),
+                lsn_to_int(casc["lsn"]),
+            )
     advance_cdc_slot(src_dsn, slot, max_lsn)
     return applied
 

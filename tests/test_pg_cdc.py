@@ -711,6 +711,164 @@ def test_split_on_truncate_segments_and_cascade():
         _split_on_truncate([tr("0/20", "restart_seqs cascade")], 7)
 
 
+def test_cascade_unit_split_and_targets():
+    """Unit (r10, r9 ask #4): the window-level cascade splitter, the
+    reached-set -> target mapping with its out-of-set raise, and the
+    single-want allowance in the per-table splitter."""
+    from pgloader_spark.sources.pg_cdc import (
+        _cascade_targets,
+        _split_on_truncate,
+        _split_window_on_cascade,
+    )
+
+    def ins(lsn, tbl, vid):
+        return {"op": "I", "schema": "public", "table": tbl,
+                "cols": {"id": vid}, "lsn": lsn}
+
+    def tr(lsn, tabs, flags=""):
+        return {"op": "T", "schema": "public", "table": tabs[0], "cols": {},
+                "truncate": True,
+                "all_tables": [f"public.{t}" for t in tabs],
+                "tables": [("public", t) for t in tabs],
+                "flags": flags, "lsn": lsn}
+
+    # window splitter: cascade events become chunk boundaries; plain
+    # truncates stay inside chunks (per-table mechanics own them)
+    win = [ins("0/10", "p", "1"), tr("0/20", ["p"]),
+           ins("0/30", "c", "2"), tr("0/40", ["p", "c"], "cascade"),
+           ins("0/50", "p", "3")]
+    chunks = _split_window_on_cascade(win)
+    assert [(len(ch), ev is not None) for ch, ev in chunks] == [
+        (3, True), (1, False),
+    ]
+
+    # target mapping + out-of-set raise
+    tables = {"p_dst": ["id"], "c_dst": ["id"]}
+    src = {"p_dst": "p", "c_dst": "c"}
+    ev = tr("0/40", ["p", "c"], "cascade")
+    assert _cascade_targets(ev, tables, src) == ["p_dst", "c_dst"]
+    ev_out = tr("0/40", ["p", "c", "other"], "cascade")
+    with pytest.raises(ValueError, match="outside the replicated set"):
+        _cascade_targets(ev_out, tables, src)
+
+    # per-table splitter: a cascade fully contained in the one want
+    # (self-referencing FK) collapses to a plain truncate; beyond it
+    # still raises
+    self_c = tr("0/20", ["t"], "cascade")
+    segs = _split_on_truncate([self_c, ins("0/30", "t", "1")], 7, want="t")
+    assert [(t, len(ops)) for t, _, ops, _ in segs] == [(True, 1)]
+    with pytest.raises(ValueError, match="CASCADE"):
+        _split_on_truncate([tr("0/20", ["t", "u"], "cascade")], 7, want="t")
+    with pytest.raises(ValueError, match="CASCADE"):
+        _split_on_truncate([self_c], 7)  # no want -> conservative raise
+
+
+def test_cascade_truncate_replays_when_fk_closed(logical_dsn, spark):
+    """Live (r10, r9 ask #4): TRUNCATE ... CASCADE mid-stream replays
+    when the reached set is inside the replicated set — pre-boundary
+    ops apply, ONE multi-table TRUNCATE runs epoch-logged, the tail
+    applies — and both targets converge under verify_replication.
+    The target carries the same FK, so per-table truncates would be
+    rejected by PostgreSQL; only the hoisted one-statement replay can
+    pass this test.  Replays of the same truncate epoch are no-ops."""
+    from pgloader_spark.plans.verify_load import verify_replication
+    from pgloader_spark.sources.pg_cdc import (
+        _apply_cascade_truncate,
+        replicate_pg_tables,
+    )
+
+    dsn = logical_dsn
+    with PGConn(dsn) as c:
+        for side in ("src", "dst"):
+            c.query(
+                f"CREATE TABLE cas_p_{side} (id bigint PRIMARY KEY, v text)"
+            )
+            c.query(
+                f"CREATE TABLE cas_c_{side} (id bigint PRIMARY KEY, "
+                f"pid bigint REFERENCES cas_p_{side}(id))"
+            )
+    create_cdc_slot(dsn, "s_casc")
+    try:
+        with PGConn(dsn) as c:
+            c.query("INSERT INTO cas_p_src VALUES (1, 'one'), (2, 'two')")
+            c.query("INSERT INTO cas_c_src VALUES (10, 1), (20, 2)")
+            c.query("TRUNCATE cas_p_src CASCADE")  # reaches cas_c_src
+            c.query("INSERT INTO cas_p_src VALUES (3, 'three')")
+            c.query("INSERT INTO cas_c_src VALUES (30, 3)")
+        tables = {"cas_p_dst": ["id"], "cas_c_dst": ["id"]}
+        src = {"cas_p_dst": "cas_p_src", "cas_c_dst": "cas_c_src"}
+        got = replicate_pg_tables(
+            spark, dsn, "s_casc", dsn, tables, src_tables=src
+        )
+        # pre-boundary: 2 parents + 2 children; tail: 1 + 1
+        assert got == {"cas_p_dst": 3, "cas_c_dst": 3}
+        for s_tbl, d_tbl in (("cas_p_src", "cas_p_dst"),
+                             ("cas_c_src", "cas_c_dst")):
+            row = verify_replication(
+                spark, dsn, dsn, s_tbl, d_tbl, ["id"]
+            ).collect()[0]
+            assert row.match, (d_tbl, row)
+        with PGConn(dsn) as c:
+            _, rows = c.query("SELECT id, pid FROM cas_c_dst ORDER BY id")
+            assert rows == [("30", "3")]
+        # drained stream: second call applies nothing
+        got2 = replicate_pg_tables(
+            spark, dsn, "s_casc", dsn, tables, src_tables=src
+        )
+        assert got2 == {} or set(got2.values()) == {0}
+        # replaying the SAME truncate epoch is a no-op (crash-replay):
+        # a sentinel row inserted after the first replay must survive
+        with PGConn(dsn) as c:
+            c.query("INSERT INTO cas_p_dst VALUES (99, 'sentinel')")
+            _, logged = c.query(
+                'SELECT epoch FROM "cas_c_dst__truncate_epochs"'
+            )
+        assert len(logged) == 1
+        _apply_cascade_truncate(
+            dsn, ["cas_p_dst", "cas_c_dst"], False, int(logged[0][0])
+        )
+        with PGConn(dsn) as c:
+            _, rows = c.query("SELECT v FROM cas_p_dst WHERE id = 99")
+            assert rows == [("sentinel",)]
+            c.query("DELETE FROM cas_p_dst WHERE id = 99")
+    finally:
+        drop_cdc_slot(dsn, "s_casc")
+
+
+def test_cascade_truncate_out_of_set_still_raises(logical_dsn, spark):
+    """Live: a CASCADE reaching a table the pipeline does not
+    replicate raises BEFORE anything applies, and the slot does not
+    advance (remediation replays the whole window)."""
+    from pgloader_spark.sources.pg_cdc import (
+        peek_cdc_changes,
+        replicate_pg_tables,
+    )
+
+    dsn = logical_dsn
+    with PGConn(dsn) as c:
+        c.query("CREATE TABLE oos_p_src (id bigint PRIMARY KEY)")
+        c.query("CREATE TABLE oos_other (id bigint PRIMARY KEY, "
+                "pid bigint REFERENCES oos_p_src(id))")
+        c.query("CREATE TABLE oos_p_dst (id bigint PRIMARY KEY)")
+    create_cdc_slot(dsn, "s_oos")
+    try:
+        with PGConn(dsn) as c:
+            c.query("INSERT INTO oos_p_src VALUES (1)")
+            c.query("TRUNCATE oos_p_src CASCADE")  # reaches oos_other
+        with pytest.raises(ValueError, match="outside the replicated set"):
+            replicate_pg_tables(
+                spark, dsn, "s_oos", dsn, {"oos_p_dst": ["id"]},
+                src_tables={"oos_p_dst": "oos_p_src"},
+            )
+        with PGConn(dsn) as c:
+            _, rows = c.query("SELECT count(*) FROM oos_p_dst")
+            assert rows == [("0",)]  # nothing applied
+        changes, _ = peek_cdc_changes(dsn, "s_oos")
+        assert changes  # slot did NOT advance
+    finally:
+        drop_cdc_slot(dsn, "s_oos")
+
+
 def test_parse_quoted_identifiers():
     """Quoted identifiers with commas/dots parse losslessly (r8
     advice: naive split mis-parsed them into bogus table entries)."""

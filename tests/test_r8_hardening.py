@@ -160,3 +160,53 @@ def test_containment_collapse_is_exact(spark):
     # the clone triangle (1,2,5) contributes all 6 ordered 1.0 pairs
     ones = {(a, b) for a, b, _, c in col if c == 1.0 and a in (1, 2, 5)}
     assert {(1, 2), (2, 1), (1, 5), (5, 1), (2, 5), (5, 2)} <= ones
+
+
+def test_containment_collapse_auto_probe(spark):
+    """r10 (r9 verdict ask #5): collapse_clones='auto' probes clone
+    density on a bounded sample and collapses only when the clone
+    fraction clears CLONE_COLLAPSE_MIN_FRACTION — recovering the
+    measured premium on clone-light corpora while keeping the
+    clone-heavy win.  The decision changes only the PLAN (the sha2
+    signature grouping appears iff the collapse runs); results are
+    exact either way."""
+    from pgloader_spark.operators.dedup import (
+        CLONE_COLLAPSE_MIN_FRACTION,
+        clone_fraction_probe,
+        containment_pairs,
+    )
+
+    light = spark.createDataFrame(
+        [(i, f"unique document number {i} with distinct words "
+              f"alpha{i} beta{i} gamma{i} delta{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    heavy_rows = [(i, "the quick brown fox jumps over the lazy dog today")
+                  for i in range(30)]
+    heavy_rows += [(100 + i, f"unique filler text item {i} with words "
+                             f"x{i} y{i} z{i}") for i in range(10)]
+    heavy = spark.createDataFrame(heavy_rows, "doc_id long, text string")
+
+    f_light = clone_fraction_probe(light)
+    f_heavy = clone_fraction_probe(heavy)
+    assert f_light == 0.0
+    assert f_heavy >= 29 / 40 - 1e-9
+    assert f_light < CLONE_COLLAPSE_MIN_FRACTION <= f_heavy
+
+    # auto -> plan-level decision is observable in the executed plan
+    def plan(df, mode):
+        return (
+            containment_pairs(df, collapse_clones=mode)
+            ._jdf.queryExecution()
+            .analyzed()
+            .toString()
+        )
+
+    assert "sha2" not in plan(light, "auto")
+    assert "sha2" in plan(heavy, "auto")
+    # and the auto result equals both pinned variants on the heavy corpus
+    auto = sorted(tuple(r) for r in
+                  containment_pairs(heavy, collapse_clones="auto").collect())
+    off = sorted(tuple(r) for r in
+                 containment_pairs(heavy, collapse_clones=False).collect())
+    assert auto == off
