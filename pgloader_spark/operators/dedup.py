@@ -1036,40 +1036,40 @@ def clone_fraction_probe(
     k: int = SHINGLE_K,
     sample_docs: int = _CLONE_PROBE_DOCS,
 ) -> float:
-    """Fraction of sampled documents whose shingle SET duplicates
+    """Fraction of sampled documents whose TOKEN STREAM duplicates
     another sampled document's — one bounded agg over a ``limit``
     sample (reads only enough partitions to fill it; at 100 TB this
-    is a handful of input splits, not a scan).  Drives the 'auto'
-    collapse decision, which affects ONLY the plan: containment
-    results are exact with the collapse on or off, so a biased or
-    unlucky sample can cost time, never correctness."""
-    sigs = (
-        shingle_rows(
-            df.select(id_col, text_col).limit(sample_docs),
-            id_col,
-            text_col,
-            k=k,
+    is a handful of input splits, not a scan).
+
+    Token-stream clones are a subset of shingle-SET clones (equal
+    streams => equal shingles), so the fraction is a LOWER bound on
+    what the collapse would fold: tripping the threshold always
+    justifies collapsing.  The stream hash is one narrow projection
+    (md5 over the joined token array — no explode, no shuffle of
+    shingle rows); the exact sha2-of-sorted-shingles signature was
+    measured at ~1.2 s on the sf0.1 sample — MORE than the collapse
+    premium it guards (containment_collapse_ab_r10.json) — because a
+    4096-doc sample there is ~80% of the corpus and pays the full
+    explode+distinct+collect pipeline.  The one shape this under-
+    counts (equal shingle sets from different streams — shingle
+    multiplicity/ordering variants) just runs uncollapsed: slower on
+    that pathology, never wrong.
+
+    Drives the 'auto' collapse decision, which affects ONLY the plan:
+    containment results are exact with the collapse on or off, so a
+    biased or unlucky sample can cost time, never correctness."""
+    row = (
+        df.select(id_col, text_col)
+        .limit(sample_docs)
+        .select(
+            F.md5(F.array_join(tokens(text_col), "\x1f")).alias("sig")
         )
-        .select(F.col(id_col).alias("id"), md5_hash64(F.col("sh")).alias("item"))
-        .distinct()
-        .groupBy("id")
         .agg(
-            F.sha2(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.sort_array(F.collect_list("item")),
-                        lambda x: x.cast("string"),
-                    ),
-                ),
-                256,
-            ).alias("sig")
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("sig").alias("d"),
         )
+        .collect()[0]
     )
-    row = sigs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("sig").alias("d"),
-    ).collect()[0]
     return 1.0 - row.d / row.n if row.n else 0.0
 
 
