@@ -1200,6 +1200,7 @@ def streaming_ivfpq_scorer(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_batch_cap: int = QUERY_BATCH_CAP,
 ):
     """Continuous ANN retrieval over a FROZEN IVF-PQ index: returns a
     ``foreachBatch`` function that scores each arriving micro-batch of
@@ -1228,7 +1229,8 @@ def streaming_ivfpq_scorer(
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         out = ivfpq_topk_encoded(
-            enc, batch_df, coarse, codebooks, k, n_probe, id_col, vec_col
+            enc, batch_df, coarse, codebooks, k, n_probe, id_col, vec_col,
+            query_batch_cap,
         )
         sink(out, epoch_id)
 
