@@ -763,6 +763,55 @@ def test_cascade_unit_split_and_targets():
         _split_on_truncate([self_c], 7)  # no want -> conservative raise
 
 
+def test_cascade_window_split_property():
+    """Property: for ANY window, _split_window_on_cascade is a lossless
+    order-preserving partition — concatenating chunk_i + [cascade_i]
+    reproduces the original sequence, every cascade event is a boundary
+    (never inside a chunk), plain truncates and DML stay in chunks."""
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    from pgloader_spark.sources.pg_cdc import _split_window_on_cascade
+
+    def ev(kind_flags):
+        kind, flags = kind_flags
+        if kind == "op":
+            return {"op": "I", "schema": "public", "table": "t", "cols": {}}
+        return {"op": "T", "schema": "public", "table": "t", "cols": {},
+                "truncate": True, "tables": [("public", "t")],
+                "all_tables": ["public.t"], "flags": flags}
+
+    events = st.lists(
+        st.one_of(
+            st.tuples(st.just("op"), st.just("")),
+            st.tuples(st.just("tr"), st.sampled_from(
+                ["", "restart_seqs", "cascade", "restart_seqs cascade"]
+            )),
+        ),
+        max_size=12,
+    )
+
+    @given(events)
+    def check(seq):
+        window = [ev(e) for e in seq]
+        chunks = _split_window_on_cascade(window)
+        rebuilt = []
+        for i, (chunk, casc) in enumerate(chunks):
+            for c in chunk:
+                assert not (
+                    c.get("truncate") and "cascade" in c.get("flags", "")
+                )
+            rebuilt.extend(chunk)
+            if casc is not None:
+                assert "cascade" in casc["flags"]
+                rebuilt.append(casc)
+            else:
+                assert i == len(chunks) - 1  # only the final chunk
+        assert rebuilt == window
+
+    check()
+
+
 def test_cascade_truncate_replays_when_fk_closed(logical_dsn, spark):
     """Live (r10, r9 ask #4): TRUNCATE ... CASCADE mid-stream replays
     when the reached set is inside the replicated set — pre-boundary
