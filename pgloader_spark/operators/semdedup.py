@@ -59,6 +59,20 @@ from pyspark.sql import functions as F
 from pgloader_spark.operators import similarity
 
 
+def _round_half_away(x, decimals: int):
+    """Decimal rounding with DuckDB/Spark semantics (HALF UP = half
+    away from zero; DuckDB's ``round`` is ``std::round(x*10^d)/10^d``)
+    — NOT ``np.round``, which is banker's half-EVEN: a cosine landing
+    exactly on a ``.xxxx50`` boundary rounds differently under the
+    two modes, and at sf0.1 five of 391 oracle pairs sit on one
+    (found r10; sf0.01's pair set happens to contain none, which is
+    why the gate never caught it)."""
+    import numpy as np
+
+    f = 10.0 ** decimals
+    return np.sign(x) * np.floor(np.abs(x) * f + 0.5) / f
+
+
 def semantic_dedup(
     emb: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -98,7 +112,7 @@ def semantic_dedup(
             # allocate cell_size^2 doubles no matter the blocking
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = V[lo:hi] @ V.T / np.sqrt(n2[lo:hi, None] * n2[None, :])
-            cos = np.round(np.round(cos, 6), 4)
+            cos = _round_half_away(_round_half_away(cos, 6), 4)
             # a strictly-lower ID in the same cell within tau drops us;
             # ids are sorted, so "lower id" = strictly-lower column index
             hit = cos >= tau
@@ -169,7 +183,7 @@ def blocked_near_pairs(
             hi = min(lo + block_rows, m)
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = V[lo:hi] @ V.T / np.sqrt(n2[lo:hi, None] * n2[None, :])
-            cos = np.round(np.round(cos, 6), 4)
+            cos = _round_half_away(_round_half_away(cos, 6), 4)
             col = np.arange(m)
             row = np.arange(lo, hi)[:, None]
             r, c = np.nonzero((cos >= tau) & (col[None, :] > row))

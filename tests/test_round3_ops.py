@@ -402,6 +402,33 @@ def test_cosine_topk_blas_matches_fold_variant(spark):
     assert a == b
 
 
+def test_semdedup_rounding_matches_duckdb_half_away():
+    """r10 regression: the semdedup kernels must round with DuckDB/
+    Spark HALF-AWAY-FROM-ZERO semantics, not numpy's banker's
+    half-even — at sf0.1 five of dedup_embedding_near's 391 oracle
+    pairs sit exactly on a .xxxx50 boundary and np.round flipped them
+    the other way (sf0.01's pair set contains no boundary case, so
+    the gate never saw it).  Pin the function against DuckDB itself
+    over a boundary grid, and record that np.round genuinely differs
+    on it (if numpy ever changed, this documents why the helper
+    exists)."""
+    import duckdb
+    import numpy as np
+
+    from pgloader_spark.operators.semdedup import _round_half_away
+
+    grid = [0.36305, -0.36305, 0.12345, 0.99995, -0.99995, 0.1234565,
+            0.5, -0.5, 0.36315, 0.0, 1.0, -1.0, 0.70710678]
+    for d in (4, 6):
+        for v in grid:
+            duck = duckdb.sql(
+                f"select round({v!r}::DOUBLE, {d})"
+            ).fetchall()[0][0]
+            assert float(_round_half_away(np.float64(v), d)) == duck, (v, d)
+    assert float(_round_half_away(np.float64(0.36305), 4)) == 0.3631
+    assert float(np.round(0.36305, 4)) == 0.363  # the divergent mode
+
+
 def test_blocked_near_pairs_matches_bruteforce(spark):
     import itertools
     import math
