@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pgloader_spark.operators.similarity import np_round_half_away
 from pgloader_spark.operators.text import ngrams_of, tokens
 
 
@@ -148,7 +149,7 @@ def semantic_decontaminate(
             n2 = (V * V).sum(axis=1)
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = V @ Em.T / np.sqrt(np.outer(n2, e_n2))
-            cos = np.round(cos, 6)
+            cos = np_round_half_away(cos, 6)
             hit = np.nanmax(cos, axis=1) >= tau if cos.size else np.zeros(len(ids), bool)
             yield pd.DataFrame({"id": ids, "contaminated": hit})
 

@@ -45,6 +45,20 @@ from pgloader_spark.operators.dedup import md5_hash64
 QUERY_BATCH_CAP = 10_000
 
 
+def np_round_half_away(x, decimals: int):
+    """Decimal rounding with DuckDB/Spark semantics — HALF UP, i.e.
+    half away from zero (DuckDB: ``std::round(x*10^d)/10^d``).  NOT
+    ``np.round``, which is banker's half-EVEN: any numpy-kernel value
+    that faces a SQL-oracle ``round()`` must go through this, or a
+    value landing exactly on a decimal boundary rounds the other way
+    (r10: five of dedup_embedding_near's 391 sf0.1 pairs did — the
+    inputs are quantized, so exact boundaries occur in practice)."""
+    import numpy as np
+
+    f = 10.0 ** decimals
+    return np.sign(x) * np.floor(np.abs(x) * f + 0.5) / f
+
+
 def _query_chunks(
     queries: DataFrame, id_col: str, vec_col: str, cap: int
 ):
@@ -492,7 +506,7 @@ def cosine_topk_blas(
             n2 = (V * V).sum(axis=1)
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = V @ Qm.T / np.sqrt(np.outer(n2, q_n2))
-            cos = np.round(cos, 6)
+            cos = np_round_half_away(cos, 6)
             out_q, out_n, out_c = [], [], []
             for j in range(nq):
                 col = cos[:, j]
