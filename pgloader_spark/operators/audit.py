@@ -130,20 +130,52 @@ def table_checksum(
     by contract; composite keys separator-escaped and joined in
     declared order).
     Each key hashes through the engine-portable md5-prefix hash
-    (``dedup.md5_hash64`` == the oracle's ``_duck_hash64``), sums in a
-    decimal(38,0) accumulator — sum of n 60-bit terms needs
-    ~60+log2(n) bits, so int64 would overflow silently around 8
-    rows — and folds to 60 bits at the very end.  Order-independent by
-    construction: SUM is commutative, so any partitioning produces the
-    same checksum.
+    (``dedup.md5_hash64`` == the oracle's ``_duck_hash64``); the sum
+    of n 60-bit terms needs ~60+log2(n) bits, so it accumulates as
+    three 20-bit-limb int64 sums recombined in decimal on the final
+    row (value-identical to one decimal(38,0) running sum, measured
+    far cheaper), and folds to 60 bits at the very end.
+    Order-independent by construction: SUM is commutative, so any
+    partitioning produces the same checksum.
     """
     key_str = key_string(key_cols)
     h = md5_hash64(key_str, seed=seed)
-    return df.agg(
+    # r10 opt: (a) project to the key columns before the per-row md5
+    # (guide §2.3: project early); (b) count distinct over the RAW key
+    # columns, not the rendered string — key_string is injective and
+    # PKs are non-null by contract, so the count is identical while
+    # the distinct-map hashes fixed-width values (single column:
+    # the raw column, NULL-skipping like the un-coalesced string;
+    # composite: a struct — never NULL even with NULL parts, exactly
+    # like the sentinel-coalesced render); (c) accumulate the
+    # 60-bit hash as three 20-bit-limb LONG sums (each bounded by
+    # 2^20 * n_rows — overflow-safe past 10^12 rows/table) and
+    # recombine in decimal on the final single row: a decimal(38,0)
+    # running sum measured +0.7 s on 600k rows vs long sums.
+    narrow = df.select(*key_cols)
+    mask = (1 << 20) - 1
+    distinct_key = (
+        F.col(key_cols[0]) if len(key_cols) == 1 else F.struct(*key_cols)
+    )
+    return narrow.agg(
         F.lit(table).alias("table_name"),
         F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.countDistinct(key_str).cast("long").alias("n_keys"),
-        (F.sum(h.cast("decimal(38,0)")) % F.lit(CHECKSUM_MOD))
+        F.countDistinct(distinct_key).cast("long").alias("n_keys"),
+        F.sum(h.bitwiseAND(F.lit(mask))).alias("__s0"),
+        F.sum(F.shiftright(h, 20).bitwiseAND(F.lit(mask))).alias("__s1"),
+        F.sum(F.shiftright(h, 40)).alias("__s2"),
+    ).select(
+        "table_name",
+        "n_rows",
+        "n_keys",
+        (
+            (
+                F.col("__s0").cast("decimal(38,0)")
+                + F.col("__s1").cast("decimal(38,0)") * F.lit(1 << 20)
+                + F.col("__s2").cast("decimal(38,0)") * F.lit(1 << 40)
+            )
+            % F.lit(CHECKSUM_MOD)
+        )
         .cast("long")
         .alias("key_checksum"),
     )
@@ -182,20 +214,45 @@ def bucket_checksums(
     """
     key_str = key_string(key_cols)
     h = md5_hash64(key_str, seed=seed)
+    # r10 opt: same rewrites as table_checksum (see there) — narrow
+    # input, raw-key distinct, 20-bit-limb long sums folded to
+    # decimal only on the n_buckets output rows.
+    mask = (1 << 20) - 1
+    distinct_key = (
+        F.col(key_cols[0]) if len(key_cols) == 1 else F.struct(*key_cols)
+    )
     return (
-        df.select(
+        df.select(*key_cols)
+        .select(
             F.pmod(h, F.lit(n_buckets)).cast("int").alias("bucket"),
-            h.cast("decimal(38,0)").alias("__h"),
-            key_str.alias("__k"),
+            h.alias("__h"),
+            distinct_key.alias("__k"),
         )
         .groupBy("bucket")
         .agg(
             F.lit(table).alias("table_name"),
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.countDistinct("__k").cast("long").alias("n_keys"),
-            (F.sum("__h") % F.lit(CHECKSUM_MOD)).cast("long").alias("key_checksum"),
+            F.sum(F.col("__h").bitwiseAND(F.lit(mask))).alias("__s0"),
+            F.sum(F.shiftright("__h", 20).bitwiseAND(F.lit(mask))).alias("__s1"),
+            F.sum(F.shiftright("__h", 40)).alias("__s2"),
         )
-        .select("table_name", "bucket", "n_rows", "n_keys", "key_checksum")
+        .select(
+            "table_name",
+            "bucket",
+            "n_rows",
+            "n_keys",
+            (
+                (
+                    F.col("__s0").cast("decimal(38,0)")
+                    + F.col("__s1").cast("decimal(38,0)") * F.lit(1 << 20)
+                    + F.col("__s2").cast("decimal(38,0)") * F.lit(1 << 40)
+                )
+                % F.lit(CHECKSUM_MOD)
+            )
+            .cast("long")
+            .alias("key_checksum"),
+        )
     )
 
 

@@ -307,39 +307,42 @@ def dsir_weights(
     regardless of addition order (same defense as
     ``text.unigram_logprob``).
 
-    Scale shape: the gram explode is narrow; per-(doc,bucket) counts
-    are one keyed shuffle whose output is bounded by ``n_buckets`` per
-    doc (far smaller than the token stream); the global distributions
-    are an ``n_buckets``-row aggregate that rides a broadcast back
-    onto the counts; the final per-doc sum is the second and last
-    keyed shuffle.  Nothing is collected — the 2×``n_buckets`` model
-    lives inside the plan, so the same code runs at 100 TB unchanged.
+    Scale shape (r10 rewrite, guide §2.3/§2.4/§8): the model pass
+    aggregates the raw gram stream STRAIGHT to its ``n_buckets`` rows
+    (map-side combinable to ≤ n_buckets rows per partition — the old
+    per-(doc,bucket) keyed shuffle was corpus-sized for nothing: the
+    bucket distributions don't need doc identity).  The 2×n_buckets
+    log-ratio model — a CONSTANT-bounded table, same class as the
+    inlined IVF centroid literals — is computed in Spark (bit-exact
+    F.log/round), collected once, and inlined as a literal
+    micro-units array; scoring is then a pure narrow per-row fold:
+    no per-doc keyed shuffle, no model join, no docs⟕per join.  A
+    100 TB corpus makes two narrow scans and shuffles ≤ n_buckets
+    rows, total.  Weights stay engine-exact: the 6-dp ratios are
+    integers in 1e-6 units, the per-doc fold sums them in int64
+    (overflow at ~10^11 grams per document), and the final
+    micros/1e6 double division is correctly rounded — the same
+    nearest-double the decimal sum's cast produced.
     """
     from pgloader_spark.operators import text as txt
 
     tk = F.col("__tk")
-    db = (
+    grams = F.concat(tk, txt.ngrams_of(tk, 2))
+    dist = (
         docs.select(
-            F.col(id_col),
             is_target.cast("int").alias("__tgt"),
             txt.tokens(F.col(text_col)).alias("__tk"),
         )
+        .select(F.col("__tgt"), F.explode(grams).alias("__g"))
         .select(
-            F.col(id_col),
-            F.col("__tgt"),
-            F.explode(F.concat(tk, txt.ngrams_of(tk, 2))).alias("__g"),
-        )
-        .select(
-            id_col,
             "__tgt",
             hash_bucket(F.col("__g"), seed=seed, buckets=n_buckets).alias("__bkt"),
         )
-        .groupBy(id_col, "__bkt")
-        .agg(F.count(F.lit(1)).alias("__c"), F.first("__tgt").alias("__tgt"))
-    )
-    dist = db.groupBy("__bkt").agg(
-        F.sum("__c").alias("__call"),
-        F.sum(F.col("__c") * F.col("__tgt")).alias("__ctgt"),
+        .groupBy("__bkt")
+        .agg(
+            F.count(F.lit(1)).alias("__call"),
+            F.sum("__tgt").alias("__ctgt"),
+        )
     )
     totals = dist.agg(
         F.sum("__call").alias("__tall"), F.sum("__ctgt").alias("__ttgt")
@@ -354,23 +357,30 @@ def dsir_weights(
         .cast("decimal(18,6)")
         .alias("__lr"),
     )
-    per = (
-        db.join(F.broadcast(lr), "__bkt")
-        .groupBy(id_col)
-        .agg(
-            F.sum("__c").cast("int").alias("n_grams"),
-            F.sum(F.col("__c") * F.col("__lr")).alias("__w"),
-        )
+    micros = {int(r["__bkt"]): int(r["__lr"].scaleb(6)) for r in lr.collect()}
+    lr_arr = F.array(
+        *[F.lit(micros.get(b, 0)).cast("long") for b in range(n_buckets)]
+    )
+    # fold over the gram array: per gram, look the bucket's 1e-6-unit
+    # log-ratio up in the inlined literal array and sum as int64
+    w_micros = F.aggregate(
+        F.col("__ga"),
+        F.lit(0).cast("long"),
+        lambda acc, g: acc
+        + F.element_at(
+            lr_arr,
+            (hash_bucket(g, seed=seed, buckets=n_buckets) + 1).cast("int"),
+        ),
     )
     return (
-        docs.select(id_col)
-        .join(per, id_col, "left")
+        docs.select(F.col(id_col), txt.tokens(F.col(text_col)).alias("__tk"))
+        .select(F.col(id_col), grams.alias("__ga"))
         .select(
             id_col,
-            F.coalesce(F.col("n_grams"), F.lit(0)).cast("int").alias("n_grams"),
-            F.coalesce(F.round(F.col("__w").cast("double"), 6), F.lit(0.0)).alias(
-                "dsir_logw"
-            ),
+            F.coalesce(F.size("__ga"), F.lit(0)).cast("int").alias("n_grams"),
+            F.round(
+                F.coalesce(w_micros, F.lit(0)).cast("double") / F.lit(1e6), 6
+            ).alias("dsir_logw"),
         )
     )
 

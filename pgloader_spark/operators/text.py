@@ -547,22 +547,39 @@ def bm25_topk(
     orders on the 6-dp-rounded score with id tiebreak so cross-engine
     double noise cannot flip ranks.
     """
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-    # dl's aggregation subtree repeats (stats + score join) but the
-    # shared shuffle computes once via ReusedExchange; an explicit
-    # persist measured no better at sf0.1 (see bigram_logprob note)
-    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    # r10 opt (guide §2.3/§2.4): the document length is a PER-ROW
+    # property — ``size(tokens(text))`` — so it never needs the old
+    # corpus-doc-keyed ``tok.groupBy(id)`` exchange, and carrying it
+    # through the posting rows removes the post⋈dl shuffle join
+    # entirely.  The plan now has ZERO corpus-sized exchanges: the
+    # corpus is scanned twice narrowly (once for the 1-row stats agg,
+    # once for the pruned posting stream), and every shuffle
+    # downstream is bounded by postings-of-query-terms.  Values are
+    # unchanged: dl = count of exploded tokens = size of the token
+    # array, and docs with no tokens are excluded from N/avgdl by the
+    # dl>0 filter exactly as the explode-based agg excluded them.
+    dlc = F.size(tokens(text_col))
+    stats = (
+        df.select(dlc.alias("dl"))
+        .filter(F.col("dl") > 0)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        )
     )
     qterms = queries.select(
         F.col(qid_col).cast("long").alias(qid_col),
         F.explode(F.array_distinct(tokens(qtext_col))).alias("term"),
     )
     post = (
-        tok.join(F.broadcast(qterms.select("term").distinct()), "term")
-        .groupBy(id_col, "term")
+        df.select(F.col(id_col), tokens(text_col).alias("__tk"))
+        .select(
+            F.col(id_col),
+            F.size("__tk").cast("long").alias("dl"),
+            F.explode("__tk").alias("term"),
+        )
+        .join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy(id_col, "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     qdf = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -579,8 +596,7 @@ def bm25_topk(
         )
     )
     scored = (
-        post.join(dl, id_col)
-        .join(F.broadcast(qdf), "term")
+        post.join(F.broadcast(qdf), "term")
         .join(F.broadcast(stats))
         .join(F.broadcast(qterms), "term")
         .groupBy(qid_col, id_col)
