@@ -235,9 +235,14 @@ def band_link_edges(
     splits) for skipping the PPJoin entirely.
 
     Scale shape: two band-keyed exchanges (the min agg, map-side
-    combinable, and the re-join); text never shuffles.
+    combinable, and the re-join); text never shuffles.  The band
+    table is pinned (r10, guide §5): its two consumers (min agg and
+    re-join probe) would otherwise each re-run the CPU-dense minhash
+    band expression — N seeded hashes per shingle — over the whole
+    corpus; the pinned table is ~n_bands rows x 24 bytes per doc,
+    spillable at any scale.
     """
-    bands = minhash_bands(df, id_col, text_col)
+    bands = _pin(minhash_bands(df, id_col, text_col))
     mins = bands.groupBy("band_ix", "bucket").agg(F.min(id_col).alias("id_a"))
     return (
         bands.join(mins, ["band_ix", "bucket"])

@@ -558,6 +558,50 @@ def test_bpe_segment_counts_matches_textbook_segmenter(spark):
         ), doc_id
 
 
+def test_bpe_segment_counts_adversarial_repeats(spark):
+    """The replace-chain segmenter (r10: per-rank greedy pass compiled
+    to one non-overlapping delimited-string replace) must match the
+    textbook scan on the shapes where naive rewrites diverge: runs of
+    identical symbols ('aaaa' under a,a->aa merges exactly twice, not
+    cascading), merges whose output is the left symbol of a later
+    rule, and single-char words (pure '</w>' symbol)."""
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaa aa a"), (2, "abab abc bab"), (3, "a b ab ba")],
+        "doc_id long, text string",
+    )
+    merges = [
+        (1, "a", "a", "aa", 99),
+        (2, "aa", "aa", "aaaa", 98),
+        (3, "a", "b", "ab", 97),
+        (4, "ab", "a", "aba", 96),
+        (5, "b", "</w>", "b</w>", 95),
+        (6, "ab", "b</w>", "abb</w>", 94),
+    ]
+
+    def segment(word):
+        syms = list(word[:-1]) + [word[-1] + "</w>"]
+        for _rank, left, right, m, _pc in merges:
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    res.append(m)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        return syms
+
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_subwords"])
+        for r in txt.bpe_segment_counts(docs, merges).collect()
+    }
+    for doc_id, text in [(1, "aaaa aaa aa a"), (2, "abab abc bab"), (3, "a b ab ba")]:
+        toks = text.split()
+        want = (len(toks), sum(len(segment(t)) for t in toks))
+        assert out[doc_id] == want, (doc_id, out[doc_id], want)
+
+
 def test_new_text_ops_tolerate_null_and_empty_text(spark):
     """NULL/empty documents must not crash BM25, BPE, or the corpus
     card — they contribute no tokens and drop out of token-keyed

@@ -332,12 +332,17 @@ def test_semantic_dedup_single_cell_shuffle_blas_kernel(spark, sf_dir):
     assert n_keyed == 1, f"expected 1 keyed shuffle (cell), plan has {n_keyed}"
 
 
-def test_dsir_model_rides_broadcast(spark, sf_dir):
-    """DSIR's contract: the 2xN-bucket log-ratio model broadcasts back
-    onto the per-(doc,bucket) counts — the corpus is shuffled only on
-    (doc_id, bucket) and doc_id, never on the gram string."""
+def test_dsir_scoring_pass_is_pure_narrow(spark, sf_dir):
+    """DSIR's r10 contract: the bounded 2xN-bucket log-ratio model is
+    computed in Spark, collected once, and inlined as a literal
+    micro-units array — so the SCORING pass (the plan of the returned
+    frame) is a single narrow projection over the corpus: no join, no
+    broadcast, no exchange at all.  The corpus is never shuffled on
+    the gram string in the model pass either (it aggregates straight
+    to n_buckets rows, map-side combinable)."""
     plan = _formatted_plan(Q.QUERIES["sample_dsir_weights"](spark, sf_dir))
-    assert "BroadcastExchange" in plan
+    assert "Join" not in plan, "scoring regressed to a model join"
+    assert "Exchange" not in plan, "scoring pass must be shuffle-free"
     for line in plan.splitlines():
         if "hashpartitioning" in line:
             assert "__g" not in line, f"corpus shuffled on gram string: {line}"
