@@ -72,23 +72,35 @@ def _query_chunks(
     ``toLocalIterator`` streaming pass run (one sequential job per
     partition; measured +2-3 s on CAP-SIZED frames when used
     unconditionally — a 32-partition 100-row query frame paid 32
-    tiny sequential jobs where one collect sufficed)."""
+    tiny sequential jobs where one collect sufficed).
+
+    The frame is persisted (spillable) around the probe so an
+    over-cap query frame computes each partition ONCE: the probe job
+    caches whatever partitions it touches, the streaming pass reads
+    those from cache and computes only the rest (r10 verdict #4 —
+    without the pin, an expensive query plan paid the probed
+    partitions twice).  Unpersisted before returning on every path."""
+    from pyspark.storagelevel import StorageLevel
+
     proj = queries.select(
         F.col(id_col), F.col(vec_col).cast("array<double>")
-    )
-    head = proj.limit(cap + 1).collect()
-    if len(head) <= cap:
-        if head:
-            yield head
-        return
-    buf: list = []
-    for row in proj.toLocalIterator():
-        buf.append(row)
-        if len(buf) >= cap:
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        head = proj.limit(cap + 1).collect()
+        if len(head) <= cap:
+            if head:
+                yield head
+            return
+        buf: list = []
+        for row in proj.toLocalIterator():
+            buf.append(row)
+            if len(buf) >= cap:
+                yield buf
+                buf = []
+        if buf:
             yield buf
-            buf = []
-    if buf:
-        yield buf
+    finally:
+        proj.unpersist()
 
 
 def _union_chunked(parts: list) -> DataFrame:

@@ -30,7 +30,9 @@ def main() -> None:
     names = sys.argv[2:] or list(HEADLINE)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_SUBDIR", "r11"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("dump_plans")
