@@ -1215,18 +1215,29 @@ def _containment_core(
             clone_fraction_probe(df, id_col, text_col, k)
             >= CLONE_COLLAPSE_MIN_FRACTION
         )
-    raw_items = _pin(
-        shingle_rows(df, id_col, text_col, k=k)
-        .select(F.col(id_col).alias("id"), md5_hash64(F.col("sh")).alias("item"))
-        .distinct()
-    )
-    # one per-document sorted-array agg serves BOTH the clone grouping
-    # and the verify stage (the pre-r8 plan built it for verify anyway,
-    # so the collapse reuses a shuffle instead of adding one)
+    # r11 opt (guide §2.4): build the per-document sorted distinct item
+    # array as ONE NARROW PROJECTION — hash/dedup/sort inside array HOFs,
+    # exactly the shape token_jaccard_pairs already uses — instead of
+    # explode → global (id, item) DISTINCT → groupBy(id) collect_list,
+    # which paid two full exchanges of the exploded shingle table (the
+    # one intermediate LARGER than the corpus) plus a pin of it.
+    # Value-identical: per-doc array_distinct == the (id, item) global
+    # distinct (duplicates only exist within a doc), sort_array default
+    # ascending == the collect_list+sort_array it replaces, and the
+    # hash is the same seed-0 md5_hash64.  The size>0 filter mirrors
+    # the old explode semantics exactly: a NULL/absent token stream
+    # produced no shingle rows (doc absent everywhere downstream),
+    # while for k>=2 an empty-but-present stream still shingles to
+    # [""] (arr is never empty), so the filter only drops what the
+    # explode dropped.
+    base_items = tokens(text_col) if k == 1 else shingles(text_col, k)
     all_arrays = _pin(
-        raw_items.groupBy("id").agg(
-            F.sort_array(F.collect_list("item")).alias("arr")
-        )
+        df.select(
+            F.col(id_col).alias("id"),
+            F.sort_array(
+                F.array_distinct(F.transform(base_items, _seeded_hash(0)))
+            ).alias("arr"),
+        ).filter(F.size("arr") > 0)
     )
     membership = None
     if collapse_clones:
@@ -1250,23 +1261,20 @@ def _containment_core(
         )
         reps_only = membership.filter(F.col("id") == F.col("rep")).select("id")
         arrays = all_arrays.join(reps_only, "id", "semi")
-        # items from the pinned flat table via an id-keyed semi join
-        # (NOT by re-exploding rep arrays: the explode re-runs for
-        # every downstream consumer and its output partitioning is
-        # whatever the array agg left behind)
-        items = raw_items.join(reps_only, "id", "semi")
     else:
         arrays = all_arrays
-        items = raw_items
     sizes = arrays.select("id", F.size("arr").cast("long").alias("n"))
+    # flat (id, n, item) rows by narrow explode of the pinned arrays —
+    # n rides the explode so the ranked table needs no sizes join
+    items = arrays.select(
+        "id", F.size("arr").cast("long").alias("n"), F.explode("arr").alias("item")
+    )
     freq = items.groupBy("item").agg(F.count(F.lit(1)).alias("gf"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("id").orderBy(F.col("gf").asc(), F.col("item").asc())
     ranked = _pin(
-        items.join(freq, "item")
-        .withColumn("__r", F.row_number().over(w))
-        .join(sizes, "id")
+        items.join(freq, "item").withColumn("__r", F.row_number().over(w))
     )
     # prefix length n - α + 1 where α = ceil(t·n) - 1 is the SLACKED
     # minimum overlap (one more shingle than floor((1-t)n)+1): the
