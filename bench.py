@@ -85,6 +85,18 @@ HEADLINE = [
 
 RUNS = 3
 
+# Optional subset filter for LARGE-SF scale points (r10 verdict ask #4:
+# "promote the second-decade construction into the bench contract").
+# Unset (the driver's invocation) => full HEADLINE list, behavior
+# byte-identical to every prior round.  Set to a comma-separated query
+# list => same harness, same warm+3-median methodology, same one-line
+# JSON, over just those queries — how tools/profiles/bench_sf1x_*.json
+# are produced without paying 4x wall on every 10x-scale query.
+_SUBSET = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+if _SUBSET:
+    _want = [q.strip() for q in _SUBSET.split(",") if q.strip()]
+    HEADLINE = [q for q in HEADLINE if q in _want]
+
 
 def bench_etl_load(spark, sf_dir: str, workdir: str) -> dict | None:
     """Full pgloader-parity path: CSV -> parse LOAD command -> project/
