@@ -513,8 +513,16 @@ def shingle_jaccard_pairs(
     rarest-first ordering and never enters a prefix.
     """
     items = F.array_distinct(F.transform(shingles(text_col, k), _seeded_hash(0)))
+    # r11: pin the per-doc array table — the shingle+md5 HOF chain is
+    # the query's CPU wall (~2-3 s/evaluation at sf0.1) and
+    # _prefix_candidates consumes it twice (document-frequency agg +
+    # the ordered join); the pin is corpus-sized (one 8-byte hash per
+    # distinct shingle), exactly the containment front-end's shape.
+    # The token path needs no pin here: its callers pass projections
+    # of already-pinned rep tables.
     return _jaccard_pairs_ppjoin(
-        df.select(F.col(id_col).alias("id"), items.alias("items")), threshold
+        _pin(df.select(F.col(id_col).alias("id"), items.alias("items"))),
+        threshold,
     )
 
 
