@@ -46,6 +46,22 @@ def session_configs(master: str, cpus: str = "32") -> dict[str, str]:
         # Tolerate parquet TIMESTAMP(NANOS) inputs (vectorized reader
         # rejects them otherwise); read_table converts bigint ts back.
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # Prefer shuffled-hash over sort-merge once broadcast is ruled
+        # out: the PPJoin collision/verify joins gain nothing from
+        # sorted outputs, and at the sf1x scale point the swap won 7/7
+        # interleaved A/B pairs on the shingle kernel (median 5.7->4.9s)
+        # and ~12% trimmed-mean on the token kernel
+        # (tools/profiles/shj_sf1x_ab*_r11s4.json).  At sf0.1 every
+        # headline join broadcasts, so this is provably inert at bench
+        # scale (final-plan census: 0 SortMergeJoin).  Build-side OOM
+        # risk is bounded: AQE's local-map threshold converts only when
+        # the measured per-partition build side fits, AQE skew-split
+        # applies to shuffled-hash joins too, and the threshold is
+        # env-tunable for clusters with tighter executor memory.
+        "spark.sql.join.preferSortMergeJoin": "false",
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": os.environ.get(
+            "SPARK_GRAFT_SHJ_LOCALMAP", "64m"
+        ),
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
     }

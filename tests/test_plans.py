@@ -123,6 +123,29 @@ def test_local_only_configs_gated_on_master():
         assert conf["spark.sql.adaptive.enabled"] == "true"
 
 
+def test_shuffled_hash_join_confs_ship_everywhere(monkeypatch):
+    """r11: shuffled-hash preferred over sort-merge once broadcast is
+    ruled out (guide §3.1/§9; sf1x A/B evidence in
+    tools/profiles/shj_sf1x_ab*_r11s4.json).  Ship-everywhere — the
+    selection is size-gated at plan time so a cluster master keeps the
+    same behavior — with the local-map threshold env-tunable for
+    clusters with tighter executor memory."""
+    from pgloader_spark.session import session_configs
+
+    for master in ("local[32]", "yarn"):
+        conf = session_configs(master)
+        assert conf["spark.sql.join.preferSortMergeJoin"] == "false"
+        assert (
+            conf["spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold"]
+            == "64m"
+        )
+    monkeypatch.setenv("SPARK_GRAFT_SHJ_LOCALMAP", "16m")
+    conf = session_configs("yarn")
+    assert (
+        conf["spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold"] == "16m"
+    )
+
+
 def test_q19_or_of_ands_pushes_per_side_conjuncts(spark, sf_dir):
     """Catalyst factors common per-side conjuncts out of the OR-of-ANDs
     predicate: each parquet scan receives an Or(...) pushed filter
